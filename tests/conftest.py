@@ -1,0 +1,15 @@
+from __future__ import annotations
+
+import pytest
+
+from mapreducehs_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+SF_DIR_MID = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="mapreducehs_spark_tests", master="local[4]", shuffle_partitions=4)
+    yield s
+    s.stop()
