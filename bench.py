@@ -1,0 +1,70 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed fully via the noop sink (no driver collect cost,
+no skipped projections).  One warm-up run of the flagship query first so
+JVM/codegen startup isn't attributed to the first measured query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+#: headline set: one per operator family, weighted toward the scale-relevant ones
+HEADLINE = [
+    "q01_pricing_summary",
+    "q05_revenue_by_nation",
+    "q07_asof_enrich",
+    "q12_topk_per_group",
+    "q19_json_extract",
+    "q21_tumbling_window",
+    "q23_sessionization",
+    "d01_dedup_exact",
+    "d02_ngram_jaccard_pairs",
+    "d03_minhash_lsh_pairs",
+    "s01_cosine_topk",
+    "t01_token_stats",
+    "t04_top_terms_tfidf",
+    "p02_mapreduce_wordcount",
+]
+
+
+def main() -> None:
+    from mapreducehs_spark.queries import QUERIES
+    from mapreducehs_spark.session import get_spark
+
+    spark = get_spark(app_name="mapreducehs_spark_bench", master=f"local[{CPUS}]")
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run("q01_pricing_summary")  # warm-up (JVM, codegen, parquet footer cache)
+
+    timings = {name: round(run(name), 4) for name in HEADLINE}
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

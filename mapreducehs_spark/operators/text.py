@@ -37,10 +37,14 @@ def bpe_ish_tokens(col: Column | str) -> Column:
 
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Adds n_tokens, n_chars_obs, avg_token_len, n_distinct_tokens."""
-    toks = tokens(text_col)
+    """Adds n_tokens, n_chars_obs, avg_token_len, n_distinct_tokens.
+
+    Tokens staged once as a column (split runs once per row, not once
+    per derived stat)."""
+    staged = df.withColumn("__toks", tokens(text_col))
+    toks = F.col("__toks")
     return (
-        df.withColumn("n_tokens", F.size(toks).cast("bigint"))
+        staged.withColumn("n_tokens", F.size(toks).cast("bigint"))
         .withColumn("n_chars_obs", F.length(text_col).cast("bigint"))
         .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)).cast("bigint"))
         .withColumn(
@@ -48,6 +52,7 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
             / F.greatest(F.size(toks), F.lit(1)).cast("double"),
         )
+        .drop("__toks")
     )
 
 
@@ -59,7 +64,8 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     clipped linear blend — deterministic, tunable, cheap at 100 TB
     (pure column expressions over one pass).
     """
-    toks = tokens(text_col)
+    staged = df.withColumn("__toks", tokens(text_col))
+    toks = F.col("__toks")
     n_tokens = F.greatest(F.size(toks), F.lit(1)).cast("double")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
@@ -67,7 +73,7 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     text_len = F.greatest(F.length(text_col), F.lit(1)).cast("double")
 
     out = (
-        df.withColumn("stopword_ratio", n_stop.cast("double") / n_tokens)
+        staged.withColumn("stopword_ratio", n_stop.cast("double") / n_tokens)
         .withColumn("punct_ratio", punct_chars.cast("double") / text_len)
         .withColumn(
             "len_band_ok",
@@ -82,7 +88,7 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return out.withColumn(
         "quality_score", F.round(F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0)), 6)
-    )
+    ).drop("__toks")
 
 
 def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -127,9 +133,12 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def ngrams(col: Column | str, n: int = 3) -> Column:
-    """Word n-grams as space-joined strings (array column)."""
-    toks = tokens(col)
+def ngrams(tok_col: Column | str, n: int = 3) -> Column:
+    """Word n-grams as space-joined strings from a *materialized* token
+    array column.  (Pass a staged column, not an inline split — outer
+    expressions inside higher-order-function lambdas re-evaluate per
+    element; see operators/dedup.py shingles_of.)"""
+    toks = F.col(tok_col) if isinstance(tok_col, str) else tok_col
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     return F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
