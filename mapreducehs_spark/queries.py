@@ -1175,3 +1175,102 @@ def p02_mapreduce_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("key")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+# =========================================================================
+# Structured Streaming (SURVEY §2.2 streaming row; M3) — each query runs
+# a real readStream over a time-ordered replay of `events` (one chunk
+# per trigger, flush sentinel to advance the final watermark; see
+# streaming/ops.py for why this makes append-mode output deterministic
+# and therefore oracle-checkable).
+# =========================================================================
+
+def _replayed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducehs_spark import streaming as st
+
+    replay = st.prepare_stream_dir(spark, sf_dir, n_chunks=4)
+    return st.events_stream(spark, replay)
+
+
+@query(
+    "st01_stream_tumbling",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def st01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming watermarked tumbling-window agg == the batch aggregate
+    (no late data by replay construction — differential vs DuckDB)."""
+    from mapreducehs_spark import streaming as st
+
+    agg = st.tumbling_aggregate(
+        _replayed_events(spark, sf_dir), window="1 hour", watermark="30 minutes"
+    )
+    out = st.run_to_batch(agg, "st01_sink", output_mode="append")
+    # sentinel dropped from the BATCH result (an in-stream filter on a
+    # group key would be pushed below the watermark; see streaming/ops.py)
+    return out.filter(F.col("event_type") != "__flush__")
+
+
+@query(
+    "st02_stream_sessions",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, event_id, value, epoch(ts) AS tsec,
+             lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+      FROM events
+    ), flagged AS (
+      -- >= : Spark session windows are [start, last+gap) — an event at
+      -- exactly last+gap starts a NEW session
+      SELECT *, CASE WHEN prev IS NULL OR tsec - prev >= 1800 THEN 1 ELSE 0 END AS news
+      FROM lagged
+    ), sess AS (
+      SELECT user_id, value, tsec,
+             sum(news) OVER (PARTITION BY user_id ORDER BY tsec ASC, event_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(floor(min(tsec)) AS BIGINT) AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def st02_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session_window (30-min gap) per user, append mode —
+    differential vs islands-and-gaps sessionization in DuckDB."""
+    from mapreducehs_spark import streaming as st
+
+    agg = st.session_aggregate(
+        _replayed_events(spark, sf_dir), gap="30 minutes", watermark="30 minutes"
+    )
+    out = st.run_to_batch(agg, "st02_sink", output_mode="append")
+    return out.filter(F.col("user_id") >= 0)  # drop the sentinel's session
+
+
+@query(
+    "st03_stream_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(coalesce(value, 0)), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def st03_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals; final snapshot == batch groupBy."""
+    from mapreducehs_spark import streaming as st
+
+    updates = st.stateful_user_totals(_replayed_events(spark, sf_dir))
+    log = st.run_to_batch(updates, "st03_sink", output_mode="append")
+    from mapreducehs_spark.streaming.ops import latest_per_user
+
+    return latest_per_user(log)

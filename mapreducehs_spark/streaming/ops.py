@@ -1,0 +1,331 @@
+"""Structured Streaming surface over the ``events`` table.
+
+The reference is batch-only — every stage fully materializes before the
+next starts (reference ``src/Core/Std.hs:49-50``; no streaming anywhere
+in the repo).  Streaming is therefore pure *new-engine* capability,
+built on Structured Streaming: ``readStream`` file source → watermarked
+windowed aggregation / session windows / custom ``applyInPandasWithState``
+state → memory sink for the differential check against the equivalent
+batch query (same discipline as the reference's distributed-vs-local
+differential tests, ``test/Generator.hs:83-92``).
+
+Determinism strategy (what makes these streaming queries *oracle-checkable*):
+
+1. **Time-ordered replay.**  ``prepare_stream_dir`` writes the events
+   sorted by ``ts`` into N chunk files and feeds them one per trigger
+   (``maxFilesPerTrigger=1``) in ascending mtime order.  Event time then
+   never regresses across triggers by more than intra-chunk disorder
+   (zero, since chunks are time-range partitions), so a watermark never
+   drops a row — the streaming result must equal the batch result.
+2. **Flush sentinel.**  Append-mode windowed aggregation only emits a
+   window once the watermark passes its end; with a finite input the
+   last windows would stay unflushed forever.  The replay dir therefore
+   ends with one sentinel row (``event_type = '__flush__'``) whose
+   timestamp sits far past the real data; it advances the watermark past
+   every real window and is filtered out of results.  On a real
+   always-on pipeline the next day's data plays this role — the sentinel
+   is the finite-input stand-in, not a semantic hack.
+
+At 100 TB the same topology runs against a Kafka/file-arrival source
+with the identical query bodies — only ``events_stream`` changes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from mapreducehs_spark.sources.catalog import load_table
+
+#: Schema of the replayed events stream (µs timestamps — the ns→µs
+#: conversion happens once in load_table before chunks are written).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+FLUSH_TYPE = "__flush__"
+
+
+def prepare_stream_dir(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4, base_dir: str = "/tmp/mapreducehs_stream"
+) -> str:
+    """Materialize ``events`` as a time-ordered chunked replay directory.
+
+    Idempotent per (sf_dir, n_chunks): reuses the directory if it is
+    already fully built (a ``_DONE`` marker commits it).
+    """
+    key = f"{os.path.basename(os.path.normpath(sf_dir))}_c{n_chunks}_v2"
+    out = os.path.join(base_dir, key)
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    pdf = ev.toPandas().sort_values("ts", kind="mergesort", ignore_index=True)
+    n = len(pdf)
+    bounds = [round(i * n / n_chunks) for i in range(n_chunks + 1)]
+    for i in range(n_chunks):
+        chunk = pdf.iloc[bounds[i] : bounds[i + 1]]
+        if len(chunk) == 0:
+            continue
+        # µs on disk: the engine session reads TIMESTAMP(NANOS) via the
+        # nanosAsLong legacy flag, which would turn a ns chunk back into
+        # bigint and break the declared stream schema.
+        chunk.to_parquet(
+            os.path.join(out, f"chunk_{i:04d}.parquet"),
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+
+    flush_ts = pdf["ts"].max() + pd.Timedelta(days=365)
+    # props must be a real string: an all-null column round-trips
+    # through arrow as null-type and fails the declared stream schema.
+    sentinel = pd.DataFrame(
+        {
+            "event_id": [-1],
+            "ts": [flush_ts],
+            "user_id": [-1],
+            "event_type": [FLUSH_TYPE],
+            "value": [0.0],
+            "props": ["{}"],
+        }
+    )
+    sentinel.to_parquet(
+        os.path.join(out, f"chunk_{n_chunks:04d}.parquet"),
+        index=False,
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    # Explicit well-spaced mtimes: the file source orders and batches
+    # files by modification time (ms granularity) — wall-clock write
+    # spacing is not reliable.
+    now = time.time()
+    files = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    for i, f in enumerate(files):
+        os.utime(os.path.join(out, f), (now + i * 10, now + i * 10))
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def events_stream(
+    spark: SparkSession, replay_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a replay dir (one chunk per trigger)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(replay_dir)
+    )
+
+
+def run_to_batch(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Drain a finite stream into a memory sink; return the result table.
+
+    The memory sink is the test/driver harness sink only — production
+    sinks are kafka/parquet/delta via the same ``writeStream`` call.
+
+    ``shuffle_partitions`` pins the state-store partition count for this
+    query (read at ``start()``, fixed for the query's lifetime).  A
+    vanilla 200-partition session pays 200 state-store tasks per
+    stateful op per micro-batch — for the bounded state here (thousands
+    of windows/users) a few per core is right.  At 100 TB this knob is
+    the per-topology state sizing decision, made per stream, not
+    globally.
+    """
+    spark = stream_df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, spark.sparkContext.defaultParallelism)
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    try:
+        # availableNow self-terminates — and only awaitTermination lets
+        # the trailing no-data micro-batch run, which is what evicts the
+        # final windows after the sentinel advances the watermark.
+        # (processAllAvailable + stop() races that batch and loses the
+        # last windows.)
+        if not q.awaitTermination(timeout=600):
+            raise TimeoutError(f"stream {name} did not finish in 600s")
+    finally:
+        if q.isActive:
+            q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Streaming operators (query bodies shared by tests and __spark_entry__)
+# ---------------------------------------------------------------------------
+
+
+def tumbling_aggregate(
+    events: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums per event_type.
+
+    Late rows (older than watermark) are dropped by Spark; the replay
+    discipline above guarantees none exist, so batch == stream.
+    """
+    # DO NOT filter the sentinel here: a filter on a group-by key gets
+    # pushed below the aggregation to the scan, which removes the
+    # sentinel before the EventTimeWatermark operator ever sees it — the
+    # watermark then never passes the last real windows and they stay
+    # unflushed.  Callers drop sentinel rows from the *batch* result
+    # (run_to_batch(...).filter(...)).
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_aggregate(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked session windows per user (gap-based), append mode.
+
+    Equivalent batch semantics: islands-and-gaps sessionization with the
+    same gap — the differential target.
+    """
+    # Sentinel kept in-plan for the same pushdown reason as
+    # tumbling_aggregate — callers drop user_id < 0 from the batch result.
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+#: Output schema of the stateful per-user running totals.
+_USER_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("update_seq", LongType()),
+    ]
+)
+
+_USER_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        StructField("seq", LongType()),
+    ]
+)
+
+
+def _user_totals_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Arbitrary-stateful op (``applyInPandasWithState``): cumulative
+    per-user event count + value total, one emitted row per update.
+
+    This is the streaming analogue of the reference's Reducer — the full
+    per-key history folded into state instead of materialized as a list
+    (reference ``src/Core/MapReduceC.hs:26,35-40``)."""
+    (user_id,) = key
+    n, total, seq = state.get if state.exists else (0, 0.0, 0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+    seq += 1
+    state.update((n, total, seq))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [round(total, 4)],
+            "update_seq": [seq],
+        }
+    )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running totals via ``applyInPandasWithState``.
+
+    Emits one row per (user, trigger-with-data); the *last* update per
+    user equals the batch ``groupBy(user_id)`` aggregate, which is what
+    the oracle checks after an argmax-by-update_seq."""
+    return (
+        events.filter(F.col("event_type") != FLUSH_TYPE)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_totals_fn,
+            outputStructType=_USER_TOTALS_SCHEMA,
+            stateStructType=_USER_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def latest_per_user(updates: DataFrame) -> DataFrame:
+    """Final snapshot from the update log: argmax(update_seq) per user."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("update_seq").desc())
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )

@@ -1,0 +1,106 @@
+"""Streaming semantics tests beyond the oracle differential.
+
+The oracle test (test_queries_oracle) proves stream == batch when no
+data is late.  These tests prove the *streaming-only* semantics: the
+watermark actually drops late rows, and the replay harness feeds chunks
+in distinct triggers.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from mapreducehs_spark import streaming as st
+from mapreducehs_spark.streaming.ops import EVENTS_SCHEMA
+
+
+def _write_chunk(path: str, rows: list[dict]) -> None:
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf.to_parquet(
+        path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+
+
+def _row(event_id, ts, user_id=1, event_type="click", value=1.0):
+    return {
+        "event_id": event_id,
+        "ts": ts,
+        "user_id": user_id,
+        "event_type": event_type,
+        "value": value,
+        "props": "{}",
+    }
+
+
+@pytest.fixture()
+def late_replay_dir(tmp_path):
+    """3 chunks where chunk 1 advances time far ahead and chunk 2
+    carries a row >watermark late — that row must be dropped."""
+    import time
+
+    d = str(tmp_path / "replay")
+    os.makedirs(d)
+    _write_chunk(
+        os.path.join(d, "c0.parquet"),
+        [_row(1, "2024-01-01 00:05:00"), _row(2, "2024-01-01 00:15:00")],
+    )
+    _write_chunk(os.path.join(d, "c1.parquet"), [_row(3, "2024-01-01 06:00:00")])
+    # c1b exists so the hour-00 window is EVICTED (watermark 05:30 from
+    # c1 applies at c1b's batch) BEFORE the late row arrives — a late
+    # row arriving in the same batch as the eviction legally merges.
+    _write_chunk(os.path.join(d, "c1b.parquet"), [_row(9, "2024-01-01 06:01:00")])
+    # watermark is now 05:31; a 00:25 row is hours late → dropped
+    _write_chunk(
+        os.path.join(d, "c2.parquet"),
+        [_row(4, "2024-01-01 00:25:00"), _row(5, "2024-01-01 06:10:00")],
+    )
+    _write_chunk(os.path.join(d, "c3.parquet"), [_row(6, "2025-01-01 00:00:00", event_type="__flush__")])
+    # explicit well-spaced mtimes: the file source batches by mtime
+    # order and sleep-based spacing is too fine-grained to rely on
+    now = time.time()
+    chunks = ["c0.parquet", "c1.parquet", "c1b.parquet", "c2.parquet", "c3.parquet"]
+    for i, f in enumerate(chunks):
+        os.utime(os.path.join(d, f), (now + i * 10, now + i * 10))
+    return d
+
+
+def test_watermark_drops_late_rows(spark, late_replay_dir):
+    ev = st.events_stream(spark, late_replay_dir)
+    agg = st.tumbling_aggregate(ev, window="1 hour", watermark="30 minutes")
+    out = (
+        st.run_to_batch(agg, "late_sink", output_mode="append")
+        .filter("event_type != '__flush__'")
+        .toPandas()
+        .sort_values("bucket_start", ignore_index=True)
+    )
+    # hour-00 window flushed with only events 1,2 — the late event 4
+    # (00:25, arriving after the window was evicted) was dropped.
+    hour0 = out[out["bucket_start"] == 1704067200]
+    assert hour0["n_events"].tolist() == [2]
+    # hour-06 window holds events 3, 9, 5
+    hour6 = out[out["bucket_start"] == 1704088800]
+    assert hour6["n_events"].tolist() == [3]
+
+
+def test_replay_dir_chunking(spark):
+    replay = st.prepare_stream_dir(spark, "/root/testdata/sf0.001", n_chunks=4)
+    files = sorted(f for f in os.listdir(replay) if f.endswith(".parquet"))
+    assert len(files) == 5  # 4 chunks + flush sentinel
+    # chunks are time-range partitions: each file's min ts >= previous max
+    prev_max = None
+    for f in files:
+        pdf = pd.read_parquet(os.path.join(replay, f))
+        if prev_max is not None:
+            assert pdf["ts"].min() >= prev_max
+        prev_max = pdf["ts"].max()
+
+
+def test_stream_schema_matches_catalog(spark):
+    replay = st.prepare_stream_dir(spark, "/root/testdata/sf0.001", n_chunks=4)
+    stream = st.events_stream(spark, replay)
+    assert stream.isStreaming
+    assert stream.schema == EVENTS_SCHEMA
