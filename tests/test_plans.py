@@ -1,0 +1,96 @@
+"""Plan-shape assertions: the scale properties, tested.
+
+Correctness tests prove the right ROWS come back; these prove the right
+PLAN produces them — pushdown reaching the scan, columns pruned,
+dimensions broadcast, shuffles at the expected minimum.  A regression
+here is invisible at sf0.001 and fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreducehs_spark.plans import inspect as I
+from mapreducehs_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    def run(name):
+        return QUERIES[name](spark, SF)
+
+    return run
+
+
+def test_q01_filter_pushdown_and_pruning(q):
+    df = q("q01_pricing_summary")
+    pushed = I.pushed_filters(df)
+    assert "LessThanOrEqual(l_shipdate" in pushed["lineitem"]
+    cols = set(I.scan_columns(df, "lineitem"))
+    # 7 of lineitem's 16 columns; no keys, no comment-ish columns
+    assert cols == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }
+    # scan → partial agg → single shuffle → final agg
+    assert I.exchange_count(df) == 1
+
+
+def test_q03_full_pushdown_no_shuffle(q):
+    df = q("q03_scan_project_filter")
+    pushed = I.pushed_filters(df)["lineitem"]
+    assert "EqualTo(l_returnflag,R)" in pushed
+    assert "GreaterThanOrEqual(l_quantity,45.0)" in pushed
+    # pure scan+project+filter: zero shuffles
+    assert I.exchange_count(df) == 0
+
+
+def test_q05_small_dims_broadcast(q):
+    df = q("q05_revenue_by_nation")
+    # every dimension join (customer, supplier, nation, region, orders
+    # after its date filter) broadcasts — no sort-merge join anywhere
+    assert I.broadcast_join_count(df) >= 5
+    assert I.sort_merge_join_count(df) == 0
+    # the only shuffle is the final group-by aggregation
+    assert I.exchange_count(df) == 1
+    # column pruning on the fact table: 4 of 16 columns
+    assert len(I.scan_columns(df, "lineitem")) == 4
+
+
+def test_q05_date_filter_pushed_to_orders(q):
+    pushed = I.pushed_filters(q("q05_revenue_by_nation"))
+    assert "GreaterThanOrEqual(o_orderdate" in pushed["orders"]
+    assert "EqualTo(r_name,ASIA)" in pushed["region"]
+
+
+def test_q12_single_shuffle_topk(q):
+    df = q("q12_topk_per_group")
+    # window rank over group key: one hash-partition shuffle, no join
+    assert I.exchange_count(df) == 1
+    assert I.broadcast_join_count(df) == 0
+
+
+def test_s01_query_side_broadcast(q):
+    df = q("s01_cosine_topk")
+    # small query set broadcast against the corpus — corpus never shuffles
+    assert I.broadcast_join_count(df) >= 1
+    assert I.sort_merge_join_count(df) == 0
+    # queries-side filter is pushed into the parquet scan
+    assert "vec_id" in I.pushed_filters(df)["embeddings"]
+
+
+def test_q07_asof_join_shape(q):
+    df = q("q07_asof_enrich")
+    # as-of join = union + window, NOT a cross/range join explosion
+    assert I.sort_merge_join_count(df) == 0
+
+
+def test_codegen_covers_agg_pipeline(q):
+    # whole-stage codegen spans exist on the hot aggregate path.
+    # (AQE only annotates codegen ids once the final plan materializes,
+    # so execute first.)
+    df = q("q01_pricing_summary")
+    df.collect()
+    assert I.codegen_stage_count(df) >= 1
