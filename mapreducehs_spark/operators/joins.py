@@ -112,3 +112,64 @@ def range_join(
         F.col(left_point).between(F.col(right_lo), F.col(right_hi))
     )
     return joined.drop("__bucket")
+
+
+def interval_join_count(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    anchor_type: str,
+    within_type: str,
+    lookback_seconds: int,
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per anchor event: count + value-sum of ``within_type`` events by
+    the same user in the strict-lookback window ``(t - lookback, t)``.
+
+    Scale shape: both sides bucket on (user, floor(epoch/lookback)) and
+    each anchor probes exactly TWO buckets (its own and the previous) —
+    an equi hash join with O(1) fan-out per row and a residual range
+    filter, never a theta join.  Anchors with no matches are preserved
+    via a final left join (which is an equi join on the anchor id).
+    """
+    lb = float(lookback_seconds)
+    epoch = F.col(ts_col).cast("double")
+
+    anchors = events.filter(F.col(type_col) == anchor_type).select(
+        F.col("event_id").alias("__aid"),
+        F.col(user_col).alias("__u"),
+        epoch.alias("__at"),
+    )
+    probes = anchors.withColumn(
+        "__bucket",
+        F.explode(
+            F.array(
+                F.floor(F.col("__at") / lb).cast("long"),
+                (F.floor(F.col("__at") / lb) - 1).cast("long"),
+            )
+        ),
+    )
+    inner = events.filter(F.col(type_col) == within_type).select(
+        F.col(user_col).alias("__u"),
+        epoch.alias("__wt"),
+        F.col(value_col).alias("__wv"),
+        F.floor(epoch / lb).cast("long").alias("__bucket"),
+    )
+    matched = (
+        probes.join(inner, ["__u", "__bucket"])
+        .filter((F.col("__wt") > F.col("__at") - lb) & (F.col("__wt") < F.col("__at")))
+        .groupBy("__aid")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__wv").alias("__sv"),
+        )
+    )
+    return (
+        anchors.join(matched, "__aid", "left")
+        .select(
+            F.col("__aid").alias("event_id"),
+            F.coalesce(F.col("__n"), F.lit(0)).alias("n_clicks"),
+            F.round(F.coalesce(F.col("__sv"), F.lit(0.0)), 4).alias("click_value"),
+        )
+    )

@@ -1274,3 +1274,157 @@ def st03_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducehs_spark.streaming.ops import latest_per_user
 
     return latest_per_user(log)
+
+# =========================================================================
+# Relational coverage widening: grouping sets, holistic/statistical
+# aggregates, interval join, general-Reducer witness (SURVEY §2.2)
+# =========================================================================
+
+@query(
+    "q24_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderpriority, '(all)') AS priority,
+           coalesce(o_orderstatus, '(all)')  AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 4) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), ())
+    """,
+)
+def q24_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the DataFrame API (Spark 4 groupingSets) —
+    one shuffle computes all three granularities (the Expand operator
+    replicates rows per set; no per-set rescan at 100 TB)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+@query(
+    "q25_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+           round(quantile_cont(l_quantity, 0.50), 4) AS median,
+           round(quantile_cont(l_quantity, 0.75), 4) AS q75,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q25_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (holistic aggregate — the class the reference's
+    Reducer materializes whole groups for; Spark's percentile() keeps a
+    per-group digest instead).  At 100 TB prefer approx_percentile;
+    exact is declared here because the oracle must match bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("median"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("q75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("price_p95"),
+    )
+
+
+@query(
+    "q26_stat_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+           round(var_pop(l_discount), 6) AS disc_var
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q26_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr/covar/stddev/var) — single-pass
+    distributive moments, partial-aggregated map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_pop("l_discount"), 6).alias("disc_var"),
+    )
+
+
+@query(
+    "q27_interval_join",
+    oracle="""
+    SELECT p.event_id,
+           count(c.event_id) AS n_clicks,
+           round(coalesce(sum(c.value), 0), 4) AS click_value
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts >  p.ts - INTERVAL 1 HOUR
+     AND c.ts <  p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def q27_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) self-join: clicks within the hour before each
+    purchase, same user — via operators/joins.py interval_join (bucketed
+    equi-join + range filter, never a raw theta join)."""
+    from mapreducehs_spark.operators.joins import interval_join_count
+
+    events = _t(spark, sf_dir, "events")
+    return interval_join_count(
+        events,
+        user_col="user_id",
+        ts_col="ts",
+        anchor_type="purchase",
+        within_type="click",
+        lookback_seconds=3600,
+    )
+
+
+@query(
+    "q28_trimmed_mean",
+    oracle="""
+    SELECT l_suppkey AS key,
+           round((sum(l_extendedprice) - min(l_extendedprice) - max(l_extendedprice))
+                 / (count(*) - 2), 4) AS value
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING count(*) > 2
+    """,
+)
+def q28_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General Reducer witness WITH an oracle: per-supplier trimmed mean
+    (drop one min and one max) computed in a grouped-map pandas fn via
+    the M1 Pipeline kernel — the lowering path for arbitrary
+    ``k -> [v] -> [v']`` reducers (reference MapReduceC.hs:26,35-40)."""
+    from mapreducehs_spark.pipeline import Pipeline
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").cast("bigint").alias("key"),
+        F.col("l_extendedprice").alias("value"),
+    )
+
+    def trimmed(k, vs):
+        if len(vs) <= 2:
+            return []
+        return [round((sum(vs) - min(vs) - max(vs)) / (len(vs) - 2), 4)]
+
+    return Pipeline().reduce_stage(trimmed, "key bigint, value double").run(li)
