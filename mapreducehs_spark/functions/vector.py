@@ -1,9 +1,14 @@
-"""Vector math over ``array<float>`` columns — JVM-side only.
+"""Vector math over ``array<float>`` columns — JVM-side.
 
-Built entirely on Spark's higher-order functions (``zip_with``,
-``aggregate``): these run inside whole-stage codegen, so the hot path of
-similarity search never crosses into Python.  (The reference engine has
-no vector ops; these support the LLM-pipeline similarity operators
+Built on Spark's higher-order functions (``zip_with``, ``aggregate``).
+Caveat learned by measurement: HOFs are CodegenFallback expressions —
+they evaluate INTERPRETED, outside whole-stage codegen, ~µs per array
+element.  That is fine when a plan computes O(1) dot products per row
+(the exact top-k join), and it keeps results bit-identical to a
+sequential SQL fold (the DuckDB oracle).  Plans needing many dot
+products per row (IVF cell assignment) should use the Arrow/numpy
+kernels in ``functions/vector_np.py`` instead.  (The reference engine
+has no vector ops; these support the LLM-pipeline similarity operators
 mandated by BASELINE.json.)
 """
 

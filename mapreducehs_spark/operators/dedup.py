@@ -93,6 +93,41 @@ def shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
     )
 
 
+def hashed_shingle_frame(
+    df: DataFrame, text_col: str, id_col: str, n: int, fold_31bit: bool = False
+) -> DataFrame:
+    """(id, hs: array<bigint>) — distinct shingles as 64-bit hashes.
+
+    The shingle string is never materialized: the n-token window feeds a
+    multi-arg ``xxhash64`` directly (measured ~10x vs building 20-char
+    shingle strings through interpreted concat/slice HOFs, and the
+    downstream joins key on bigint instead of string).  Collision risk
+    at 64 bits is birthday-bounded ≈ (#distinct shingles)²/2⁶⁵ —
+    negligible below ~10⁸ shingles per comparison scope; pass
+    ``fold_31bit`` only where an arithmetic bound needs hashes < 2³¹
+    (minhash's universal-hash overflow bound).
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    staged = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        .repartition(par, "id")
+        .select("id", tokens(F.col("__text")).alias("__toks"))
+        # cheap pre-filter; filtering on size(hs) AFTER would re-evaluate
+        # the whole interpreted HOF chain (no CSE; measured 7x)
+        .filter(F.size("__toks") >= n)
+    )
+    toks = F.col("__toks")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+
+    def shingle_hash(i):
+        return F.xxhash64(*[F.element_at(toks, i + j) for j in range(n)])
+
+    expr = F.transform(idx, lambda i: shingle_hash(i))
+    if fold_31bit:
+        expr = F.transform(idx, lambda i: F.pmod(shingle_hash(i), F.lit(_H31).cast("bigint")))
+    return staged.select("id", F.array_distinct(expr).alias("hs"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -109,15 +144,30 @@ def ngram_jaccard_pairs(
     the join (boilerplate guard — bounds the worst bucket at scale).
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sized = (
-        shingle_frame(df, text_col, id_col, n)
-        .withColumn("set_size", F.size("sh").cast("bigint"))
-        .filter(F.col("set_size") > 0)
+    # set_size = size(hs) is computed in the projection ABOVE the one
+    # that builds hs, so hs stays an attribute reference (CollapseProject
+    # declines to merge: hs is referenced twice and is expensive — the
+    # interpreted-HOF double-evaluation trap only bites when a filter or
+    # single-use alias lets the rule inline the expression).
+    #
+    # persist: both sides of the self-join and the doc-frequency guard
+    # read this frame — without it the shingling lineage runs 3x.
+    # explode_OUTER, deliberately: plain explode triggers
+    # InferFiltersFromGenerate, which infers `size(hs) > 0` and pushes
+    # it to the scan with the whole interpreted shingle-HOF chain
+    # inlined — the hashing then runs twice (measured 7s of 9s on this
+    # stage).  The token-count pre-filter in hashed_shingle_frame
+    # already guarantees non-empty arrays, so outer explode emits no
+    # null rows and needs no inferred guard.
+    exploded = (
+        hashed_shingle_frame(df, text_col, id_col, n)
+        .select(
+            "id",
+            F.size("hs").cast("bigint").alias("set_size"),
+            F.explode_outer("hs").alias("shingle"),
+        )
+        .persist()
     )
-
-    # persist: both sides of the self-join (and the optional df filter)
-    # read this frame — without it the shingling lineage runs 2-3x.
-    exploded = sized.select("id", "set_size", F.explode("sh").alias("shingle")).persist()
     if max_shingle_df is not None:
         keep = (
             exploded.groupBy("shingle")
@@ -127,12 +177,8 @@ def ngram_jaccard_pairs(
         )
         exploded = exploded.join(keep, "shingle")
 
-    a = exploded.select(
-        F.col("id").alias("id_a"), F.col("set_size").alias("size_a"), "shingle"
-    )
-    b = exploded.select(
-        F.col("id").alias("id_b"), F.col("set_size").alias("size_b"), "shingle"
-    )
+    a = exploded.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"), "shingle")
+    b = exploded.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -180,23 +226,8 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     rnd = random.Random(42)
     coefs = [(rnd.randrange(1, _H31), rnd.randrange(0, _H31)) for _ in range(num_perm)]
 
-    staged = df.select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
-    )
-    par = df.sparkSession.sparkContext.defaultParallelism
-    staged = staged.repartition(par, "id")
-    toks = F.col("__toks")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (shingle_n - 1), F.lit(0)))
-    shingle_hash = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.pmod(
-                F.xxhash64(*[F.element_at(toks, i + j) for j in range(shingle_n)]),
-                F.lit(_H31).cast("bigint"),
-            ),
-        )
-    )
-    hashed = staged.select("id", shingle_hash.alias("__hs")).filter(F.size("__hs") > 0)
+    hashed = hashed_shingle_frame(df, text_col, id_col, shingle_n, fold_31bit=True)
+    hashed = hashed.withColumnRenamed("hs", "__hs")
     hs = F.col("__hs")
 
     # factory, not default-arg capture: PySpark counts the lambda's
@@ -293,9 +324,18 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """Per-doc SimHash fingerprint: sign of the per-bit sum of token
     hashes.  One explode + one hash aggregation with ``bits`` sum
     expressions — scales as a single groupBy at 100 TB."""
-    toked = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    # explode_outer + not-null filter: avoids the inferred size()>0
+    # pushdown that would inline and re-run tokenization (see
+    # ngram_jaccard_pairs).  The filter is on the generated attribute,
+    # which cannot be pushed below the Generate.
+    toked = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(tokens(F.col(text_col))).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+        .withColumn("h", F.xxhash64("tok"))
+    )
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -324,7 +364,9 @@ def simhash_near_pairs(
     (bands-1) shares an exact band → equi-join per band.  Verification:
     popcount of XOR via bit loop (still column expressions).
     """
-    fps = simhash(df, text_col, id_col)
+    # persist: the fingerprint aggregation feeds 2×bands join sides —
+    # without it the explode+64-bit-sum groupBy recomputes per side.
+    fps = simhash(df, text_col, id_col).persist()
     band_cols = [
         (F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))).alias(
             f"band{i}"

@@ -41,17 +41,22 @@ def cosine_topk(
     broken by match id, so results are total-ordered and deterministic.
     """
     query_id_col = query_id_col or id_col
-    # normalize each side ONCE (per row, in the scan projection) so the
-    # per-pair work is a single dot product — at 100 TB this halves the
-    # inner-loop arithmetic vs computing norms per pair.
+    # Scoring runs in the Arrow/numpy kernel (one einsum per batch): the
+    # JVM HOF dot is interpreted per element, and worse, Catalyst
+    # inlines any staged l2_normalize into the per-pair projection above
+    # the join, re-normalizing per pair (measured 2-4x on this query).
+    # numpy vs sequential-fold float ordering differs only ~1e-15, far
+    # inside the 6-decimal rounding.
+    from mapreducehs_spark.functions.vector_np import cosine_udf
+
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), l2_normalize(vec_col).alias("__qv")
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    c = corpus.select(F.col(id_col).alias("match_id"), l2_normalize(vec_col).alias("__cv"))
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("match_id"))
-        .withColumn("cosine", F.round(dot_product("__qv", "__cv"), 6))
+        .withColumn("cosine", F.round(cosine_udf("__qv", "__cv"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("match_id").asc()
@@ -89,10 +94,10 @@ def srp_signatures(
         )
         for i, h in enumerate(planes)
     )
-    # vec is stored L2-normalized: sign(v·h) is norm-invariant, and the
-    # downstream pair verification becomes a bare dot product.
+    # vec rides through RAW: sign(v·h) is norm-invariant, and the pair
+    # verification (numpy cosine) normalizes inside its own kernel.
     return df.select(
-        F.col(id_col).alias("id"), l2_normalize(vec_col).alias("vec"), sig.alias("srp_sig")
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig.alias("srp_sig")
     )
 
 
@@ -108,7 +113,11 @@ def cosine_pairs_lsh(
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold, via banded SRP-LSH candidates
     + exact verification.  Returns (id_a, id_b, cosine), id_a < id_b."""
-    sigs = srp_signatures(df, dim, n_planes, id_col, vec_col, seed)
+    # persist = materialization barrier AND reuse: the signature (16
+    # interpreted dot products/row) plus normalization feed 2×bands join
+    # sides — uncached, Catalyst re-derives them per side and inlines
+    # the normalize into every pair projection (see cosine_topk).
+    sigs = srp_signatures(df, dim, n_planes, id_col, vec_col, seed).persist()
     bits_per_band = n_planes // bands
     mask = (1 << bits_per_band) - 1
     band_cols = [
@@ -124,9 +133,14 @@ def cosine_pairs_lsh(
         r = banded.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col(f"band{i}").alias("bk"))
         p = l.join(r, "bk").filter(F.col("id_a") < F.col("id_b")).drop("bk")
         pairs = p if pairs is None else pairs.unionByName(p)
+    from mapreducehs_spark.functions.vector_np import cosine_udf
+
     cand = pairs.dropDuplicates(["id_a", "id_b"])
+    # exact verification in the Arrow/numpy kernel — candidate volume is
+    # quadratic-ish in bucket occupancy, so per-pair cost dominates; the
+    # interpreted JVM dot was 64 eval steps/pair (measured ~3x whole-query)
     return (
-        cand.withColumn("cosine", F.round(dot_product("va", "vb"), 6))
+        cand.withColumn("cosine", F.round(cosine_udf("va", "vb"), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -144,56 +158,41 @@ def ivf_topk(
     seed: int = 42,
 ) -> DataFrame:
     """IVF-flat approximate top-k: assign corpus vectors to their
-    nearest random centroid (seeded, broadcast as literals); each query
-    probes its ``n_probe`` nearest cells and scans only those.
+    nearest random centroid (seeded, shipped inside the UDF closure);
+    each query probes its ``n_probe`` nearest cells and scans only those.
+
+    Cell assignment and pair scoring run as Arrow-vectorized numpy
+    kernels (one BLAS matmul per batch): the JVM higher-order-function
+    formulation evaluates interpreted (~µs per element — n_cells dot
+    products per vector made it 8x slower end to end; see
+    functions/vector_np.py).  The join stays a JVM hash join on the
+    cell id.
 
     Recall is approximate (a true IVF trains centroids with k-means —
     at 100 TB run a sampled k-means first and pass the centroids in).
     """
+    from mapreducehs_spark.functions.vector_np import (
+        cell_argmax_udf,
+        cosine_udf,
+        top_cells_udf,
+    )
+
     rng = np.random.default_rng(seed)
     cents = rng.standard_normal((n_cells, dim))
-    cents = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).tolist()
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
-    def cell_scores(vnorm_col):
-        # centroids are unit vectors, inputs normalized → dot == cosine
-        return F.array(
-            *[dot_product(vnorm_col, F.array(*[F.lit(x) for x in c])) for c in cents]
-        )
-
-    # scores staged as a NAMED column before any argmax/sort references
-    # it: expressions embedded in HOF lambdas re-evaluate per element,
-    # which would multiply the 16-dot-product array by n_cells.
     c = corpus.select(
-        F.col(id_col).alias("match_id"), l2_normalize(vec_col).alias("__cv")
-    ).withColumn("__scores", cell_scores(F.col("__cv")))
-    c = c.withColumn(
-        "cell", (F.array_position("__scores", F.array_max("__scores")) - 1).cast("int")
-    ).drop("__scores")
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv")
+    ).withColumn("cell", cell_argmax_udf(cents)(F.col("__cv")))
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), l2_normalize(vec_col).alias("__qv")
-    ).withColumn("__scores", cell_scores(F.col("__qv")))
-    probe_cells = F.slice(
-        F.reverse(
-            F.array_sort(
-                F.zip_with(
-                    F.col("__scores"),
-                    F.sequence(F.lit(0), F.lit(n_cells - 1)),
-                    lambda s, i: F.struct(s.alias("s"), i.alias("i")),
-                )
-            )
-        ),
-        1,
-        n_probe,
-    )
-    q = q.withColumn(
-        "cell", F.explode(F.transform(probe_cells, lambda st: st["i"].cast("int")))
-    ).drop("__scores")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn("cell", F.explode(top_cells_udf(cents, n_probe)(F.col("__qv"))))
 
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("match_id"))
-        .withColumn("cosine", F.round(dot_product("__qv", "__cv"), 6))
+        .withColumn("cosine", F.round(cosine_udf("__qv", "__cv"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id").asc())
     return (
@@ -216,4 +215,117 @@ def label_centroids(
         emb.select(F.col(label_col).alias("label"), F.posexplode(vec_col).alias("pos", "v"))
         .groupBy("label", "pos")
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
+    )
+
+
+def all_pairs_cosine_blocked(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 512,
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold via blocked matrix products.
+
+    The scalable exact-similarity-join shape: vectors are packed into
+    id-range blocks (one row per block: ids + matrix); every unordered
+    block pair is joined (B(B+1)/2 rows for B blocks) and scored with
+    ONE numpy matmul per block pair inside ``mapInPandas``.  Each vector
+    crosses the shuffle O(B) times instead of O(n) times for the naive
+    pair explode, and the O(n²) arithmetic runs at BLAS speed instead of
+    per-pair expression evaluation.  At 100 TB: same topology with
+    block_size tuned so a block pair (~2·b·dim·8 bytes) fits executor
+    memory, and an LSH/IVF prefilter (cosine_pairs_lsh) when exactness
+    is not required.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine rounded to 6.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    packed_schema = StructType(
+        [
+            StructField("blk", LongType()),
+            StructField("ids", ArrayType(LongType())),
+            StructField("mat", ArrayType(ArrayType(DoubleType()))),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id", ignore_index=True)
+        return pd.DataFrame(
+            {
+                "blk": [int(pdf["__blk"].iloc[0])],
+                "ids": [pdf["__id"].tolist()],
+                "mat": [pdf["__vec"].tolist()],
+            }
+        )
+
+    blocks = (
+        emb.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__vec"),
+            F.floor(F.col(id_col) / block_size).alias("__blk"),
+        )
+        .groupBy("__blk")
+        .applyInPandas(pack, schema=packed_schema)
+        .persist()
+    )
+
+    left = blocks.select(
+        F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"), F.col("mat").alias("mat_a")
+    )
+    right = blocks.select(
+        F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"), F.col("mat").alias("mat_b")
+    )
+    block_pairs = left.join(right, F.col("blk_a") <= F.col("blk_b"))
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                ma = np.stack([np.asarray(v, dtype=np.float64) for v in row.mat_a])
+                mb = np.stack([np.asarray(v, dtype=np.float64) for v in row.mat_b])
+                na = np.linalg.norm(ma, axis=1, keepdims=True)
+                nb = np.linalg.norm(mb, axis=1, keepdims=True)
+                np.divide(ma, na, out=ma, where=na > 0)
+                np.divide(mb, nb, out=mb, where=nb > 0)
+                cos = ma @ mb.T
+                ii, jj = np.nonzero(cos >= threshold)
+                if len(ii) == 0:
+                    continue
+                id_a, id_b, c = ids_a[ii], ids_b[jj], cos[ii, jj]
+                keep = id_a < id_b  # drops self-pairs and dedups diagonal blocks
+                outs.append(
+                    pd.DataFrame(
+                        {"id_a": id_a[keep], "id_b": id_b[keep], "cosine": np.round(c[keep], 6)}
+                    )
+                )
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            )
+
+    # repartition so each block pair is its own task (B² small fat rows)
+    n_pairs = max(blocks.count(), 1)
+    return block_pairs.repartition(min(n_pairs * (n_pairs + 1) // 2, 256)).mapInPandas(
+        score, schema=out_schema
     )

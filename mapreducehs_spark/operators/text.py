@@ -155,7 +155,12 @@ def term_stats_by_facet(
     aggregations + one window top-k: the canonical scalable shape (the
     explode is the only row blowup and is linear in corpus token count).
     """
-    exploded = df.select(F.col(facet), F.explode(tokens(text_col)).alias("term"))
+    # explode_outer + not-null: plain explode infers size(tokens)>0 and
+    # pushes it down with split() inlined — tokenization would run twice
+    # (see operators/dedup.py ngram_jaccard_pairs).
+    exploded = df.select(
+        F.col(facet), F.explode_outer(tokens(text_col)).alias("term")
+    ).filter(F.col("term").isNotNull())
     tf = exploded.groupBy(facet, "term").agg(F.count(F.lit(1)).alias("tf"))
     n_facets = df.select(facet).distinct().count()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("facet_df"))

@@ -872,16 +872,24 @@ def d04_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
     """,
 )
 def d05_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs.  Spark side uses SRP-LSH
-    candidates + exact verify; the oracle brute-forces all pairs (only
-    valid because LSH with these parameters has recall 1.0 at ≥0.9 on
-    this corpus — verified in tests)."""
+    """Embedding-cosine near-dup pairs, EXACT, via blocked matrix
+    products (operators/similarity.all_pairs_cosine_blocked — one numpy
+    matmul per block pair, each vector shuffled O(#blocks) times).
+
+    Threshold 0.4 because this corpus has no high-cosine planted dups
+    (max pairwise cosine ≈ 0.5-0.6 per SF) — a 0.9 threshold would make
+    the query a vacuous empty-vs-empty oracle match.  The approximate
+    scale path (SRP-LSH, similarity.cosine_pairs_lsh) is exercised by
+    unit tests with planted duplicates instead, where its recall
+    contract is meaningful."""
+    from mapreducehs_spark.operators.similarity import all_pairs_cosine_blocked
+
     emb = _t(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dup_pairs(emb, threshold=0.9)
+    return all_pairs_cosine_blocked(emb, threshold=0.4)
 
 
 # =========================================================================
@@ -1171,7 +1179,11 @@ def p02_mapreduce_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     as explode + hash agg (Mapper O1 ≙ explode, Reducer O2 ≙ agg)."""
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(text.tokens("text")).alias("key"))
+        # explode_outer + not-null: plain explode makes the optimizer
+        # infer size(tokens)>0 and push it down with the split() inlined
+        # (tokenization would run twice; see operators/dedup.py).
+        docs.select(F.explode_outer(text.tokens("text")).alias("key"))
+        .filter(F.col("key").isNotNull())
         .groupBy("key")
         .agg(F.count(F.lit(1)).alias("n"))
     )
