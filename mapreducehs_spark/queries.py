@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401 — needed to resolve postponed pd.Series hints in pandas UDFs
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1440,3 +1442,142 @@ def q28_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         return [round((sum(vs) - min(vs) - max(vs)) / (len(vs) - 2), 4)]
 
     return Pipeline().reduce_stage(trimmed, "key bigint, value double").run(li)
+
+# =========================================================================
+# Coverage widening 2: unpivot, SQL lateral join, scalar pandas UDF,
+# multimodal frame sampling (SURVEY §2.2 rows: set ops/reshape, SQL
+# surface, UDF surface, multimodal)
+# =========================================================================
+
+@query(
+    "q29_unpivot",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             round(sum(l_extendedprice), 4)                  AS base,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS discounted,
+             round(sum(l_extendedprice * l_tax), 4)          AS tax
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'base' AS measure, base AS amount FROM w
+    UNION ALL
+    SELECT l_returnflag, 'discounted', discounted FROM w
+    UNION ALL
+    SELECT l_returnflag, 'tax', tax FROM w
+    """,
+)
+def q29_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via the DataFrame unpivot (melt) operator —
+    the inverse of q11's pivot.  Runs as an Expand over the aggregate,
+    no extra shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_extendedprice"), 4).alias("base"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "discounted"
+        ),
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_tax")), 4).alias("tax"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["base", "discounted", "tax"],
+        variableColumnName="measure",
+        valueColumnName="amount",
+    )
+
+
+@query(
+    "q30_lateral_topn",
+    oracle="""
+    SELECT n.n_name, c.c_name, c.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, round(c_acctbal, 4) AS c_acctbal
+      FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name ASC
+      LIMIT 2
+    ) c
+    """,
+)
+def q30_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through the SQL surface (spark.sql):
+    top-2 customers by balance per nation.  Catalyst decorrelates this
+    into a window-rank plan — same shape as q12, declared relationally."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_name, round(c_acctbal, 4) AS c_acctbal
+          FROM customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name ASC
+          LIMIT 2
+        ) c
+        """
+    )
+
+
+@query(
+    "q31_pandas_udf_score",
+    oracle="""
+    SELECT o_orderkey,
+           round(ln(1 + o_totalprice) * CASE o_orderpriority
+                 WHEN '1-URGENT' THEN 2.0 WHEN '2-HIGH' THEN 1.5 ELSE 1.0 END, 4)
+             AS urgency_score
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    """,
+)
+def q31_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF witness (SURVEY §2.2 "UDF surface"): an
+    Arrow-batched numpy scoring kernel next to JVM-side filter/pushdown.
+    The filter still reaches the parquet scan — only the score column
+    crosses into Python, in batches."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def urgency(price: pd.Series, prio: pd.Series) -> pd.Series:
+        import numpy as np
+
+        mult = prio.map({"1-URGENT": 2.0, "2-HIGH": 1.5}).fillna(1.0).astype(float)
+        return pd.Series(np.round(np.log1p(price.astype(float)) * mult, 4))
+
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", urgency("o_totalprice", "o_orderpriority").alias("urgency_score"))
+    )
+
+
+@query(
+    "m03_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(f AS BIGINT) AS frame_index
+    FROM documents,
+         LATERAL (
+           SELECT unnest(range(0,
+             greatest(CAST(octet_length(encode(text)) / 1000 AS BIGINT) - 1, 0) + 1,
+             10)) AS f
+         )
+    """,
+)
+def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plan shape (every-10th-frame explode
+    over payload metadata; decode itself is the documented stub —
+    operators/multimodal.frame_sample_plan)."""
+    from mapreducehs_spark.operators.multimodal import attach_payload, frame_sample_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    with_payload = attach_payload(docs)
+    sampled = frame_sample_plan(with_payload, every_n=10)
+    return sampled.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("frame_index").cast("bigint").alias("frame_index"),
+    )
