@@ -1098,13 +1098,31 @@ def t05_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("t06_lang_guess")  # heuristic classifier exercised rows-only
 def t06_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Script-range language-ID heuristic + facet counts."""
+    """Script-range language-ID heuristic + facet counts.
+
+    (This synthetic corpus is all-ASCII, so every doc lands in 'latin' —
+    the oracle still checks the full classification expression.)"""
     docs = _t(spark, sf_dir, "documents")
     return (
         text.with_lang_guess(docs)
         .groupBy("lang", "lang_guess")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+ORACLE["t06_lang_guess"] = """
+    WITH g AS (
+      SELECT lang,
+        CASE
+          WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) * 3 > greatest(length(text), 1) THEN 'zh'
+          WHEN length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) * 3 > greatest(length(text), 1) THEN 'ru'
+          WHEN length(regexp_replace(text, '[^؀-ۿ]', '', 'g')) * 3 > greatest(length(text), 1) THEN 'ar'
+          ELSE 'latin'
+        END AS lang_guess
+      FROM documents
+    )
+    SELECT lang, lang_guess, count(*) AS n_docs FROM g GROUP BY 1, 2
+"""
 
 
 # =========================================================================

@@ -267,3 +267,90 @@ def test_blocked_all_pairs_matches_bruteforce(spark):
         .collect()
     )
     assert got == brute
+
+
+# ---------------------------------------------------------------------------
+# dedup estimators: MinHash estimate quality, SimHash duplicates
+# ---------------------------------------------------------------------------
+
+def _doc_corpus():
+    """Docs with planted duplicate pairs of known overlap."""
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    alt = base.replace("lazy", "sleepy").replace("old", "wide")
+    rows = [
+        (0, base),
+        (1, base),                      # exact dup of 0
+        (2, alt),                       # near dup of 0
+        (3, "completely different words about spark catalyst optimizer internals"),
+        (4, "yet another unrelated document mentioning parquet and arrow batches"),
+    ]
+    return rows
+
+
+def test_minhash_estimates_track_exact_jaccard(spark):
+    from mapreducehs_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    df = spark.createDataFrame(_doc_corpus(), "doc_id long, text string")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.0, max_shingle_df=None).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(df, jaccard_threshold=0.0).collect()
+    }
+    # the exact-duplicate pair is found with estimate 1.0
+    assert est[(0, 1)] == 1.0
+    # every LSH-surfaced pair's estimate is within 0.3 of exact Jaccard
+    # (32 perms → σ ≈ sqrt(J(1-J)/32) ≤ 0.09; 0.3 is a >3σ bound)
+    for pair, e in est.items():
+        assert abs(e - exact.get(pair, 0.0)) < 0.3, (pair, e, exact.get(pair))
+
+
+def test_simhash_fingerprint_locality(spark):
+    from mapreducehs_spark.operators.dedup import simhash, simhash_near_pairs
+
+    df = spark.createDataFrame(_doc_corpus(), "doc_id long, text string")
+    fp = {r["id"]: r["simhash"] for r in simhash(df).collect()}
+    ham = lambda a, b: bin(fp[a] ^ fp[b]).count("1")
+    assert ham(0, 1) == 0  # identical text → identical fingerprint
+    # near dup is closer than unrelated docs (locality property)
+    assert ham(0, 2) < ham(0, 3)
+    assert ham(0, 2) < ham(0, 4)
+
+    # banded candidate generation surfaces the exact-dup pair
+    # (pigeonhole only GUARANTEES candidates up to hamming bands-1 = 3,
+    # so no assertion about the ham(0,2) pair being found)
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(df, max_hamming=16).collect()
+    }
+    assert out[(0, 1)] == 0
+
+
+# ---------------------------------------------------------------------------
+# bucketed tables: co-located join with no shuffle exchange
+# ---------------------------------------------------------------------------
+
+def test_bucketed_join_has_no_shuffle(spark):
+    from mapreducehs_spark.plans.inspect import exchange_count, formatted_plan
+
+    a = spark.range(0, 10_000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("x"))
+    b = spark.range(0, 10_000).select(F.col("id").alias("k"), (F.col("id") * 7).alias("y"))
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
+    a.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_a")
+    b.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_b")
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+            assert joined.count() == 10_000
+            # both sides pre-bucketed on the join key → zero exchanges
+            assert exchange_count(joined) == 0, formatted_plan(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
