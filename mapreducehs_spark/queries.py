@@ -1599,3 +1599,153 @@ def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.n_bytes").alias("n_bytes"),
         F.col("frame_index").cast("bigint").alias("frame_index"),
     )
+
+
+# =========================================================================
+# Array / map functions, subqueries, sketches, skew (SURVEY §2.2 rows:
+# scalar array/map functions; aggregations incl. approx_count_distinct;
+# the salting helper from the 100 TB posture)
+# =========================================================================
+
+@query(
+    "q32_array_map_funcs",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT)                AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+           string_split(text, ' ')[1]                                  AS first_token,
+           array_to_string(
+             list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 3),
+             ' ')                                                      AS top3_sorted,
+           list_contains(string_split(text, ' '), 'engine')            AS has_engine,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_map_keys
+    FROM documents
+    """,
+)
+def q32_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + map scalar-function surface (SURVEY §2.2 "array_*, map_*"):
+    split/size/distinct/sort/slice/join/contains, plus a real map built
+    with map_from_arrays and measured with map_keys.  The reference
+    expresses these only as inline Haskell in a Mapper (Impl.hs:30-34)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    uniq = F.array_distinct(toks)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(uniq).cast("bigint").alias("n_distinct"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.array_join(F.slice(F.array_sort(uniq), 1, 3), " ").alias("top3_sorted"),
+        F.array_contains(toks, "engine").alias("has_engine"),
+        F.size(
+            F.map_keys(
+                F.map_from_arrays(uniq, F.transform(uniq, lambda t: F.length(t)))
+            )
+        )
+        .cast("bigint")
+        .alias("n_map_keys"),
+    )
+
+
+@query(
+    "q33_subqueries",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+             WHERE o.o_custkey = c.c_custkey)                      AS n_orders,
+           (SELECT round(max(o_totalprice), 4) FROM orders o
+             WHERE o.o_custkey = c.c_custkey)                      AS max_price
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND c.c_nationkey IN (SELECT n_nationkey FROM nation
+                            WHERE n_regionkey <= 2)
+    """,
+)
+def q33_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries + EXISTS + uncorrelated IN through
+    the SQL surface.  Catalyst decorrelates all three into joins
+    (RewriteCorrelatedScalarSubquery / RewritePredicateSubquery) — the
+    plan is aggregate+join, no per-row re-execution, which is what makes
+    this shape survive 100 TB."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                 WHERE o.o_custkey = c.c_custkey)                  AS n_orders,
+               (SELECT round(max(o_totalprice), 4) FROM orders o
+                 WHERE o.o_custkey = c.c_custkey)                  AS max_price
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          AND c.c_nationkey IN (SELECT n_nationkey FROM nation
+                                WHERE n_regionkey <= 2)
+        """
+    )
+
+
+@query(
+    "q34_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+           abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+             <= 0.1 * count(DISTINCT l_partkey)      AS sketch_within_10pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q34_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approx_count_distinct with its accuracy contract as
+    the oracle-checked value: Spark's HLL++ (rsd 1%) and DuckDB's HLL
+    give different raw estimates, so the declared result is the exact
+    count plus a boolean "sketch landed within 10% of exact" — checking
+    the property that makes the sketch usable at 100 TB (single pass,
+    fixed memory, mergeable across partitions)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("n_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", rsd=0.01)
+                - F.countDistinct("l_partkey")
+            )
+            <= 0.1 * F.countDistinct("l_partkey")
+        ).alias("sketch_within_10pct"),
+    )
+
+
+@query(
+    "q35_salted_agg",
+    oracle="""
+    SELECT l_suppkey,
+           round(sum(l_quantity), 4)  AS sum_qty,
+           CAST(count(*) AS BIGINT)   AS n_rows
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def q35_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (operators/skew.two_phase_agg)
+    hash-matched against the plain GROUP BY: proof the hot-key path is
+    result-identical.  At 100 TB this spreads a skewed key over 16
+    sub-keys before the final merge; the reference's fixed
+    hash-mod-workers partitioner (src/Core/Partition.hs:53-57) has no
+    such escape hatch."""
+    from mapreducehs_spark.operators.skew import two_phase_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = two_phase_agg(
+        li,
+        "l_suppkey",
+        partial_aggs=[
+            F.sum("l_quantity").alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        ],
+        final_aggs=[
+            F.round(F.sum("_s"), 4).alias("sum_qty"),
+            F.sum("_n").alias("n_rows"),
+        ],
+    )
+    return out.select("l_suppkey", "sum_qty", F.col("n_rows").cast("bigint").alias("n_rows"))
