@@ -1749,3 +1749,55 @@ def q35_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return out.select("l_suppkey", "sum_qty", F.col("n_rows").cast("bigint").alias("n_rows"))
+
+
+@query(
+    "st04_stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    """,
+)
+def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (state-backed dropDuplicates) — the
+    idempotent-ingest shape of the LLM-pipeline dedup tier; the batch
+    oracle is SELECT DISTINCT.  See streaming/ops.stream_distinct for
+    the bounded-state (dropDuplicatesWithinWatermark) variant used on
+    unbounded ingests."""
+    from mapreducehs_spark import streaming as st
+
+    deduped = st.stream_distinct(
+        _replayed_events(spark, sf_dir), keys=["user_id", "event_type"]
+    )
+    return st.run_to_batch(deduped, "st04_sink", output_mode="append")
+
+
+@query(
+    "st05_stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+           round(p.value, 4) AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range condition +
+    watermarks on both sides (bounded join state — the only shape that
+    survives an unbounded stream).  Differential vs the batch interval
+    join in DuckDB; equality holds because inner joins emit on match and
+    the ordered replay never lets the watermark evict a click before its
+    30-minute match horizon has streamed past."""
+    from mapreducehs_spark import streaming as st
+
+    joined = st.clicks_then_purchases(
+        _replayed_events(spark, sf_dir), within="30 minutes", watermark="1 hour"
+    )
+    return st.run_to_batch(joined, "st05_sink", output_mode="append")

@@ -1,17 +1,21 @@
 from mapreducehs_spark.streaming.ops import (
+    clicks_then_purchases,
     events_stream,
     prepare_stream_dir,
     run_to_batch,
     session_aggregate,
     stateful_user_totals,
+    stream_distinct,
     tumbling_aggregate,
 )
 
 __all__ = [
+    "clicks_then_purchases",
     "events_stream",
     "prepare_stream_dir",
     "run_to_batch",
     "session_aggregate",
     "stateful_user_totals",
+    "stream_distinct",
     "tumbling_aggregate",
 ]

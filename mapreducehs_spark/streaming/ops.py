@@ -319,6 +319,70 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_distinct(events: DataFrame, keys: list[str]) -> DataFrame:
+    """Streaming exact dedup: first occurrence per key, state-backed.
+
+    This is the streaming half of the LLM-pipeline dedup tier (batch
+    half: operators/dedup.exact_dedup) — the shape used to make an
+    at-least-once ingest idempotent.  Plain ``dropDuplicates`` keeps
+    every seen key in the state store, which is exact but unbounded; a
+    real 100 TB ingest bounds state with
+    ``dropDuplicatesWithinWatermark(keys)`` instead, which guarantees
+    dedup only for duplicates arriving within the watermark delay —
+    exactly the at-least-once redelivery horizon.  The exact variant is
+    used here because its output is deterministic (the distinct key
+    set), hence oracle-checkable.
+    """
+    return events.filter(F.col("event_type") != FLUSH_TYPE).select(*keys).dropDuplicates(keys)
+
+
+def clicks_then_purchases(
+    events: DataFrame, within: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: purchases within ``within`` after a
+    click by the same user.
+
+    Both sides are watermarked and the join condition carries the event
+    time range, so the state store evicts rows once the watermark passes
+    ``click.ts + within`` — bounded state, the only join shape that
+    survives an unbounded stream.  Inner join emits on match (no
+    watermark wait), so with the ordered replay the result equals the
+    batch interval join.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    cond = (
+        (clicks["c_user"] == purchases["p_user"])
+        & (purchases["p_ts"] >= clicks["c_ts"])
+        & (purchases["p_ts"] <= clicks["c_ts"] + F.expr(f"INTERVAL {within}"))
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_timestamp("c_ts").alias("click_epoch"),
+        F.unix_timestamp("p_ts").alias("purchase_epoch"),
+        F.round("p_value", 4).alias("purchase_value"),
+    )
+
+
 def latest_per_user(updates: DataFrame) -> DataFrame:
     """Final snapshot from the update log: argmax(update_seq) per user."""
     from pyspark.sql import Window
