@@ -922,10 +922,12 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
-@query("s02_ann_lsh_topk")  # approximate by construction → rows-only check
-def s02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("s02_ann_ivf_topk")  # approximate by construction → rows-only check
+def s02_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via IVF random-centroid probing — the 100 TB path
-    (scan shrinks by n_probe/n_cells).  Recall vs s01 measured in tests."""
+    (scan shrinks by n_probe/n_cells).  Recall vs exact top-k pinned in
+    tests (test_ivf_topk_recall); the LSH-bucketed alternative is
+    d05/cosine_pairs_lsh."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb.filter(F.col("vec_id") >= 8), emb.filter(F.col("vec_id") < 8), k=5)
 

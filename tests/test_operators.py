@@ -376,3 +376,44 @@ def test_binary_file_source(spark, tmp_path):
         for r in read_binary_dir(spark, str(tmp_path)).collect()
     }
     assert got == {n: (len(b), b) for n, b in payloads.items()}
+
+
+def test_ivf_topk_recall_on_planted_dups(spark):
+    from mapreducehs_spark.operators.similarity import ivf_topk
+
+    rows, planted = _planted_vectors(n=200, dim=32, n_dups=12)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = df.filter(F.col("vec_id") >= 12)   # originals j<12 are the queries
+    queries = df.filter(F.col("vec_id") < 12)
+    got = {
+        r["query_id"]: r["match_id"]
+        for r in ivf_topk(corpus, queries, k=1, n_cells=16, n_probe=4, dim=32).collect()
+    }
+    # each query's true nearest neighbor is its planted dup (cosine ≈
+    # 0.999), which lands in the query's own argmax cell except when the
+    # tiny noise flips a near-tied centroid — require ≥ 3/4 recall@1
+    hits = sum(1 for j, dup in planted if got.get(j) == dup)
+    assert hits >= len(planted) * 3 // 4, (hits, got)
+
+
+def test_ngram_jaccard_matches_pure_python(spark):
+    from mapreducehs_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = _doc_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.0, max_shingle_df=None).collect()
+    }
+
+    def sh(text, n=3):
+        toks = text.split()
+        return {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+
+    want = {}
+    for i, (ia, ta) in enumerate(rows):
+        for ib, tb in rows[i + 1 :]:
+            inter = len(sh(ta) & sh(tb))
+            if inter:
+                want[(ia, ib)] = round(inter / len(sh(ta) | sh(tb)), 6)
+    assert got == want
