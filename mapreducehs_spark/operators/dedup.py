@@ -477,3 +477,54 @@ def embedding_near_dup_pairs(
     from mapreducehs_spark.operators.similarity import cosine_pairs_lsh
 
     return cosine_pairs_lsh(emb, id_col=id_col, vec_col=vec_col, threshold=threshold)
+
+
+def resolve_duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Resolve near-dup pairs into clusters: connected components by
+    iterative min-label propagation; returns (doc_id, rep_id) where
+    ``rep_id`` is the minimum doc id of the component — the canonical
+    "keep one representative per duplicate cluster" step after any
+    candidate-pair generator (d02/d03/d04/d05).
+
+    Each round every node takes the min label among itself and its
+    neighbors; convergence in O(component diameter) rounds.  Dup
+    clusters in practice are small and dense (diameter ≲ 4), so the
+    loop is a handful of self-joins; each round is one shuffle of the
+    edge list — the standard scalable CC shape (a GraphX/Pregel
+    equivalent expressed as DataFrame joins).  The loop early-exits via
+    a cheap max-changed aggregate, and caps at ``max_iter`` as a
+    pathological-chain guard.
+    """
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("rep", F.col("id"))
+    ).persist()
+    edges.count()  # materialize once; every round joins this frame
+
+    for _ in range(max_iter):
+        nb_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("rep").alias("nb_rep"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels.id == nb_min.dst, "left")
+            .select(
+                F.col("id"),
+                F.least(F.col("rep"), F.coalesce(F.col("nb_rep"), F.col("rep"))).alias(
+                    "rep"
+                ),
+                (F.col("nb_rep") < F.col("rep")).alias("__changed"),
+            )
+        ).persist()
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        new_labels = new_labels.drop("__changed")
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("rep").alias("rep_id"))

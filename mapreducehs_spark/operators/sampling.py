@@ -1,0 +1,112 @@
+"""Deterministic sampling / dataset-split operators for training-data
+pipelines.
+
+Absent in the reference (its kernel could express them as a Mapper with
+a hash predicate, SURVEY §2.2 "Filter / predicates"); mandated by the
+LLM-data-pipeline surface.  Everything here is *hash-deterministic* —
+no RNG, no seed-dependent `sample()` — so results are reproducible
+across clusters, re-runs, and engines (the DuckDB oracle computes the
+identical split from the identical md5).
+
+Scale notes (100 TB): both operators are pure per-row predicates on a
+scan — no shuffle, no state, trivially parallel.  The md5 prefix gives
+a uniform 32-bit draw per document keyed by *content*, so re-sharding
+or re-ordering the corpus never changes an assignment, and dedup-then-
+split commutes with split-then-dedup (same content → same split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: width of the md5 prefix used as the uniform draw: 8 hex chars = 32
+#: bits; fraction f maps to the hex threshold floor(f * 16^8).
+_HEX_DIGITS = 8
+_SPACE = 16 ** _HEX_DIGITS
+
+
+def fraction_to_hex(fraction: float) -> str:
+    """Cumulative fraction in [0,1] → fixed-width lowercase hex string.
+
+    Fixed-width lowercase hex compares lexicographically exactly as the
+    underlying integer, so the assignment predicate is a plain string
+    comparison — identical in Spark and any SQL oracle, no hex→int
+    conversion needed on either side."""
+    n = min(max(int(fraction * _SPACE), 0), _SPACE - 1)
+    return format(n, f"0{_HEX_DIGITS}x")
+
+
+def _draw(text_col: str) -> Column:
+    return F.substring(F.md5(F.col(text_col)), 1, _HEX_DIGITS)
+
+
+def hash_split(
+    df: DataFrame,
+    splits: dict[str, float],
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each row to a named split by content hash.
+
+    ``splits`` maps name → fraction (fractions sum to ~1; the last split
+    absorbs rounding).  Assignment: the first split whose cumulative
+    hex threshold exceeds the row's 32-bit md5 prefix.  Adds a
+    ``split`` column.
+    """
+    names = list(splits)
+    cum = 0.0
+    expr: Column | None = None
+    draw = _draw(text_col)
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = draw < F.lit(fraction_to_hex(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split_col = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", split_col)
+
+
+def hash_split_case_sql(splits: dict[str, float], text_col: str = "text") -> str:
+    """The oracle-side CASE expression computing the identical split."""
+    names = list(splits)
+    cum = 0.0
+    arms = []
+    for name in names[:-1]:
+        cum += splits[name]
+        arms.append(
+            f"WHEN substr(md5({text_col}), 1, {_HEX_DIGITS}) < '{fraction_to_hex(cum)}' "
+            f"THEN '{name}'"
+        )
+    return "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END"
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    text_col: str = "text",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows.
+
+    The per-stratum keep rate rebalances a skewed corpus (e.g.
+    downsample the dominant language) without an RNG: a row survives iff
+    its content draw falls below its stratum's threshold.  Strata not
+    in ``rates`` get ``default_rate``.
+    """
+    draw = _draw(text_col)
+    expr: Column = F.lit(fraction_to_hex(default_rate))
+    for stratum, rate in rates.items():
+        expr = F.when(F.col(strata_col) == stratum, F.lit(fraction_to_hex(rate))).otherwise(
+            expr
+        )
+    return df.filter(draw < expr)
+
+
+def stratified_threshold_case_sql(
+    rates: dict[str, float], strata_col: str = "lang", default_rate: float = 0.0
+) -> str:
+    """Oracle-side CASE yielding each row's keep-threshold hex string."""
+    arms = [
+        f"WHEN {strata_col} = '{s}' THEN '{fraction_to_hex(r)}'" for s, r in rates.items()
+    ]
+    return "CASE " + " ".join(arms) + f" ELSE '{fraction_to_hex(default_rate)}' END"

@@ -180,3 +180,56 @@ def term_stats_by_facet(
         .filter(F.col("rk") <= top_k)
         .select(facet, "term", "tf", "facet_df", "tfidf", "rk")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    part_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pack documents into fixed-token-budget training chunks.
+
+    Offset packing: within each ``part_col`` shard, documents in
+    ``id_col`` order are laid end-to-end and the chunk id is the token
+    offset divided by the budget — ``floor((running - n_tok)/budget)``,
+    i.e. a chunk is every document whose *start* offset falls in the
+    same budget window.  Deterministic, order-stable, one window pass.
+
+    Scale note (100 TB): the running sum partitions by the shard column,
+    so parallelism = #shards and no global sort exists.  Packing
+    globally (a single total order) would serialize the window into one
+    task; sharded packing is what a real pipeline does anyway (chunks
+    never span input shards).  Returns per-chunk stats.
+    """
+    staged = df.select(
+        F.col(part_col), F.col(id_col), F.size(tokens(text_col)).cast("bigint").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = staged.withColumn(
+        "chunk_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / float(budget_tokens)).cast(
+            "bigint"
+        ),
+    )
+    return chunked.groupBy(part_col, "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("tok_total"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )
+
+
+def normalize_text(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    """Normalization pass: lowercase, drop stopwords, collapse runs of
+    whitespace, trim.  Pure regexp — whole-stage codegen, and exactly
+    mirrorable in a SQL oracle (RE2 and Java regex agree on this
+    pattern subset)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pat = r"\b(" + "|".join(stopwords) + r")\b"
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), pat, " "), r"\s+", " "))

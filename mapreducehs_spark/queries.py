@@ -1803,3 +1803,249 @@ def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _replayed_events(spark, sf_dir), within="30 minutes", watermark="1 hour"
     )
     return st.run_to_batch(joined, "st05_sink", output_mode="append")
+
+
+# =========================================================================
+# Window frames / deterministic sampling / packing / cluster resolution
+# =========================================================================
+
+@query(
+    "q36_window_frames",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(epoch(o_orderdate) AS BIGINT) AS ep
+      FROM orders
+    )
+    SELECT o_orderkey,
+           round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY ep
+                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 4) AS trailing_30d_spend,
+           round(percent_rank() OVER (
+                 PARTITION BY o_custkey ORDER BY o_totalprice), 6)    AS price_pct_rank,
+           round(cume_dist() OVER (
+                 PARTITION BY o_custkey ORDER BY o_totalprice), 6)    AS price_cume_dist,
+           round((ep - lag(ep) OVER (
+                 PARTITION BY o_custkey ORDER BY ep, o_orderkey)) / 86400.0, 4)
+                                                                      AS days_since_prev
+    FROM o
+    """,
+)
+def q36_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame trailing window + distribution functions: per
+    customer, the trailing-30-day spend (rangeBetween over epoch
+    seconds — a *value* frame, not a row frame), percent_rank /
+    cume_dist over price, and the day gap to the previous order (lag
+    with a deterministic tiebreak).  All four window specs share the
+    customer partitioning, so Catalyst plans ONE shuffle on o_custkey;
+    per-key state is a bounded sliding frame — scales as a plain
+    repartition+sort at 100 TB.  The reference's kernel has no ordering
+    concept at all (SURVEY §2.2 "Window functions")."""
+    o = _t(spark, sf_dir, "orders")
+    # NTZ → timestamp → long: epoch seconds under the UTC session tz,
+    # matching DuckDB's epoch() on the same naive timestamp.
+    ep = F.col("o_orderdate").cast("timestamp").cast("long")
+    staged = o.select("o_orderkey", "o_custkey", "o_totalprice", ep.alias("ep"))
+    w_range = (
+        Window.partitionBy("o_custkey").orderBy("ep").rangeBetween(-2592000, 0)
+    )
+    w_price = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    w_seq = Window.partitionBy("o_custkey").orderBy("ep", "o_orderkey")
+    return staged.select(
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w_range), 4).alias("trailing_30d_spend"),
+        F.round(F.percent_rank().over(w_price), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w_price), 6).alias("price_cume_dist"),
+        F.round((F.col("ep") - F.lag("ep").over(w_seq)) / 86400.0, 4).alias(
+            "days_since_prev"
+        ),
+    )
+
+
+from mapreducehs_spark.operators import sampling as _sampling  # noqa: E402
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_STRATA_RATES = {"en": 0.25, "de": 1.0, "fr": 0.5, "es": 0.5, "zh": 0.5}
+
+
+@query(
+    "q37_hash_split",
+    oracle=f"""
+    SELECT {_sampling.hash_split_case_sql(_SPLITS)} AS split,
+           CAST(count(*) AS BIGINT)       AS n_docs,
+           round(avg(n_chars), 4)         AS avg_chars,
+           CAST(min(doc_id) AS BIGINT)    AS min_doc
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q37_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content hash (md5 prefix
+    as a 32-bit uniform draw).  No RNG: the same document lands in the
+    same split on any cluster, any re-run, any engine — which is why
+    the DuckDB oracle can reproduce it bit-for-bit.  Pure per-row
+    predicate on the scan; zero shuffle before the tiny final agg."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        _sampling.hash_split(docs, _SPLITS)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )
+
+
+@query(
+    "q38_stratified_sample",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT)    AS n_kept,
+           round(avg(n_chars), 4)      AS avg_chars
+    FROM documents
+    WHERE substr(md5(text), 1, 8) < {_sampling.stratified_threshold_case_sql(_STRATA_RATES)}
+    GROUP BY lang
+    """,
+)
+def q38_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: per-language keep rates
+    (downsample dominant 'en' to 25%, keep all 'de', half the rest) via
+    the content-hash draw — the corpus-rebalancing step of a training
+    pipeline, reproducible across engines and re-shardings.  Scan-shaped
+    filter; survives 100 TB trivially."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        _sampling.stratified_sample(docs, _STRATA_RATES, strata_col="lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "q39_sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT source, doc_id,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS n_tok
+      FROM documents
+    ), r AS (
+      SELECT source, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      FROM t
+    )
+    SELECT source,
+           CAST(floor((running - n_tok) / 512.0) AS BIGINT) AS chunk_id,
+           CAST(count(*) AS BIGINT)  AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tok_total,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM r
+    GROUP BY 1, 2
+    """,
+)
+def q39_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: lay documents end-to-end per
+    source shard and cut fixed 512-token chunks (offset packing via one
+    running-sum window).  Parallelism = #shards — no global sort, which
+    is the scalable form (chunks never span input shards at 100 TB
+    either).  Emits per-chunk packing stats."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.pack_sequences(docs, budget_tokens=512)
+
+
+@query(
+    "t07_normalize_stats",
+    oracle="""
+    WITH n AS (
+      SELECT lang, length(text) AS before_len,
+             length(trim(regexp_replace(regexp_replace(lower(text),
+                    '\\b(the|a|of|and|to|in|is|it)\\b', ' ', 'g'),
+                    '\\s+', ' ', 'g'))) AS after_len
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           round(avg(before_len), 4)     AS avg_chars_before,
+           round(avg(after_len), 4)      AS avg_chars_after,
+           round(1.0 - sum(after_len) / CAST(sum(before_len) AS DOUBLE), 6)
+                                         AS char_reduction
+    FROM n
+    GROUP BY lang
+    """,
+)
+def t07_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-normalization pass (lowercase, stopword scrub, whitespace
+    collapse) with per-language before/after size accounting — the
+    cleaning step of a data pipeline, kept entirely in regexp built-ins
+    (whole-stage codegen; RE2 and Java regex agree on this pattern
+    subset, so the oracle runs the identical expressions)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.select(
+        "lang",
+        F.length("text").alias("before_len"),
+        F.length(text.normalize_text("text")).alias("after_len"),
+    )
+    return n.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("before_len"), 4).alias("avg_chars_before"),
+        F.round(F.avg("after_len"), 4).alias("avg_chars_after"),
+        F.round(
+            1.0 - F.sum("after_len") / F.sum("before_len").cast("double"), 6
+        ).alias("char_reduction"),
+    )
+
+
+@query(
+    "d06_dup_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i
+      FROM toks
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM pos
+    ), sized AS (
+      SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), p AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sized sa ON sa.doc_id = id_a
+      JOIN sized sb ON sb.doc_id = id_b
+      WHERE inter / CAST(sa.set_size + sb.set_size - inter AS DOUBLE) >= 0.12
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION
+      SELECT id_b, id_a FROM p
+    ), reach(src, dst) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
+    )
+    SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS rep_id
+    FROM reach
+    GROUP BY src
+    """,
+)
+def d06_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: exact-Jaccard pairs (d02 semantics)
+    resolved into connected components by iterative min-label
+    propagation (dedup.resolve_duplicate_clusters) — each doc mapped to
+    its cluster representative (min doc id).  The iterative Spark loop
+    is oracle-checked against a DuckDB RECURSIVE transitive closure:
+    genuinely-iterative dataflow, hash-matched anyway."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.12, max_shingle_df=None)
+    return dedup.resolve_duplicate_clusters(pairs)

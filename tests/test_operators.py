@@ -417,3 +417,99 @@ def test_ngram_jaccard_matches_pure_python(spark):
             if inter:
                 want[(ia, ib)] = round(inter / len(sh(ta) | sh(tb)), 6)
     assert got == want
+
+
+def test_resolve_duplicate_clusters_components(spark):
+    from mapreducehs_spark.operators.dedup import resolve_duplicate_clusters
+
+    # two chained components {1,2,3,7,6,5} (via 3-7 bridge) and {10,11},
+    # plus an isolated pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (6, 7), (3, 7), (10, 11), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["rep_id"] for r in resolve_duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 1, 6: 1, 7: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_hash_split_matches_pure_python(spark):
+    import hashlib
+
+    from mapreducehs_spark.operators.sampling import fraction_to_hex, hash_split
+
+    rows = [(i, f"document number {i} with body {i * 7}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["split"] for r in hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+
+    t_train, t_val = fraction_to_hex(0.8), fraction_to_hex(0.9)
+    want = {}
+    for i, txt in rows:
+        h = hashlib.md5(txt.encode()).hexdigest()[:8]
+        want[i] = "train" if h < t_train else ("val" if h < t_val else "test")
+    assert got == want
+    # sanity: all three splits non-empty and train dominates
+    from collections import Counter
+    c = Counter(got.values())
+    assert set(c) == {"train", "val", "test"} and c["train"] > c["val"] + c["test"]
+
+
+def test_stratified_sample_matches_pure_python(spark):
+    import hashlib
+
+    from mapreducehs_spark.operators.sampling import fraction_to_hex, stratified_sample
+
+    langs = ["en", "de", "fr"]
+    rows = [(i, langs[i % 3], f"text body {i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    rates = {"en": 0.2, "de": 1.0}  # fr falls to default_rate=0.0
+    got = {r["doc_id"] for r in stratified_sample(df, rates, text_col="text").collect()}
+    want = {
+        i
+        for i, lang, txt in rows
+        if hashlib.md5(txt.encode()).hexdigest()[:8] < fraction_to_hex(rates.get(lang, 0.0))
+    }
+    assert got == want
+    assert {lang for i, lang, t in rows if i in got} <= {"en", "de"}
+
+
+def test_pack_sequences_matches_pure_python(spark):
+    from mapreducehs_spark.operators.text import pack_sequences
+
+    rows = [(i, "s%d" % (i % 2), "tok " * (3 + i % 11)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["source"], r["chunk_id"]): (r["n_docs"], r["tok_total"], r["first_doc"], r["last_doc"])
+        for r in pack_sequences(df, budget_tokens=16).collect()
+    }
+
+    want = {}
+    for src in ("s0", "s1"):
+        running = 0
+        for i, s, txt in sorted(rows):
+            if s != src:
+                continue
+            n_tok = len(txt.split())
+            chunk = running // 16
+            running += n_tok
+            nd, tt, fd, ld = want.get((src, chunk), (0, 0, i, i))
+            want[(src, chunk)] = (nd + 1, tt + n_tok, min(fd, i), max(ld, i))
+    assert got == want
+
+
+def test_normalize_text_matches_pure_python(spark):
+    import re
+
+    from mapreducehs_spark.operators.text import STOPWORDS, normalize_text
+
+    rows = [
+        (0, "The quick brown fox IS in the yard"),
+        (1, "a a the of and to in is it"),
+        (2, "  spaced   out\ttabs and newlines  "),
+        (3, "nostopwordshere atall"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["clean"] for r in df.select("doc_id", normalize_text("text").alias("clean")).collect()}
+    pat = re.compile(r"\b(" + "|".join(STOPWORDS) + r")\b")
+    for i, txt in rows:
+        want = re.sub(r"\s+", " ", pat.sub(" ", txt.lower())).strip()
+        assert got[i] == want, (i, got[i], want)
