@@ -41,6 +41,8 @@ HEADLINE = [
     "t04_top_terms_tfidf",
     "p02_mapreduce_wordcount",
     "q31_pandas_udf_score",
+    "q36_window_frames",
+    "t08_repetition_scores",
 ]
 
 
@@ -55,13 +57,22 @@ def main() -> None:
         QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    run("q01_pricing_summary")  # warm-up (JVM, codegen, parquet footer cache)
-
     # spawn the Python UDF workers once, so Arrow-UDF queries measure
     # kernel time rather than 32 interpreter startups
     spark.range(0, 1024, 1, int(CPUS)).mapInPandas(
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
+
+    # full untimed warm-up pass: JIT-compile the generated code, prime
+    # parquet footers and broadcast paths.  Measured pass = steady state
+    # (per-query codegen+JIT startup was 2-5x the steady-state time and
+    # measured the JVM, not the plan).
+    for name in HEADLINE:
+        run(name)
+    # drop frames persisted inside operators during the warm pass —
+    # they are dead (each invocation builds fresh lineage) but would
+    # occupy executor memory during the measured pass
+    spark.catalog.clearCache()
 
     timings = {name: round(run(name), 4) for name in HEADLINE}
     sf = SF_DIR.rstrip("/").split("sf")[-1]

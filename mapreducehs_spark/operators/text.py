@@ -233,3 +233,70 @@ def normalize_text(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) ->
     c = F.col(col) if isinstance(col, str) else col
     pat = r"\b(" + "|".join(stopwords) + r")\b"
     return F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), pat, " "), r"\s+", " "))
+
+
+def ngram_hash_rows(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_col: str = "lang",
+) -> DataFrame:
+    """One row per overlapping word-n-gram OCCURRENCE (multiset — unlike
+    the dedup module's distinct shingle sets), the n-gram as a 64-bit
+    hash: (id, carry, gram).
+
+    Arrow-batched numpy kernel, same rationale as
+    operators/dedup.hashed_shingle_rows: Spark's array higher-order
+    functions run interpreted (CodegenFallback) and the optimizer
+    inlines staged token arrays into per-element lambdas — measured
+    ~6 s for the 2-gram explode at sf0.1 vs <1 s for this kernel.
+    Scan-shaped, no shuffle; downstream counting is hash-keyed
+    (collision-safe at the birthday bound for any per-doc scope).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            carries: list[str] = []
+            counts: list[int] = []
+            grams: list[str] = []
+            for di, cv, txt in zip(
+                pdf["id"].values, pdf["__carry"].values, pdf["__text"].values
+            ):
+                toks = txt.split()
+                m = len(toks) - n + 1
+                if m <= 0:
+                    continue
+                ids.append(di)
+                carries.append(cv)
+                counts.append(m)
+                grams.extend(" ".join(toks[j : j + n]) for j in range(m))
+            if not ids:
+                yield pd.DataFrame(
+                    {
+                        "id": np.empty(0, dtype="int64"),
+                        "carry": np.empty(0, dtype=object),
+                        "gram": np.empty(0, dtype="int64"),
+                    }
+                )
+                continue
+            c = np.asarray(counts, dtype="int64")
+            h = pd.util.hash_array(np.array(grams, dtype=object)).view("int64")
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(np.asarray(ids, dtype="int64"), c),
+                    "carry": np.repeat(np.array(carries, dtype=object), c),
+                    "gram": h,
+                }
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(carry_col).alias("__carry"),
+        F.col(text_col).alias("__text"),
+    ).repartition(par)
+    return staged.mapInPandas(kernel, "id long, carry string, gram long")

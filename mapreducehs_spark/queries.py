@@ -2049,3 +2049,136 @@ def d06_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.12, max_shingle_df=None)
     return dedup.resolve_duplicate_clusters(pairs)
+
+
+@query(
+    "q40_full_outer_reconcile",
+    oracle="""
+    WITH h1 AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_h1,
+             round(sum(o_totalprice), 4) AS spend_h1
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY o_custkey
+    ), h2 AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_h2,
+             round(sum(o_totalprice), 4) AS spend_h2
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      GROUP BY o_custkey
+    )
+    SELECT coalesce(h1.o_custkey, h2.o_custkey) AS custkey,
+           coalesce(n_h1, 0)       AS n_h1,
+           coalesce(n_h2, 0)       AS n_h2,
+           coalesce(spend_h1, 0.0) AS spend_h1,
+           coalesce(spend_h2, 0.0) AS spend_h2,
+           CASE WHEN h1.o_custkey IS NULL THEN 'h2_only'
+                WHEN h2.o_custkey IS NULL THEN 'h1_only'
+                ELSE 'both' END    AS presence
+    FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+    """,
+)
+def q40_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two period aggregates (customers active in
+    either half), with coalesced keys and a presence tag — the
+    reconciliation shape.  Both sides pre-aggregate BEFORE the join, so
+    the outer join shuffles #customers rows, not #orders rows; at
+    100 TB that ordering (agg below join) is the difference between a
+    small and a huge shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    h1 = (
+        o.filter(F.col("o_orderdate") < cutoff)
+        .groupBy(F.col("o_custkey").alias("k1"))
+        .agg(F.count(F.lit(1)).alias("n_h1"), F.round(F.sum("o_totalprice"), 4).alias("spend_h1"))
+    )
+    h2 = (
+        o.filter(F.col("o_orderdate") >= cutoff)
+        .groupBy(F.col("o_custkey").alias("k2"))
+        .agg(F.count(F.lit(1)).alias("n_h2"), F.round(F.sum("o_totalprice"), 4).alias("spend_h2"))
+    )
+    j = h1.join(h2, h1.k1 == h2.k2, "full_outer")
+    return j.select(
+        F.coalesce("k1", "k2").alias("custkey"),
+        F.coalesce("n_h1", F.lit(0)).alias("n_h1"),
+        F.coalesce("n_h2", F.lit(0)).alias("n_h2"),
+        F.coalesce("spend_h1", F.lit(0.0)).alias("spend_h1"),
+        F.coalesce("spend_h2", F.lit(0.0)).alias("spend_h2"),
+        F.when(F.col("k1").isNull(), "h2_only")
+        .when(F.col("k2").isNull(), "h1_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
+
+
+@query(
+    "t08_repetition_scores",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, lang, t, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i
+      FROM toks
+    ), grams AS (
+      SELECT doc_id, lang, array_to_string(t[i:i+1], ' ') AS g
+      FROM pos
+    ), per AS (
+      SELECT doc_id, lang, g, count(*) AS c FROM grams GROUP BY 1, 2, 3
+    ), doc AS (
+      SELECT doc_id, lang, max(c) AS top_c, sum(c) AS total_c
+      FROM per GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN top_c / CAST(total_c AS DOUBLE) > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+                                    AS n_repetitive,
+           round(avg(top_c / CAST(total_c AS DOUBLE)), 6) AS avg_top_bigram_share
+    FROM doc
+    GROUP BY lang
+    """,
+)
+def t08_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality filter (Gopher-style): per document, the share
+    of its most frequent 2-gram; docs above 20% are flagged repetitive,
+    reported per language.  Shape: one Arrow-batched n-gram kernel
+    (scan-shaped, linear in corpus tokens — see text.ngram_hash_rows
+    for why not the explode/HOF form) + three hash aggregations: the
+    scalable "per-doc holistic stat then corpus rollup" form."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = text.ngram_hash_rows(docs, n=2).withColumnRenamed("carry", "lang")
+    per = grams.groupBy("id", "lang", "gram").agg(F.count(F.lit(1)).alias("c"))
+    doc = per.groupBy("id", "lang").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("total_c")
+    )
+    share = F.col("top_c") / F.col("total_c").cast("double")
+    return doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(share > 0.2, 1).otherwise(0)).cast("bigint").alias("n_repetitive"),
+        F.round(F.avg(share), 6).alias("avg_top_bigram_share"),
+    )
+
+
+@query(
+    "q41_approx_percentile_contract",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS exact_median,
+           TRUE                                           AS approx_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q41_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (mergeable t-digest-style sketch — the 100 TB
+    path for quantiles: single pass, bounded memory, partial+final)
+    checked against the exact holistic percentile: the declared result
+    is the exact median plus the contract bit "sketch landed within 5%"
+    (same pattern as q34's HLL contract — the property that makes the
+    sketch usable at scale is what gets hash-checked)."""
+    li = _t(spark, sf_dir, "lineitem")
+    exact = F.expr("percentile(l_extendedprice, 0.5)")
+    approx = F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+    return li.groupBy("l_returnflag").agg(
+        F.round(exact, 4).alias("exact_median"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("approx_within_5pct"),
+    )

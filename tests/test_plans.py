@@ -94,3 +94,36 @@ def test_codegen_covers_agg_pipeline(q):
     df = q("q01_pricing_summary")
     df.collect()
     assert I.codegen_stage_count(df) >= 1
+
+
+def test_q36_shared_window_partitioning(q):
+    df = q("q36_window_frames")
+    # four window specs over the same o_custkey partitioning: Catalyst
+    # plans ONE hash exchange (then per-frame sorts); a second exchange
+    # would mean a spec accidentally repartitions per window
+    assert I.exchange_count(df) == 1
+    assert I.broadcast_join_count(df) == 0
+    # only the 4 needed columns leave the scan
+    assert len(I.scan_columns(df, "orders")) == 4
+
+
+def test_q37_hash_split_scan_shaped(q):
+    df = q("q37_hash_split")
+    # deterministic split is a per-row expression: the only shuffle is
+    # the final tiny aggregation on the split label
+    assert I.exchange_count(df) == 1
+    assert I.sort_merge_join_count(df) == 0
+
+
+def test_q40_aggregates_below_outer_join(q):
+    df = q("q40_full_outer_reconcile")
+    plan = I.formatted_plan(df)
+    # both sides reduce to per-customer aggregates BEFORE the full outer
+    # join (the join input is #customers, not #orders), and the join
+    # REUSES the aggregation's hash partitioning: exactly the two agg
+    # exchanges, none added for the join itself
+    assert "SortMergeJoin FullOuter" in plan
+    assert I.exchange_count(df) == 2
+    # date filters pushed into the scans on both sides
+    pushed = I.pushed_filters(df)["orders"]
+    assert "o_orderdate" in pushed
