@@ -2182,3 +2182,72 @@ def q41_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(exact, 4).alias("exact_median"),
         (F.abs(approx - exact) <= 0.05 * exact).alias("approx_within_5pct"),
     )
+
+
+@query(
+    "st06_stream_sliding",
+    oracle="""
+    WITH slides AS (
+      SELECT e.event_type, e.value,
+             CAST(s AS BIGINT) AS window_start_epoch
+      FROM events e,
+           LATERAL (
+             SELECT unnest(range(
+               CAST(floor(epoch(e.ts) / 300) * 300 AS BIGINT) - 600,
+               CAST(floor(epoch(e.ts) / 300) * 300 AS BIGINT) + 300,
+               300)) AS s
+           )
+      WHERE epoch(e.ts) >= s AND epoch(e.ts) < s + 900
+    )
+    SELECT window_start_epoch, event_type,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM slides
+    GROUP BY 1, 2
+    """,
+)
+def st06_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming watermarked SLIDING-window agg (15 min window / 5 min
+    slide, per event type) == the batch sliding aggregate: the
+    overlapping-window counterpart of st01, bounded state via watermark
+    expiry (see streaming/ops.sliding_aggregate)."""
+    from mapreducehs_spark import streaming as st
+
+    agg = st.sliding_aggregate(
+        _replayed_events(spark, sf_dir),
+        window="15 minutes",
+        slide="5 minutes",
+        watermark="30 minutes",
+    )
+    out = st.run_to_batch(agg, "st06_sink", output_mode="append")
+    return out.filter(F.col("event_type") != "__flush__")
+
+
+@query(
+    "q42_null_semantics",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT)                        AS n_rows,
+           CAST(count(nullif(l_discount, 0.0)) AS BIGINT)  AS n_discounted,
+           round(avg(nullif(l_discount, 0.0)), 6)          AS avg_nonzero_disc,
+           CAST(sum(CASE WHEN nullif(l_discount, 0.0) IS NOT DISTINCT FROM NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)     AS n_zero,
+           round(sum(coalesce(nullif(l_discount, 0.0), 0.0)), 4) AS sum_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q42_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics surface: nullif introduces nulls, count(expr) vs
+    count(*) (nulls skipped vs not), avg over a nullable expression,
+    null-safe equality (eqNullSafe ≙ IS NOT DISTINCT FROM), coalesce
+    back-fill — the SQL three-valued-logic contract the reference's
+    typed Haskell rows never face (no nulls exist there, SURVEY §1.1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    nz = F.expr("nullif(l_discount, 0.0d)")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(nz).alias("n_discounted"),
+        F.round(F.avg(nz), 6).alias("avg_nonzero_disc"),
+        F.sum(nz.eqNullSafe(F.lit(None)).cast("int")).cast("bigint").alias("n_zero"),
+        F.round(F.sum(F.coalesce(nz, F.lit(0.0))), 4).alias("sum_disc"),
+    )

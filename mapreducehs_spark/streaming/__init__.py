@@ -4,6 +4,7 @@ from mapreducehs_spark.streaming.ops import (
     prepare_stream_dir,
     run_to_batch,
     session_aggregate,
+    sliding_aggregate,
     stateful_user_totals,
     stream_distinct,
     tumbling_aggregate,
@@ -15,6 +16,7 @@ __all__ = [
     "prepare_stream_dir",
     "run_to_batch",
     "session_aggregate",
+    "sliding_aggregate",
     "stateful_user_totals",
     "stream_distinct",
     "tumbling_aggregate",

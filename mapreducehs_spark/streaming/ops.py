@@ -393,3 +393,34 @@ def latest_per_user(updates: DataFrame) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", "n_events", "total_value")
     )
+
+
+def sliding_aggregate(
+    events: DataFrame,
+    window: str = "15 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked SLIDING-window counts/sums per event_type: each event
+    contributes to window/slide windows (Spark explodes internally).
+
+    State per key is bounded by (window/slide) concurrent windows ×
+    #event_types; the watermark expires closed windows, so state is
+    O(active windows), not O(stream length) — the property that lets
+    this run forever on an unbounded ingest.  Same sentinel discipline
+    as tumbling_aggregate: do not filter in-stream.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
