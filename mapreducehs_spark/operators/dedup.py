@@ -390,34 +390,50 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 64) -> DataFrame:
+            bits: int = 63) -> DataFrame:
     """Per-doc SimHash fingerprint: sign of the per-bit sum of token
-    hashes.  One explode + one hash aggregation with ``bits`` sum
-    expressions — scales as a single groupBy at 100 TB."""
-    # explode_outer + not-null filter: avoids the inferred size()>0
-    # pushdown that would inline and re-run tokenization (see
-    # ngram_jaccard_pairs).  The filter is on the generated attribute,
-    # which cannot be pushed below the Generate.
-    toked = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode_outer(tokens(F.col(text_col))).alias("tok"),
-        )
-        .filter(F.col("tok").isNotNull())
-        .withColumn("h", F.xxhash64("tok"))
-    )
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    sums = toked.groupBy("id").agg(*bit_sums)
-    fp = sum(
-        (F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint")).otherwise(0) * F.lit(2**i).cast("bigint"))
-        for i in range(bits - 1)  # keep below 2^63: 63 usable bits
-    )
-    return sums.select("id", fp.alias("simhash"))
+    hashes (token OCCURRENCES — repeated tokens weigh more), 63 usable
+    bits (fingerprint stays below 2^63 as a signed bigint).
+
+    One Arrow-batched numpy pass: hash every token in the batch with a
+    single vectorized call, expand to a (tokens × bits) ±1 matrix, and
+    per-doc column sums via ``np.add.reduceat`` — scan-shaped, no
+    shuffle.  Replaced the expression form (explode + a 64-expression
+    hash aggregate) which measured ~9x slower at sf0.1: 64 aggregation
+    states per group put it far off the whole-stage-codegen fast path.
+    Docs with zero tokens emit nothing (same contract as before).
+    """
+    bitpos = np.arange(bits, dtype=np.uint64)
+    weights = (np.uint64(1) << bitpos).astype("uint64")
+
+    def kernel(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            counts: list[int] = []
+            toks_flat: list[str] = []
+            for di, txt in zip(pdf["id"].values, pdf["__text"].values):
+                toks = txt.split()
+                if not toks:
+                    continue
+                ids.append(di)
+                counts.append(len(toks))
+                toks_flat.extend(toks)
+            if not ids:
+                yield pd.DataFrame(
+                    {"id": np.empty(0, dtype="int64"), "simhash": np.empty(0, dtype="int64")}
+                )
+                continue
+            h = pd.util.hash_array(np.array(toks_flat, dtype=object))  # uint64
+            pm = (((h[:, None] >> bitpos[None, :]) & np.uint64(1)).astype("int32") * 2) - 1
+            offsets = np.zeros(len(counts), dtype="int64")
+            np.cumsum(np.asarray(counts[:-1], dtype="int64"), out=offsets[1:])
+            sums = np.add.reduceat(pm, offsets, axis=0)  # (D, bits)
+            fp = ((sums > 0).astype("uint64") * weights[None, :]).sum(axis=1)
+            yield pd.DataFrame(
+                {"id": np.asarray(ids, dtype="int64"), "simhash": fp.view("int64")}
+            )
+
+    return _staged_text(df, text_col, id_col).mapInPandas(kernel, "id long, simhash long")
 
 
 def simhash_near_pairs(
@@ -456,9 +472,7 @@ def simhash_near_pairs(
         pairs = p if pairs is None else pairs.unionByName(p)
     cand = pairs.dropDuplicates(["id_a", "id_b"])
     x = F.col("fp_a").bitwiseXOR(F.col("fp_b"))
-    hamming = sum(
-        F.shiftrightunsigned(x, i).bitwiseAND(F.lit(1)).cast("int") for i in range(63)
-    )
+    hamming = F.bit_count(x).cast("int")
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
