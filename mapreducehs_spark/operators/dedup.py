@@ -503,42 +503,44 @@ def resolve_duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFram
     Each round every node takes the min label among itself and its
     neighbors; convergence in O(component diameter) rounds.  Dup
     clusters in practice are small and dense (diameter ≲ 4), so the
-    loop is a handful of self-joins; each round is one shuffle of the
-    edge list — the standard scalable CC shape (a GraphX/Pregel
-    equivalent expressed as DataFrame joins).  The loop early-exits via
-    a cheap max-changed aggregate, and caps at ``max_iter`` as a
-    pathological-chain guard.
+    loop is a handful of rounds — the standard scalable CC shape (a
+    GraphX/Pregel equivalent expressed as DataFrame joins).
+
+    Per-round cost is ONE equi-join + ONE hash aggregation: self-loops
+    baked into the edge list make "min over self and neighbors" a
+    single ``groupBy(dst).min(rep)`` (no separate left join to carry
+    unchanged nodes).  Convergence detection rides the monotonicity of
+    min-label propagation: reps only decrease, so the loop is done
+    exactly when ``sum(rep)`` stops falling — one scalar aggregate over
+    the already-computed round result, no old-vs-new join.  Caps at
+    ``max_iter`` as a pathological-chain guard.
     """
     fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    labels = (
-        edges.select(F.col("src").alias("id")).distinct().withColumn("rep", F.col("id"))
+    nodes = (
+        fwd.select(F.col("src").alias("id"))
+        .unionByName(fwd.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    edges = (
+        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .unionByName(nodes.select(F.col("id").alias("src"), F.col("id").alias("dst")))
     ).persist()
     edges.count()  # materialize once; every round joins this frame
+    labels = nodes.withColumn("rep", F.col("id")).persist()
+    prev_sum = None
 
     for _ in range(max_iter):
-        nb_min = (
+        new_labels = (
             edges.join(labels, edges.src == labels.id)
             .groupBy("dst")
-            .agg(F.min("rep").alias("nb_rep"))
-        )
-        new_labels = (
-            labels.join(nb_min, labels.id == nb_min.dst, "left")
-            .select(
-                F.col("id"),
-                F.least(F.col("rep"), F.coalesce(F.col("nb_rep"), F.col("rep"))).alias(
-                    "rep"
-                ),
-                (F.col("nb_rep") < F.col("rep")).alias("__changed"),
-            )
+            .agg(F.min("rep").alias("rep"))
+            .select(F.col("dst").alias("id"), "rep")
         ).persist()
-        changed = new_labels.filter(F.col("__changed")).limit(1).count()
-        new_labels = new_labels.drop("__changed")
+        cur_sum = new_labels.agg(F.sum("rep")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("rep").alias("rep_id"))
