@@ -2251,3 +2251,71 @@ def q42_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(nz.eqNullSafe(F.lit(None)).cast("int")).cast("bigint").alias("n_zero"),
         F.round(F.sum(F.coalesce(nz, F.lit(0.0))), 4).alias("sum_disc"),
     )
+
+
+@query(
+    "q43_outer_join_directions",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+           round(coalesce(o.spend, 0.0), 4)        AS spend,
+           o.n_orders IS NOT NULL                  AS has_orders
+    FROM customer c
+    LEFT JOIN (
+      SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS spend
+      FROM orders GROUP BY o_custkey
+    ) o ON o.o_custkey = c.c_custkey
+    """,
+)
+def q43_outer_join_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join direction surface: expressed as a RIGHT OUTER join
+    (aggregated orders right-joined to customer — every customer
+    survives, orderless ones null-filled) and oracle-checked against
+    the equivalent LEFT JOIN formulation — witnessing both directions
+    mean the same thing with sides swapped.  Orders aggregate BEFORE
+    the join (shuffle carries #customers rows, q40's rule); customer is
+    the broadcast candidate at real scale only if the dimension is
+    small — here both sides shuffle on the key."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("spend"))
+    )
+    j = o.join(c, o.o_custkey == c.c_custkey, "right_outer")
+    return j.select(
+        "c_custkey",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.round(F.coalesce("spend", F.lit(0.0)), 4).alias("spend"),
+        F.col("n_orders").isNotNull().alias("has_orders"),
+    )
+
+
+@query(
+    "p03_pipeline_agg_fastpath",
+    oracle="""
+    SELECT term AS key, CAST(count(*) AS BIGINT) AS value
+    FROM (
+      SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x != '')) AS term
+      FROM documents
+    )
+    GROUP BY 1
+    """,
+)
+def p03_pipeline_agg_fastpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pipeline kernel's declared-associativity fast path:
+    ``reduce_agg`` lowers to ``groupBy().agg`` (map-side partial
+    aggregation) instead of the whole-group ``applyInPandas`` that the
+    general Reducer contract forces (SURVEY §4.3.2) — the API that lets
+    a reference-style pipeline keep MapReduce semantics AND scale.
+    Hash-matched against the same word count as p02."""
+    from mapreducehs_spark.pipeline import Pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    kv = (
+        docs.select(F.explode_outer(text.tokens("text")).alias("key"))
+        .filter(F.col("key").isNotNull())
+        .withColumn("value", F.lit(1).cast("bigint"))
+    )
+    return Pipeline().reduce_agg(F.sum("value").cast("bigint").alias("value")).run(kv)
