@@ -2319,3 +2319,41 @@ def p03_pipeline_agg_fastpath(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("value", F.lit(1).cast("bigint"))
     )
     return Pipeline().reduce_agg(F.sum("value").cast("bigint").alias("value")).run(kv)
+
+
+@query(
+    "q44_cross_join_matrix",
+    oracle="""
+    WITH r AS (
+      SELECT n_regionkey, round(sum(o_totalprice), 4) AS spend
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_regionkey
+    )
+    SELECT a.n_regionkey AS region_a, b.n_regionkey AS region_b,
+           round(a.spend / b.spend, 6) AS spend_ratio
+    FROM r a CROSS JOIN r b
+    """,
+)
+def q44_cross_join_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join — the all-pairs comparison matrix over a
+    SMALL aggregated frame (5 regions → 25 rows).  The scale rule a
+    cross join must obey: aggregate down to a bounded frame FIRST, then
+    cartesian only the reduced sides (Spark plans a broadcast
+    nested-loop over the tiny inputs); a cross join over raw fact
+    tables is the one shape nothing can save."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("spend"))
+    )
+    a = r.select(F.col("n_regionkey").alias("region_a"), F.col("spend").alias("sa"))
+    b = r.select(F.col("n_regionkey").alias("region_b"), F.col("spend").alias("sb"))
+    return a.crossJoin(b).select(
+        "region_a", "region_b", F.round(F.col("sa") / F.col("sb"), 6).alias("spend_ratio")
+    )
