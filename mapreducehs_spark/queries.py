@@ -2357,3 +2357,33 @@ def q44_cross_join_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.crossJoin(b).select(
         "region_a", "region_b", F.round(F.col("sa") / F.col("sb"), 6).alias("spend_ratio")
     )
+
+
+@query(
+    "q45_from_json_struct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE json_valid(props)
+                AND json_extract_string(props, '$.k') IS NOT NULL) AS BIGINT)
+                                                                  AS n_parsed,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT) // 10) AS BIGINT)
+                                                                  AS sum_k_decile
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q45_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-declared JSON parsing: ``from_json(props, 'k INT')``
+    yields a typed struct column (vs q19's path-extraction
+    get_json_object) — the declared-schema form is what survives at
+    100 TB because the parse happens once per row into Tungsten format,
+    and malformed rows turn into nulls instead of job failures
+    (PERMISSIVE mode), which the n_parsed counter witnesses."""
+    events = _t(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_type", F.from_json("props", "k INT").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.col("p.k")).alias("n_parsed"),
+        F.sum(F.floor(F.col("p.k") / 10)).cast("bigint").alias("sum_k_decile"),
+    )
