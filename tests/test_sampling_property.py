@@ -1,0 +1,85 @@
+"""Property-based differential tests for deterministic sampling/packing.
+
+Same discipline as test_pipeline_property.py (the reference's QuickCheck
+strategy, test/Generator.hs:83-92): generated inputs, Spark lowering vs
+a pure-Python mirror.  Case counts kept small — each case is a Spark
+round trip.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F  # noqa: F401
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+doc_sizes = st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=40)
+budgets = st.integers(min_value=1, max_value=64)
+
+
+@given(sizes=doc_sizes, budget=budgets)
+@settings(**SETTINGS)
+def test_pack_sequences_differential(spark, sizes, budget):
+    from mapreducehs_spark.operators.text import pack_sequences
+
+    rows = [(i, "s%d" % (i % 2), "tok " * n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["source"], r["chunk_id"]): (r["n_docs"], r["tok_total"], r["first_doc"], r["last_doc"])
+        for r in pack_sequences(df, budget_tokens=budget).collect()
+    }
+
+    want: dict = {}
+    for src in ("s0", "s1"):
+        running = 0
+        for i, s, txt in rows:
+            if s != src:
+                continue
+            n_tok = len(txt.split())
+            chunk = running // budget
+            running += n_tok
+            nd, tt, fd, ld = want.get((src, chunk), (0, 0, i, i))
+            want[(src, chunk)] = (nd + 1, tt + n_tok, min(fd, i), max(ld, i))
+    want = {k: v for k, v in want.items()}
+    assert got == want
+
+    # conservation: every doc lands in exactly one chunk, tokens add up
+    assert sum(v[0] for v in got.values()) == len(rows)
+    assert sum(v[1] for v in got.values()) == sum(sizes)
+
+
+rates_strategy = st.fixed_dictionaries(
+    {},
+    optional={
+        "en": st.floats(min_value=0.0, max_value=1.0),
+        "de": st.floats(min_value=0.0, max_value=1.0),
+        "fr": st.floats(min_value=0.0, max_value=1.0),
+    },
+)
+
+
+@given(rates=rates_strategy, n=st.integers(min_value=1, max_value=120))
+@settings(**SETTINGS)
+def test_stratified_sample_differential(spark, rates, n):
+    from mapreducehs_spark.operators.sampling import fraction_to_hex, stratified_sample
+
+    langs = ["en", "de", "fr", "zz"]  # zz never in rates → default_rate 0
+    rows = [(i, langs[i % 4], f"body {i} {i * 13}") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"] for r in stratified_sample(df, rates, text_col="text").collect()}
+    want = {
+        i
+        for i, lang, txt in rows
+        if hashlib.md5(txt.encode()).hexdigest()[:8] < fraction_to_hex(rates.get(lang, 0.0))
+    }
+    assert got == want
+    # nothing from a stratum outside `rates` ever survives
+    assert all(lang != "zz" for i, lang, t in rows if i in got)
