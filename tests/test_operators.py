@@ -513,3 +513,40 @@ def test_normalize_text_matches_pure_python(spark):
     for i, txt in rows:
         want = re.sub(r"\s+", " ", pat.sub(" ", txt.lower())).strip()
         assert got[i] == want, (i, got[i], want)
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """DPP: a fact table partitioned on the join key scans only the
+    partitions the filtered dimension selects — at 100 TB the
+    difference between reading one partition and the whole table when
+    the pruning predicate is only known through a join.
+
+    Two gates matter (both found by measurement): the fact side must be
+    big enough for DPP's cost model to see benefit, and the dimension
+    filter must pass ``isLikelySelective`` — a COMPARISON predicate
+    qualifies, a bare boolean column does NOT (DPP silently skips)."""
+    from mapreducehs_spark.sources.catalog import write_any
+
+    fact = (
+        spark.range(0, 200_000)
+        .select(
+            "id",
+            F.concat(F.lit("g"), (F.col("id") % 10).cast("string")).alias("g"),
+            F.col("id").cast("double").alias("v"),
+            F.repeat(F.lit("x"), 200).alias("pad"),
+        )
+    )
+    path = str(tmp_path / "fact")
+    write_any(fact, path, partition_by=["g"])
+    dim = spark.createDataFrame([(f"g{i}", i) for i in range(10)], ["g", "idx"])
+
+    joined = (
+        spark.read.parquet(path)
+        .join(dim.filter(F.col("idx") < 5), "g")
+        .groupBy("g")
+        .agg(F.sum("v").alias("sv"))
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
+    got = {r["g"] for r in joined.collect()}
+    assert got == {f"g{i}" for i in range(5)}
