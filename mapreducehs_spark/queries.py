@@ -2387,3 +2387,41 @@ def q45_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.col("p.k")).alias("n_parsed"),
         F.sum(F.floor(F.col("p.k") / 10)).cast("bigint").alias("sum_k_decile"),
     )
+
+
+@query(
+    "q46_brand_supplier_stats",
+    oracle="""
+    SELECT p_brand, p_type,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT)  AS n_suppliers,
+           CAST(count(*) AS BIGINT)                   AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_size BETWEEN 5 AND 25
+      AND p_type NOT LIKE '%ECONOMY%'
+      AND p_brand <> 'Brand#1'
+    GROUP BY p_brand, p_type
+    """,
+)
+def q46_brand_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: supplier/revenue stats per part brand+type with
+    BETWEEN / NOT LIKE / <> dimension filters.  The part filters are
+    applied BEFORE the join and the filtered dimension broadcasts, so
+    the fact table never shuffles for the join — only the final
+    group-by exchanges; count(DISTINCT) runs as Spark's two-phase
+    distinct-aggregate expansion."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").between(5, 25)
+        & ~F.col("p_type").like("%ECONOMY%")
+        & (F.col("p_brand") != "Brand#1")
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.groupBy("p_brand", "p_type").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+    )
