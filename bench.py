@@ -43,6 +43,8 @@ HEADLINE = [
     "q31_pandas_udf_score",
     "q36_window_frames",
     "t08_repetition_scores",
+    "q40_full_outer_reconcile",
+    "q46_brand_supplier_stats",
 ]
 
 

@@ -127,3 +127,18 @@ def test_q40_aggregates_below_outer_join(q):
     # date filters pushed into the scans on both sides
     pushed = I.pushed_filters(df)["orders"]
     assert "o_orderdate" in pushed
+
+
+def test_q46_filtered_dim_broadcasts(q):
+    df = q("q46_brand_supplier_stats")
+    # BETWEEN / NOT LIKE / <> all reach the part scan; the filtered dim
+    # broadcasts so the fact table never shuffles for the join — the
+    # only exchanges belong to the two-phase distinct aggregate
+    pushed = I.pushed_filters(df)["part"]
+    assert "GreaterThanOrEqual(p_size,5)" in pushed
+    assert "Not(StringContains(p_type,ECONOMY))" in pushed
+    assert I.broadcast_join_count(df) >= 1
+    assert I.sort_merge_join_count(df) == 0
+    assert I.exchange_count(df) == 2
+    # fact scan pruned to the 4 needed columns
+    assert len(I.scan_columns(df, "lineitem")) == 4
