@@ -544,3 +544,48 @@ def resolve_duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFram
         prev_sum = cur_sum
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("rep").alias("rep_id"))
+
+
+def near_dedup_drop_list(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    candidate_threshold: float = 0.35,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """The composed 100 TB near-dedup pipeline: MinHash-LSH candidate
+    generation → EXACT Jaccard verification restricted to candidate
+    docs → connected-component resolution → (doc_id, rep_id) for every
+    document that should be DROPPED (rep survives).
+
+    This is the shape a production dedup runs at scale: the corpus is
+    never pair-joined (LSH buckets bound candidate generation), exact
+    verification touches only documents that appear in some candidate
+    pair (a semi-join-reduced subset, ≪ corpus at real scale), and the
+    component step guarantees one survivor per duplicate cluster even
+    when A~B~C but A≁C.  The candidate threshold is set BELOW the
+    verify threshold so LSH misses near the boundary don't leak
+    through; the exact pass makes the final decision.
+    """
+    cands = minhash_lsh_pairs(
+        df, text_col, id_col, num_perm, bands, shingle_n,
+        jaccard_threshold=candidate_threshold,
+    )
+    cand_docs = (
+        cands.select(F.col("id_a").alias("cid"))
+        .unionByName(cands.select(F.col("id_b").alias("cid")))
+        .distinct()
+    )
+    subset = df.join(cand_docs, df[id_col] == cand_docs.cid, "left_semi")
+    exact = ngram_jaccard_pairs(
+        subset, text_col, id_col, n=shingle_n,
+        threshold=jaccard_threshold, max_shingle_df=None,
+    )
+    # exactness only on LSH-surfaced pairs: a pair of candidate DOCS that
+    # LSH never bucketed together is not a candidate PAIR
+    verified = exact.join(cands.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    clusters = resolve_duplicate_clusters(verified)
+    return clusters.filter(F.col("doc_id") != F.col("rep_id"))

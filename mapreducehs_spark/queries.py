@@ -2425,3 +2425,15 @@ def q46_brand_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+@query("d07_near_dedup_drop_list")  # LSH candidates are hash-seeded → rows-only
+def d07_near_dedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup pipeline (the composed 100 TB shape):
+    MinHash-LSH candidates → exact Jaccard verification on candidate
+    docs only → duplicate-cluster resolution → the drop list
+    (doc_id, rep_id) of every document whose cluster representative
+    survives.  Recall vs the all-exact path pinned in
+    tests/test_operators.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.near_dedup_drop_list(docs, candidate_threshold=0.3, jaccard_threshold=0.5)

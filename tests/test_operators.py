@@ -550,3 +550,34 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
     got = {r["g"] for r in joined.collect()}
     assert got == {f"g{i}" for i in range(5)}
+
+
+def test_near_dedup_pipeline_recall(spark):
+    """The composed LSH->verify->resolve pipeline finds what the
+    all-exact path finds (planted dup corpus), and never drops a
+    cluster representative."""
+    from mapreducehs_spark.operators.dedup import (
+        near_dedup_drop_list,
+        ngram_jaccard_pairs,
+        resolve_duplicate_clusters,
+    )
+
+    rows = _doc_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dropped = {
+        r["doc_id"]: r["rep_id"]
+        for r in near_dedup_drop_list(
+            df, candidate_threshold=0.2, jaccard_threshold=0.5
+        ).collect()
+    }
+    exact_pairs = ngram_jaccard_pairs(df, threshold=0.5, max_shingle_df=None)
+    want = {
+        r["doc_id"]: r["rep_id"]
+        for r in resolve_duplicate_clusters(exact_pairs).collect()
+        if r["doc_id"] != r["rep_id"]
+    }
+    # every exact-path drop is found by the pipeline with identical rep
+    # (tiny corpus: LSH at 32 perms surfaces all J>=0.5 pairs here)
+    assert dropped == want
+    # a representative is never in the drop list
+    assert set(dropped).isdisjoint(set(dropped.values()))
