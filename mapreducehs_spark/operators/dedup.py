@@ -521,9 +521,17 @@ def resolve_duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFram
         .unionByName(fwd.select(F.col("dst").alias("id")))
         .distinct()
     )
+    # repartition before persist: the 3-way union otherwise carries the
+    # SUM of its branches' partition counts into every round's map side
+    # (600 tasks/round under a 200-shuffle-partition session); hashing
+    # on src also co-locates each round's join probe.  AQE handles the
+    # reduce sides; at real scale size the session's parallelism, not
+    # this call.
+    par = pairs.sparkSession.sparkContext.defaultParallelism
     edges = (
         fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .unionByName(nodes.select(F.col("id").alias("src"), F.col("id").alias("dst")))
+        .repartition(par, "src")
     ).persist()
     edges.count()  # materialize once; every round joins this frame
     labels = nodes.withColumn("rep", F.col("id")).persist()
