@@ -2437,3 +2437,56 @@ def d07_near_dedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_operators.py."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.near_dedup_drop_list(docs, candidate_threshold=0.3, jaccard_threshold=0.5)
+
+
+@query(
+    "q47_python_udtf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), pos AS (
+      SELECT lang, CAST(i - 1 AS INT) AS pos, t[i] AS term
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)
+      WHERE i <= 8
+    )
+    SELECT lang, pos,
+           CAST(count(*) AS BIGINT)              AS n_terms,
+           CAST(count(DISTINCT term) AS BIGINT)  AS n_distinct
+    FROM pos
+    GROUP BY lang, pos
+    """,
+)
+def q47_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (one row in → many rows out through a
+    user-defined TABLE function, the general form of the reference's
+    Mapper O1): a tokenizer UDTF applied per document via SQL LATERAL,
+    emitting (pos, term) rows.  UDTFs are the slow general path — the
+    equivalent explode() is preferred when expressible (p02) — but the
+    API must exist for true table-generating logic; the oracle is the
+    LATERAL-unnest equivalent."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, term string")
+    class TokenizeHead:
+        def eval(self, text: str):
+            for i, t in enumerate(text.split()[:8]):
+                yield i, t
+
+    spark.udtf.register("tokenize_head", TokenizeHead)
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """
+        SELECT lang, pos,
+               count(*)            AS n_terms,
+               count(DISTINCT term) AS n_distinct
+        FROM __docs_udtf, LATERAL tokenize_head(text)
+        GROUP BY lang, pos
+        """
+    ).select(
+        "lang", "pos",
+        F.col("n_terms").cast("bigint").alias("n_terms"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+    )
