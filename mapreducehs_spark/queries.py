@@ -2490,3 +2490,39 @@ def q47_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_terms").cast("bigint").alias("n_terms"),
         F.col("n_distinct").cast("bigint").alias("n_distinct"),
     )
+
+
+@query(
+    "t09_vocab_growth",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)             AS n_tokens,
+           CAST(count(DISTINCT term) AS BIGINT) AS vocab,
+           round(count(DISTINCT term) / CAST(count(*) AS DOUBLE), 6) AS type_token_ratio
+    FROM tok
+    GROUP BY source
+    """,
+)
+def t09_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics per source shard: token count,
+    vocabulary size (distinct terms), type-token ratio — the Heaps-law
+    reporting a training-data pipeline emits per ingest source.  One
+    explode + a distinct-aggregate (two-phase expand at scale); at
+    100 TB swap count(DISTINCT) for approx_count_distinct per the q34
+    contract."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode_outer(text.tokens("text")).alias("term")
+    ).filter(F.col("term").isNotNull())
+    return tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("term").alias("vocab"),
+        F.round(F.countDistinct("term") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "type_token_ratio"
+        ),
+    )
