@@ -73,11 +73,13 @@ def scan_columns(df: DataFrame, table: str) -> list[str]:
 def broadcast_join_count(df: DataFrame) -> int:
     """BroadcastHashJoin + BroadcastNestedLoopJoin nodes in the plan."""
     plan = formatted_plan(df)
-    return len(re.findall(r"Broadcast(?:Hash|NestedLoop)Join", plan))
+    return len(re.findall(r"\(\d+\) Broadcast(?:Hash|NestedLoop)Join", plan))
 
 
 def sort_merge_join_count(df: DataFrame) -> int:
-    return len(re.findall(r"SortMergeJoin", formatted_plan(df)))
+    # match the numbered node line only — the formatted tree renders
+    # every node twice (tree header + numbered detail block)
+    return len(re.findall(r"\(\d+\) SortMergeJoin", formatted_plan(df)))
 
 
 def exchange_count(df: DataFrame) -> int:

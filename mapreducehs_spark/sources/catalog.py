@@ -82,6 +82,34 @@ def read_any(spark: SparkSession, path: str, fmt: str = "parquet", schema=None, 
     return reader.load(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Managed bucketed table — the 100 TB co-located-join layout.
+
+    ``bucketBy`` pre-hash-partitions the data ON DISK by the join key:
+    two tables bucketed on their join keys with the same bucket count
+    join with ZERO shuffle exchanges (each task reads bucket i of both
+    sides), and a group-by on the bucket key skips its exchange too.
+    This is the layout a fact table that is repeatedly joined/aggregated
+    on the same key should be written in once, instead of re-shuffling
+    ~100 TB on every query.  ``sort_cols`` additionally sorts within
+    each bucket file (skips the sort-merge-join sort when Spark can
+    prove one file per bucket).  Plan shape pinned in
+    tests/test_plans.py::test_bucketed_join_has_no_exchange.
+    """
+    writer = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
 def write_any(
     df: DataFrame,
     path: str,

@@ -142,3 +142,44 @@ def test_q46_filtered_dim_broadcasts(q):
     assert I.exchange_count(df) == 2
     # fact scan pruned to the 4 needed columns
     assert len(I.scan_columns(df, "lineitem")) == 4
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Tables bucketed on the join key with equal bucket counts join
+    with ZERO shuffle exchanges — the on-disk layout IS the shuffle.
+    This is the co-located-join path a 100 TB fact table relies on."""
+    from mapreducehs_spark.sources.catalog import load_table, write_bucketed
+    import pyspark.sql.functions as F
+
+    orders = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    write_bucketed(orders, "bkt_orders", ["o_orderkey"], 4, sort_cols=["o_orderkey"])
+    write_bucketed(li, "bkt_lineitem", ["l_orderkey"], 4, sort_cols=["l_orderkey"])
+    try:
+        bo = spark.table("bkt_orders").hint("merge")
+        bl = spark.table("bkt_lineitem").hint("merge")
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_totalprice"
+        )
+        assert I.sort_merge_join_count(joined) == 1
+        assert I.exchange_count(joined) == 0
+        # and a group-by on the bucket key reuses the layout too: the
+        # only exchange left is none — partial+final agg collapse into
+        # one bucket-local hash aggregate
+        agg = (
+            spark.table("bkt_lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        assert I.exchange_count(agg) == 0
+        # same join through a vanilla (non-bucketed) scan pays a shuffle
+        # on each side — the witness that bucketing removed real work
+        plain = li.hint("merge").join(
+            orders.hint("merge"), li.l_orderkey == orders.o_orderkey
+        ).select("l_orderkey", "l_quantity", "o_totalprice")
+        assert I.exchange_count(plain) == 2
+        # row parity between the bucketed and plain plans
+        assert joined.count() == plain.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
