@@ -146,6 +146,72 @@ def cosine_pairs_lsh(
     )
 
 
+def srp_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k via banded SRP-LSH bucketing (query-side broadcast).
+
+    Corpus and query vectors get the same seeded SRP signature; each is
+    exploded to ``bands`` band keys (band index folded into the key so
+    band i only matches band i).  Candidates are corpus vectors sharing
+    at least one band with the query — a broadcast hash join on the band
+    key, so the corpus is scanned ONCE with no shuffle, and only
+    candidates pay the exact-cosine kernel.  At 100 TB the probe set is
+    the broadcast side (the common shape); for query sets too big to
+    broadcast the same plan becomes a shuffle hash join on the band key.
+
+    Approximate by construction: a true neighbor whose signature differs
+    in every band is missed — recall rises with ``bands`` (more, shorter
+    bands → higher recall, more candidates).  Recall vs the exact path
+    (cosine_topk) is pinned in tests on planted near-duplicates.
+    """
+    from mapreducehs_spark.functions.vector_np import cosine_udf
+
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+
+    def banded(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        sigs = srp_signatures(df, dim, n_planes, id_col, vec_col, seed)
+        keys = F.array(
+            *[
+                F.shiftrightunsigned(F.col("srp_sig"), i * bits_per_band)
+                .bitwiseAND(F.lit(mask))
+                + F.lit(i * (mask + 1))
+                for i in range(bands)
+            ]
+        )
+        return sigs.select(
+            F.col("id").alias(out_id),
+            F.col("vec").alias(out_vec),
+            F.explode(keys).alias("band_key"),
+        )
+
+    c = banded(corpus, "match_id", "__cv")
+    q = banded(queries, "query_id", "__qv")
+    cand = (
+        c.join(F.broadcast(q), "band_key")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .dropDuplicates(["query_id", "match_id"])
+    )
+    scored = cand.withColumn("cosine", F.round(cosine_udf("__qv", "__cv"), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -932,6 +932,22 @@ def s02_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb.filter(F.col("vec_id") >= 8), emb.filter(F.col("vec_id") < 8), k=5)
 
 
+@query("s04_ann_srp_topk")  # approximate by construction → rows-only check
+def s04_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via banded SRP-LSH (similarity.srp_topk) — the
+    LSH-bucketed scale path: one shuffle-free broadcast join on band
+    keys, exact cosine only on bucket-mates.  16 planes / 8 bands keeps
+    recall high on this near-orthogonal synthetic corpus; recall@1 vs
+    the exact path is pinned in tests (test_srp_topk_recall)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.srp_topk(
+        emb.filter(F.col("vec_id") >= 8),
+        emb.filter(F.col("vec_id") < 8),
+        k=5,
+        bands=8,
+    )
+
+
 @query(
     "s03_label_centroids",
     oracle="""
@@ -2525,4 +2541,100 @@ def t09_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.countDistinct("term") / F.count(F.lit(1)).cast("double"), 6).alias(
             "type_token_ratio"
         ),
+    )
+
+
+@query(
+    "q48_large_volume_orders",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           round(o_totalprice, 4) AS total_price,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q48_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    joined back to customer detail.  The IN-subquery is a left-semi join
+    against a pre-aggregated key set: the HAVING agg shuffles lineitem
+    on l_orderkey ONCE, the surviving keys (≪ orders) semi-join the
+    fact, and the final per-order agg reuses the same key — Catalyst
+    plans the semi-join build side from the filtered agg, so the big
+    table is never scanned twice unfiltered."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 300)
+        .select("l_orderkey")
+    )
+    j = (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        j.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("o_totalprice", 4).alias("total_price"),
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "q49_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q49_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier by quarterly revenue, ties kept):
+    the "view + scalar-max subquery" is lowered to one agg over the
+    date-pruned fact plus a single-row max re-agg broadcast back over
+    the supplier revenues — no global sort, no single-partition window.
+    Revenue is rounded BEFORE the max-compare on both sides so the
+    tie-equality is exact despite float summation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "total_revenue"
+            )
+        )
+    )
+    best = rev.agg(F.max("total_revenue").alias("__best"))
+    return (
+        rev.join(F.broadcast(best), rev.total_revenue == best.__best)
+        .join(F.broadcast(sup), rev.supplier_no == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
     )

@@ -396,6 +396,24 @@ def test_ivf_topk_recall_on_planted_dups(spark):
     assert hits >= len(planted) * 3 // 4, (hits, got)
 
 
+def test_srp_topk_recall_on_planted_dups(spark):
+    from mapreducehs_spark.operators.similarity import srp_topk
+
+    rows, planted = _planted_vectors(n=200, dim=32, n_dups=12)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = df.filter(F.col("vec_id") >= 12)   # originals j<12 are the queries
+    queries = df.filter(F.col("vec_id") < 12)
+    got = {
+        r["query_id"]: r["match_id"]
+        for r in srp_topk(corpus, queries, k=1, dim=32, n_planes=16, bands=8).collect()
+    }
+    # a planted dup (cosine ≈ 0.999) differs in a sign bit only when a
+    # projection is within the noise of zero; with 8 two-bit bands one
+    # shared band is near-certain — require ≥ 3/4 recall@1
+    hits = sum(1 for j, dup in planted if got.get(j) == dup)
+    assert hits >= len(planted) * 3 // 4, (hits, got)
+
+
 def test_ngram_jaccard_matches_pure_python(spark):
     from mapreducehs_spark.operators.dedup import ngram_jaccard_pairs
 
