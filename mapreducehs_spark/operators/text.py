@@ -27,13 +27,11 @@ def tokens(col: Column | str) -> Column:
 
 
 def bpe_ish_tokens(col: Column | str) -> Column:
-    """Sub-word-ish tokenization: split on word/digit/punct boundaries,
-    the standard pre-tokenizer regex shape used before BPE merges."""
+    """Sub-word-ish tokenization: alpha runs, digit runs, and single
+    punctuation marks — the standard pre-tokenizer regex shape applied
+    before BPE merges.  One codegen'd regexp pass per row."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(
-        F.split(F.regexp_replace(c, r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])", "$1"), ""),
-        lambda t: F.trim(t) != "",
-    )
+    return F.regexp_extract_all(c, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)
 
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -2638,3 +2638,102 @@ def q49_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sup), rev.supplier_no == sup.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@query(
+    "t10_bpe_token_counts",
+    oracle="""
+    WITH tok AS (
+      SELECT lang,
+             unnest(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS term
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)             AS n_tokens,
+           CAST(count(DISTINCT term) AS BIGINT) AS vocab,
+           round(avg(length(term)), 6)          AS avg_token_len,
+           CAST(sum(CASE WHEN regexp_matches(term, '^[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_number_tokens,
+           CAST(sum(CASE WHEN NOT regexp_matches(term, '^[a-zA-Z0-9]') THEN 1 ELSE 0 END) AS BIGINT) AS n_punct_tokens
+    FROM tok
+    GROUP BY lang
+    """,
+)
+def t10_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenizer (BPE-ish) token accounting per language: alpha
+    runs, digit runs, and single punctuation marks — the token-budget
+    estimate a training pipeline reports before actual BPE merges.
+    One codegen'd regexp pass + explode + hash agg; no UDFs."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode_outer(text.bpe_ish_tokens("text")).alias("term")
+    ).filter(F.col("term").isNotNull())
+    return tok.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("term").alias("vocab"),
+        F.round(F.avg(F.length("term")), 6).alias("avg_token_len"),
+        F.sum(F.when(F.col("term").rlike(r"^[0-9]+$"), 1).otherwise(0)).alias(
+            "n_number_tokens"
+        ),
+        F.sum(F.when(~F.col("term").rlike(r"^[a-zA-Z0-9]"), 1).otherwise(0)).alias(
+            "n_punct_tokens"
+        ),
+    )
+
+
+@query(
+    "q50_customer_order_distribution",
+    oracle="""
+    SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY n_orders
+    """,
+)
+def q50_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the order-count histogram over ALL customers —
+    the left outer join keeps zero-order customers (count(o_orderkey)
+    counts non-null only, so they land in bucket 0).  Two aggregations,
+    each reduced before it shuffles: orders pre-aggregates per customer
+    and the histogram input is #customers, not #orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "st07_stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type,
+           CAST(floor(epoch(e.ts)) AS BIGINT) AS event_epoch,
+           round(e.value, 4) AS value,
+           n.n_name AS n_name
+    FROM events e
+    LEFT JOIN customer c ON c.c_custkey = e.user_id
+    LEFT JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    """,
+)
+def st07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (streaming.enrich_with_dim):
+    every micro-batch left-joins the event stream against the static
+    customer→nation dimension.  Stateless append — no watermark, no
+    state store, exactly one output row per event; the batch oracle is
+    the identical left join.  The canonical shape for attaching
+    slowly-changing reference data to an unbounded ingest."""
+    from mapreducehs_spark import streaming as st
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    dim = cust.join(nation, cust.c_nationkey == nation.n_nationkey, "left_outer").select(
+        "c_custkey", "n_name"
+    )
+    enriched = st.enrich_with_dim(_replayed_events(spark, sf_dir), dim)
+    out = st.run_to_batch(enriched, "st07_sink", output_mode="append")
+    return out.filter(F.col("event_type") != "__flush__")

@@ -1,5 +1,6 @@
 from mapreducehs_spark.streaming.ops import (
     clicks_then_purchases,
+    enrich_with_dim,
     events_stream,
     prepare_stream_dir,
     run_to_batch,
@@ -12,6 +13,7 @@ from mapreducehs_spark.streaming.ops import (
 
 __all__ = [
     "clicks_then_purchases",
+    "enrich_with_dim",
     "events_stream",
     "prepare_stream_dir",
     "run_to_batch",

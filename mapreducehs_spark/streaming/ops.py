@@ -424,3 +424,32 @@ def sliding_aggregate(
             "sum_value",
         )
     )
+
+
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    on_left: str = "user_id",
+    on_right: str = "c_custkey",
+) -> DataFrame:
+    """Stream-static broadcast join: each micro-batch joins against the
+    (re-evaluated) static dimension — the canonical streaming enrichment
+    shape.  Stateless: nothing is buffered, no watermark is required,
+    append mode emits each event exactly once.  At 100 TB the static
+    side is a broadcast-sized dim (or a slowly-changing table the
+    source re-reads per batch); the stream never shuffles.
+
+    Emits (event_id, user_id, event_type, event_epoch, value, n_name)
+    with a left join so events from unknown users survive with a null
+    nation.
+    """
+    return events.join(
+        F.broadcast(dim), events[on_left] == dim[on_right], "left_outer"
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("event_epoch"),
+        F.round("value", 4).alias("value"),
+        "n_name",
+    )
