@@ -45,6 +45,10 @@ HEADLINE = [
     "t08_repetition_scores",
     "q40_full_outer_reconcile",
     "q46_brand_supplier_stats",
+    "q48_large_volume_orders",
+    "q50_customer_order_distribution",
+    "q52_latest_event_per_user",
+    "s04_ann_srp_topk",
 ]
 
 

@@ -81,3 +81,32 @@ def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
     out = np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
     return pd.Series(out)
+
+
+def srp_band_keys_udf(planes: np.ndarray, bands: int):
+    """UDF: per-vector array of banded SRP-LSH keys, band index folded
+    into the key (band i spans planes [i*bits, (i+1)*bits), plane t in
+    a band contributes 2^t, key offset i*2^bits).
+
+    One (batch × dim) @ (dim × n_planes) matmul + bit-pack per Arrow
+    batch.  The expression-language form (16 `aggregate` dots summed
+    into a signature, re-sliced per band) is interpreted AND gets the
+    whole signature inlined into every band-key projection by
+    CollapseProject — measured ~6x the whole ANN query.
+    """
+    from pyspark.sql.types import LongType
+
+    P = np.ascontiguousarray(np.asarray(planes, dtype=np.float64).T)
+    n_planes = P.shape[1]
+    bits = n_planes // bands
+    weights = 1 << np.arange(bits, dtype=np.int64)
+    offsets = np.arange(bands, dtype=np.int64) * (1 << bits)
+
+    @pandas_udf(ArrayType(LongType()))
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        m = _stack(vecs)
+        signs = (m @ P) > 0
+        vals = signs.reshape(len(m), bands, bits) @ weights
+        return pd.Series(list(vals + offsets))
+
+    return band_keys

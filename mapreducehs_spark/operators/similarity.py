@@ -173,35 +173,38 @@ def srp_topk(
     bands → higher recall, more candidates).  Recall vs the exact path
     (cosine_topk) is pinned in tests on planted near-duplicates.
     """
-    from mapreducehs_spark.functions.vector_np import cosine_udf
+    from mapreducehs_spark.functions.vector_np import cosine_udf, srp_band_keys_udf
 
-    bits_per_band = n_planes // bands
-    mask = (1 << bits_per_band) - 1
+    planes = np.asarray(_hyperplanes(dim, n_planes, seed))
+    keys_udf = srp_band_keys_udf(planes, bands)
 
     def banded(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        sigs = srp_signatures(df, dim, n_planes, id_col, vec_col, seed)
-        keys = F.array(
-            *[
-                F.shiftrightunsigned(F.col("srp_sig"), i * bits_per_band)
-                .bitwiseAND(F.lit(mask))
-                + F.lit(i * (mask + 1))
-                for i in range(bands)
-            ]
-        )
-        return sigs.select(
-            F.col("id").alias(out_id),
-            F.col("vec").alias(out_vec),
-            F.explode(keys).alias("band_key"),
+        # explode_outer, not explode: plain explode of a UDF column
+        # triggers InferFiltersFromGenerate (a size()>0 filter that
+        # re-evaluates the kernel); the key array is always non-empty
+        return (
+            df.select(
+                F.col(id_col).alias(out_id),
+                F.col(vec_col).alias(out_vec),
+                F.explode_outer(keys_udf(F.col(vec_col))).alias("band_key"),
+            )
+            .filter(F.col("band_key").isNotNull())
         )
 
     c = banded(corpus, "match_id", "__cv")
     q = banded(queries, "query_id", "__qv")
-    cand = (
+    # Score BEFORE the pair dedup: a pair sharing b bands appears b
+    # times, and deduping first would shuffle every candidate with both
+    # 64-dim vectors attached (measured 4x whole-query at 8 bands).
+    # The numpy kernel re-scores duplicates for ~free; the dedup then
+    # shuffles a 3-column scalar row and partial-aggregates map-side.
+    scored = (
         c.join(F.broadcast(q), "band_key")
         .filter(F.col("query_id") != F.col("match_id"))
-        .dropDuplicates(["query_id", "match_id"])
+        .withColumn("cosine", F.round(cosine_udf("__qv", "__cv"), 6))
+        .groupBy("query_id", "match_id")
+        .agg(F.first("cosine").alias("cosine"))
     )
-    scored = cand.withColumn("cosine", F.round(cosine_udf("__qv", "__cv"), 6))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("match_id").asc()
     )

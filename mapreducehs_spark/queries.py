@@ -2737,3 +2737,177 @@ def st07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = st.enrich_with_dim(_replayed_events(spark, sf_dir), dim)
     out = st.run_to_batch(enriched, "st07_sink", output_mode="append")
     return out.filter(F.col("event_type") != "__flush__")
+
+
+@query(
+    "q51_dormant_rich_customers",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT)   AS n_customers,
+           round(sum(c_acctbal), 4)   AS total_balance
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def q51_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no orders
+    since 2000 (dormant).  The scalar avg subquery is a one-row
+    broadcast cross join (never a per-row recompute); NOT EXISTS lowers
+    to a left-anti join whose build side is date-filtered BEFORE the
+    join — the date predicate reaches the orders parquet scan."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(orders.select("o_custkey"), cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_balance"),
+        )
+    )
+
+
+@query(
+    "q52_latest_event_per_user",
+    oracle="""
+    SELECT user_id,
+           event_id AS last_event_id,
+           event_type AS last_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS last_epoch,
+           round(value, 4) AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q52_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key compaction (the changelog→snapshot batch
+    shape, batch twin of the st03/latest_per_user streaming state):
+    one window shuffle on the key, deterministic tiebreak on event_id.
+    At 100 TB this is the daily CDC compaction job — the window spec
+    keeps partial ordering per key only, never a global sort."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.unix_timestamp("ts").alias("last_epoch"),
+            F.round("value", 4).alias("last_value"),
+        )
+    )
+
+
+@query(
+    "q53_kll_quantile_contract",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS exact_p50,
+           round(quantile_cont(value, 0.9), 4) AS exact_p90,
+           TRUE AS p50_within_rank_5pct,
+           TRUE AS p90_within_rank_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q53_kll_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketch (DataSketches, Spark 4) with its accuracy
+    contract as the oracle-checked value: the mergeable single-pass
+    sketch is THE 100 TB percentile path (bounded memory per group,
+    partial+final merge), so the declared result is the exact quantile
+    plus booleans pinning the sketch's p50/p90 between the exact 45-55
+    / 85-95 rank bounds.  Complements q41 (approx_percentile digest) —
+    KLL sketches can additionally be stored and merged across runs."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.45, 0.50, 0.55, 0.85, 0.90, 0.95))").alias("ex"),
+        F.kll_sketch_agg_double("value").alias("sk"),
+    )
+    p50 = F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5))
+    p90 = F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.9))
+    return agg.select(
+        "event_type",
+        F.round(F.col("ex")[1], 4).alias("exact_p50"),
+        F.round(F.col("ex")[4], 4).alias("exact_p90"),
+        ((p50 >= F.col("ex")[0]) & (p50 <= F.col("ex")[2])).alias("p50_within_rank_5pct"),
+        ((p90 >= F.col("ex")[3]) & (p90 <= F.col("ex")[5])).alias("p90_within_rank_5pct"),
+    )
+
+
+@query(
+    "q54_theta_sketch_set_ops",
+    oracle="""
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS exact_clickers,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS exact_purchasers,
+           CAST((SELECT count(*) FROM (SELECT * FROM c UNION SELECT * FROM p)) AS BIGINT)
+               AS exact_either,
+           CAST((SELECT count(*) FROM (SELECT * FROM c INTERSECT SELECT * FROM p)) AS BIGINT)
+               AS exact_both,
+           TRUE AS union_within_5pct,
+           TRUE AS intersect_within_5pct
+    """,
+)
+def q54_theta_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (DataSketches, Spark 4): mergeable distinct-count
+    sketches that support UNION and INTERSECTION — the audience-overlap
+    computation (clickers ∩ purchasers) that exact distinct cannot do
+    incrementally at 100 TB (you cannot intersect two HLLs).  Declared
+    result: exact set sizes + booleans pinning both sketch estimates
+    within 5% of exact."""
+    ev = _t(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("sk_c"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("sk_p"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("exact_clickers"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("exact_purchasers"),
+    )
+    est_u = F.theta_sketch_estimate(F.theta_union(F.col("sk_c"), F.col("sk_p")))
+    est_i = F.theta_sketch_estimate(F.theta_intersection(F.col("sk_c"), F.col("sk_p")))
+    exact = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(F.collect_set("event_type").alias("ts"))
+        .agg(
+            F.count(F.lit(1)).alias("exact_either"),
+            F.sum(F.when(F.size("ts") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("exact_both"),
+        )
+    )
+    return sk.crossJoin(F.broadcast(exact)).select(
+        F.col("exact_clickers").cast("bigint").alias("exact_clickers"),
+        F.col("exact_purchasers").cast("bigint").alias("exact_purchasers"),
+        "exact_either",
+        "exact_both",
+        (F.abs(est_u - F.col("exact_either")) <= 0.05 * F.col("exact_either")).alias(
+            "union_within_5pct"
+        ),
+        (F.abs(est_i - F.col("exact_both")) <= 0.05 * F.col("exact_both")).alias(
+            "intersect_within_5pct"
+        ),
+    )
