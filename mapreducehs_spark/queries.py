@@ -2911,3 +2911,59 @@ def q54_theta_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intersect_within_5pct"
         ),
     )
+
+
+@query(
+    "q55_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS distinct_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q55_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType (Spark 4's native semi-structured path): props is
+    parsed ONCE into a binary variant and fields are extracted with
+    variant_get — at 100 TB the parse cost is paid once per row, not
+    once per extracted path as with repeated get_json_object, and
+    variant columns stored in parquet keep shredded-column pushdown.
+    Oracle is the plain JSON-string extraction."""
+    events = _t(spark, sf_dir, "events")
+    v = events.select(
+        "event_type", F.parse_json("props").alias("pv")
+    )
+    k = F.variant_get(F.col("pv"), "$.k", "bigint")
+    return v.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        F.countDistinct("k").alias("distinct_k"),
+    )
+
+
+@query(
+    "q56_python_datasource",
+    oracle="""
+    SELECT 'b' || CAST(i % 10 AS VARCHAR) AS bucket,
+           CAST(count(*) AS BIGINT)  AS n_rows,
+           CAST(sum(i * i) AS BIGINT) AS sum_sq
+    FROM range(0, 2000) t(i)
+    GROUP BY 1
+    """,
+)
+def q56_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 DataSource API — the
+    user-visible analog of the reference's pluggable MonadStore
+    backends, src/Core/Store.hs:41-119): a registered ``seqgen`` format
+    with declared schema and partition planning (8 InputPartitions →
+    parallel scan), aggregated like any other table.  The oracle
+    recomputes the deterministic generator in SQL."""
+    from mapreducehs_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    df = spark.read.format("seqgen").option("n", 2000).option("parts", 8).load()
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("id_sq").cast("bigint").alias("sum_sq"),
+    )
