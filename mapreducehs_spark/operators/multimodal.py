@@ -105,3 +105,54 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_index"),
     )
+
+
+def payload_byte_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Per-row payload byte statistics via ``mapInArrow`` — the
+    zero-copy variant of the mapInPandas path: batches arrive as
+    pyarrow RecordBatches with the binary column as one contiguous
+    Arrow data buffer + offsets, skipping the pandas object-per-cell
+    materialization entirely.  For opaque-media columns this is the
+    right batch interface at 100 TB (payload bytes never become Python
+    objects; numpy views the flattened buffer and reduces per-segment).
+
+    Emits (doc_id, n_bytes, head_byte, byte_sum).
+    """
+    import pyarrow as pa
+
+    def batches(it):
+        for batch in it:
+            ids = batch.column(batch.schema.get_field_index("doc_id"))
+            payload = batch.column(batch.schema.get_field_index(payload_col))
+            data_buf = payload.buffers()[2]
+            buf = (
+                np.frombuffer(data_buf, dtype=np.uint8)
+                if data_buf is not None
+                else np.zeros(0, dtype=np.uint8)
+            )
+            offs = np.frombuffer(payload.buffers()[1], dtype=np.int32)[
+                payload.offset : payload.offset + len(payload) + 1
+            ].astype(np.int64)
+            n_bytes = offs[1:] - offs[:-1]
+            if len(buf):
+                # reduceat needs in-range, and sums need a wide dtype
+                starts = np.minimum(offs[:-1], len(buf) - 1)
+                sums = np.add.reduceat(buf.astype(np.int64), starts)[: len(n_bytes)]
+                sums = np.where(n_bytes > 0, sums, 0)
+                head = np.where(n_bytes > 0, buf[starts].astype(np.int32), -1)
+            else:
+                sums = np.zeros(len(n_bytes), dtype=np.int64)
+                head = np.full(len(n_bytes), -1, dtype=np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.cast(pa.int64()),
+                    pa.array(n_bytes),
+                    pa.array(head.astype(np.int32)),
+                    pa.array(sums),
+                ],
+                names=["doc_id", "n_bytes", "head_byte", "byte_sum"],
+            )
+
+    return df.select("doc_id", payload_col).mapInArrow(
+        batches, schema="doc_id long, n_bytes long, head_byte int, byte_sum long"
+    )

@@ -52,3 +52,35 @@ def top_frequent_keys(df: DataFrame, key: str, min_count: int) -> DataFrame:
         .filter(F.col("n") >= min_count)
         .orderBy(F.col("n").desc())
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Salted equi-join for a skewed LEFT side joining a small-ish
+    right side that is still too big to broadcast whole.
+
+    The left's hot key is spread over ``n_salts`` sub-keys by a salt
+    derived from the full row hash; the right side is REPLICATED once
+    per salt (explode of a literal range) so every (key, salt) bucket
+    finds its match.  Shuffle cost: left unchanged, right ×n_salts —
+    the standard trade when one key holds a double-digit percentage of
+    the left.  Prefer AQE skew-join splitting (on by default) when it
+    applies; use this for the cases it can't reach (e.g. the join feeds
+    a grouped-map UDF that must see whole groups, or the planner picked
+    a shuffle-hash join AQE won't split).
+
+    Result-identical to ``left.join(right, on, how)`` for inner/left
+    joins on unique right keys (pinned by the equivalence test).
+    """
+    l = salted(left, left_key, n_salts)
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    cond = (l[left_key] == r[right_key]) & (l["__salt"] == r["__salt"])
+    return l.join(r, cond, how).drop("__salt")

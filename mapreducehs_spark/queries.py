@@ -2967,3 +2967,28 @@ def q56_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("id_sq").cast("bigint").alias("sum_sq"),
     )
+
+
+@query(
+    "m04_arrow_payload_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS INT)
+             AS head_byte,
+           CAST(list_sum(list_transform(string_split(text, ''), x -> ascii(x))) AS BIGINT)
+             AS byte_sum
+    FROM documents
+    """,
+)
+def m04_arrow_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy payload processing via ``mapInArrow`` (the third UDF
+    batch interface after pandas_udf and mapInPandas): binary payloads
+    stay in the Arrow buffer, numpy reduces per-segment via the offsets
+    array — no per-cell Python objects.  Oracle recomputes byte stats
+    from the source text (payload = UTF-8 bytes; the corpus is ASCII so
+    per-char ascii() equals per-byte value)."""
+    from mapreducehs_spark.operators.multimodal import attach_payload, payload_byte_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return payload_byte_stats(attach_payload(docs))
