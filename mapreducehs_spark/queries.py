@@ -2992,3 +2992,56 @@ def m04_arrow_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return payload_byte_stats(attach_payload(docs))
+
+
+@query(
+    "q57_merge_upsert",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 10 = 0 THEN round(c_acctbal + 1000, 4)
+                ELSE round(c_acctbal, 4) END AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    WHERE c_custkey % 97 != 0
+    UNION ALL
+    SELECT c_custkey + 1000000 AS c_custkey,
+           'new_' || CAST(c_custkey AS VARCHAR) AS c_name,
+           c_nationkey,
+           100.0 AS c_acctbal,
+           'NEW' AS c_mktsegment
+    FROM customer
+    WHERE c_custkey % 13 = 0
+    """,
+)
+def q57_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain parquet (operators/merge.py): a
+    deterministic CDC batch — balance updates for custkey%10, tombstone
+    deletes for custkey%97, inserts under new keys for custkey%13 —
+    applied in ONE key-shuffled window pass; the oracle states the
+    expected final table directly.  The reference-parity reading: this
+    is a Reducer picking the highest-priority row per key over the
+    tagged union (src/Core/MapReduceC.hs:26)."""
+    from mapreducehs_spark.operators.merge import merge_upsert
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", F.round("c_acctbal", 4).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    upd = cust.filter((F.col("c_custkey") % 10 == 0) & (F.col("c_custkey") % 97 != 0)).select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.round(F.col("c_acctbal") + 1000, 4).alias("c_acctbal"),
+        "c_mktsegment", F.lit(False).alias("is_delete"),
+    )
+    dels = cust.filter(F.col("c_custkey") % 97 == 0).withColumn(
+        "is_delete", F.lit(True)
+    )
+    ins = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("new_"), F.col("c_custkey").cast("string")).alias("c_name"),
+        "c_nationkey",
+        F.lit(100.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit(False).alias("is_delete"),
+    )
+    updates = upd.unionByName(dels).unionByName(ins)
+    return merge_upsert(cust, updates, keys=["c_custkey"], delete_col="is_delete")

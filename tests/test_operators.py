@@ -656,3 +656,26 @@ def test_trained_ivf_centroids_improve_assignment(spark):
     # every query finds SOME same-cluster neighbor (cluster id = id % 4)
     hits = sum(1 for r in got if r["match_id"] % 4 == r["query_id"] % 4)
     assert hits >= 7, [(r["query_id"], r["match_id"]) for r in got]
+
+
+def test_observe_metrics_single_pass(spark):
+    """df.observe: data-quality counters collected DURING the query —
+    at 100 TB this is how row counts / null rates are monitored without
+    paying a second scan."""
+    from pyspark.sql import Observation
+    from mapreducehs_spark.sources.catalog import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    obs = Observation("quality")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias("null_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+    )
+    result = observed.groupBy("l_returnflag").count().collect()
+    assert len(result) > 0
+    metrics = obs.get
+    assert metrics["n_rows"] == li.count()
+    assert metrics["null_qty"] == 0
+    assert metrics["min_ship"] is not None

@@ -183,3 +183,16 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_global_sort_uses_range_partitioning(spark):
+    """ORDER BY is a range-partitioned distributed sort (sample →
+    balanced ranges → per-partition sort) — never a single-task
+    gather-and-sort; the property that makes global sort feasible on
+    100 TB."""
+    from mapreducehs_spark.sources.catalog import load_table
+
+    df = load_table(spark, SF, "orders").orderBy("o_totalprice")
+    plan = I.formatted_plan(df)
+    assert "rangepartitioning" in plan.lower()
+    assert I.exchange_count(df) == 1
