@@ -3045,3 +3045,54 @@ def q57_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     updates = upd.unionByName(dels).unionByName(ins)
     return merge_upsert(cust, updates, keys=["c_custkey"], delete_col="is_delete")
+
+
+@query(
+    "q58_multi_resolution_rollup",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)   AS hour_b,
+             CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS day_b,
+             event_type, value
+      FROM events
+    )
+    SELECT CASE WHEN hour_b IS NOT NULL THEN 'hour' ELSE 'day' END AS resolution,
+           coalesce(hour_b, day_b) AS bucket_epoch,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4)     AS sum_value
+    FROM b
+    GROUP BY GROUPING SETS ((hour_b, event_type), (day_b, event_type))
+    """,
+)
+def q58_multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly AND daily rollups
+    of the event stream computed in ONE pass — grouping sets over
+    pre-truncated time buckets (Spark's Expand emits each row once per
+    resolution map-side, then partial-aggregates, so the fact is
+    scanned once, not once per resolution).  At 100 TB this is the
+    downsampling job that materializes every dashboard granularity in a
+    single shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("hour_b"),
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400).alias("day_b"),
+        "event_type",
+        "value",
+    )
+    agg = b.groupingSets(
+        [["hour_b", "event_type"], ["day_b", "event_type"]],
+        "hour_b", "day_b", "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    return agg.select(
+        F.when(F.col("hour_b").isNotNull(), F.lit("hour"))
+        .otherwise(F.lit("day"))
+        .alias("resolution"),
+        F.coalesce("hour_b", "day_b").alias("bucket_epoch"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )

@@ -1,4 +1,5 @@
 from mapreducehs_spark.streaming.ops import (
+    FLUSH_TYPE,
     clicks_then_purchases,
     enrich_with_dim,
     events_stream,
@@ -12,6 +13,7 @@ from mapreducehs_spark.streaming.ops import (
 )
 
 __all__ = [
+    "FLUSH_TYPE",
     "clicks_then_purchases",
     "enrich_with_dim",
     "events_stream",

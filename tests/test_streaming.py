@@ -12,6 +12,7 @@ import os
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from mapreducehs_spark import streaming as st
 from mapreducehs_spark.streaming.ops import EVENTS_SCHEMA
@@ -104,3 +105,47 @@ def test_stream_schema_matches_catalog(spark):
     stream = st.events_stream(spark, replay)
     assert stream.isStreaming
     assert stream.schema == EVENTS_SCHEMA
+
+
+def test_foreachbatch_parquet_sink(spark, tmp_path):
+    """Production sink shape: foreachBatch writing each micro-batch to
+    parquet (exactly-once per batch via the (epoch, path) idempotence
+    contract).  The drained directory equals the batch aggregate — the
+    memory sink used by run_to_batch is the harness convenience, this
+    is the deploy path."""
+    out_dir = str(tmp_path / "agg_parquet")
+    replay = st.prepare_stream_dir(spark, "/root/testdata/sf0.001", n_chunks=4)
+    agg = st.tumbling_aggregate(st.events_stream(spark, replay), window="1 hour",
+                                watermark="30 minutes")
+
+    def write_batch(batch_df, epoch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(timeout=600)
+
+    from mapreducehs_spark.sources.catalog import load_table
+
+    got = (
+        spark.read.parquet(out_dir)
+        .filter(F.col("event_type") != st.FLUSH_TYPE)
+        .groupBy("bucket_start", "event_type")
+        .agg(F.sum("n_events").alias("n_events"))
+    )
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    want = (
+        ev.groupBy(
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("bucket_start"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    as_map = lambda df: {
+        (r["bucket_start"], r["event_type"]): r["n_events"] for r in df.collect()
+    }
+    assert as_map(got) == as_map(want)
