@@ -196,3 +196,33 @@ def test_global_sort_uses_range_partitioning(spark):
     plan = I.formatted_plan(df)
     assert "rangepartitioning" in plan.lower()
     assert I.exchange_count(df) == 1
+
+
+def test_q48_semi_join_broadcasts_and_prunes(q):
+    df = q("q48_large_volume_orders")
+    # the HAVING agg's surviving keys broadcast into the semi join and
+    # the customer dim broadcasts — the fact table shuffles only for
+    # its two aggregations
+    assert I.broadcast_join_count(df) >= 2
+    assert I.sort_merge_join_count(df) == 0
+    assert I.exchange_count(df) == 2
+    assert len(I.scan_columns(df, "lineitem")) == 2  # l_orderkey, l_quantity
+
+
+def test_q57_merge_upsert_single_exchange(q):
+    # base ∪ updates → per-key window: exactly ONE shuffle on the merge
+    # key, however many CDC branches feed the update side
+    df = q("q57_merge_upsert")
+    assert I.exchange_count(df) == 1
+    assert I.sort_merge_join_count(df) == 0
+
+
+def test_q58_rollup_single_exchange(q):
+    # Expand emits one row per resolution map-side; all granularities
+    # share one partial+final aggregation → one shuffle, one fact scan
+    df = q("q58_multi_resolution_rollup")
+    assert I.exchange_count(df) == 1
+    import re
+
+    plan = I.formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
