@@ -83,3 +83,36 @@ def test_stratified_sample_differential(spark, rates, n):
     assert got == want
     # nothing from a stratum outside `rates` ever survives
     assert all(lang != "zz" for i, lang, t in rows if i in got)
+
+
+merge_keys = st.lists(st.integers(min_value=0, max_value=30), min_size=0, max_size=25, unique=True)
+
+
+@given(base_keys=merge_keys, upd_keys=merge_keys, del_keys=merge_keys)
+@settings(**SETTINGS)
+def test_merge_upsert_differential(spark, base_keys, upd_keys, del_keys):
+    """merge_upsert == dict apply: updates replace, inserts add,
+    tombstones remove (a tombstone for an absent key is a no-op)."""
+    from mapreducehs_spark.operators.merge import merge_upsert
+
+    # deletes are a subset-shaped slice of updates: make them disjoint
+    # from value-updates by construction (at most one update row per key)
+    upd_only = [k for k in upd_keys if k not in del_keys]
+    base = [(k, f"b{k}") for k in base_keys]
+    updates = [(k, f"u{k}", False) for k in upd_only] + [
+        (k, "tomb", True) for k in del_keys
+    ]
+    bdf = spark.createDataFrame(base, "k long, v string") if base else spark.createDataFrame([], "k long, v string")
+    udf_ = (
+        spark.createDataFrame(updates, "k long, v string, is_del boolean")
+        if updates
+        else spark.createDataFrame([], "k long, v string, is_del boolean")
+    )
+    got = {(r["k"]): r["v"] for r in merge_upsert(bdf, udf_, ["k"], delete_col="is_del").collect()}
+
+    want = {k: f"b{k}" for k in base_keys}
+    for k in upd_only:
+        want[k] = f"u{k}"
+    for k in del_keys:
+        want.pop(k, None)
+    assert got == want
