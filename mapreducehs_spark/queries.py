@@ -2642,7 +2642,7 @@ def q49_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t10_bpe_token_counts",
-    oracle="""
+    oracle=r"""
     WITH tok AS (
       SELECT lang,
              unnest(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS term
@@ -3147,4 +3147,74 @@ def q59_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("ship_year")
     ).agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+    )
+
+
+@query(
+    "q60_market_share",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+           round(sum(CASE WHEN ns.n_name = 'NATION_3'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q60_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's revenue share per year — the
+    conditional-aggregate-over-join idiom (numerator and denominator in
+    ONE aggregation pass, no second scan and no self-join)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey")).join(
+        F.broadcast(nation.select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return j.groupBy(F.year("l_shipdate").cast("int").alias("ship_year")).agg(
+        F.round(
+            F.sum(F.when(F.col("n_name") == "NATION_3", rev).otherwise(0.0)) / F.sum(rev),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q61_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#2'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+)
+def q61_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-one-fifth-of-average-quantity
+    orders.  The correlated per-part average is decorrelated into ONE
+    groupBy(l_partkey) aggregate joined back to the (brand-filtered)
+    fact — the agg input is restricted by a semi join on the filtered
+    part keys first, so the per-part averages are only computed for
+    parts that can match (at 100 TB that's the difference between
+    aggregating 2% and 100% of the fact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2").select("p_partkey")
+    li_b = li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+    avgs = li_b.groupBy(F.col("l_partkey").alias("avg_key")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        li_b.join(avgs, li_b.l_partkey == F.col("avg_key"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
