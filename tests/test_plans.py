@@ -226,3 +226,42 @@ def test_q58_rollup_single_exchange(q):
 
     plan = I.formatted_plan(df)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_q62_topk_avoids_global_sort(q):
+    # ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-task
+    # heaps, 10 rows each to the driver), never a range-partitioned
+    # global sort; all three scan filters reach parquet
+    df = q("q62_unshipped_orders")
+    plan = I.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    pushed = I.pushed_filters(df)
+    assert "GreaterThan(l_shipdate" in pushed["lineitem"]
+    assert "LessThan(o_orderdate" in pushed["orders"]
+    assert "EqualTo(c_mktsegment,BUILDING)" in pushed["customer"]
+
+
+def test_q64_disjunctive_residues_pushed(q):
+    # the OR-of-conjunctions spans both join sides; Catalyst must still
+    # derive single-side residues: a quantity disjunction at the
+    # lineitem scan and a brand/size disjunction at the part scan
+    df = q("q64_disjunctive_brand_revenue")
+    pushed = I.pushed_filters(df)
+    assert "l_quantity" in pushed["lineitem"] and "Or(" in pushed["lineitem"]
+    assert "p_brand" in pushed["part"] and "Or(" in pushed["part"]
+    assert I.broadcast_join_count(df) == 1
+    assert I.sort_merge_join_count(df) == 0
+
+
+def test_q65_two_fact_scans_no_correlated_probe(q):
+    # the two correlated EXISTS collapse into one per-order aggregate:
+    # exactly two lineitem scans (annotated join + its reuse), zero
+    # left-semi/anti probes of the fact against itself
+    import re
+
+    df = q("q65_lone_late_supplier")
+    plan = I.formatted_plan(df)
+    assert len(re.findall(r"lineitem\.parquet", plan)) == 2
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    assert "TakeOrderedAndProject" in plan
