@@ -49,6 +49,8 @@ HEADLINE = [
     "q50_customer_order_distribution",
     "q52_latest_event_per_user",
     "s04_ann_srp_topk",
+    "q62_unshipped_orders",
+    "q65_lone_late_supplier",
 ]
 
 
