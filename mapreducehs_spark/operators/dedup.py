@@ -625,3 +625,37 @@ def near_dedup_drop_list(
     )
     clusters = resolve_duplicate_clusters(verified)
     return clusters.filter(F.col("doc_id") != F.col("rep_id"))
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Train/eval decontamination: per training doc, how many of its
+    distinct word ``n``-grams also occur in the ``benchmark`` corpus.
+
+    The benchmark side (eval sets are MBs, the training corpus is TBs)
+    collapses to DISTINCT n-gram hashes and BROADCASTS, so the training
+    scan never shuffles: shingle → map-side hash-join against the
+    broadcast set → the only shuffle is the per-doc hit count over
+    surviving (contaminated) rows, a vanishing fraction of the corpus.
+    Returns (id, total_grams, hit_grams, hit_ratio) for contaminated
+    docs only; downstream policy (drop doc vs. ratio threshold) is the
+    caller's.
+    """
+    bench = hashed_shingle_rows(benchmark, text_col, id_col, n).select("shingle").distinct()
+    tr = hashed_shingle_rows(train, text_col, id_col, n)
+    return (
+        tr.join(F.broadcast(bench), "shingle")
+        .groupBy("id", "set_size")
+        .agg(F.count(F.lit(1)).alias("hit_grams"))
+        .select(
+            "id",
+            F.col("set_size").alias("total_grams"),
+            "hit_grams",
+            F.round(F.col("hit_grams") / F.col("set_size").cast("double"), 6).alias("hit_ratio"),
+        )
+    )

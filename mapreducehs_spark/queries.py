@@ -3444,3 +3444,105 @@ def q66_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "d08_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, t, unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i
+      FROM toks
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+      FROM pos
+    ), bench AS (
+      SELECT DISTINCT gram FROM sh WHERE doc_id % 50 = 0
+    ), train AS (
+      SELECT doc_id, gram FROM sh WHERE doc_id % 50 <> 0
+    ), sized AS (
+      SELECT doc_id, count(*) AS total_grams FROM train GROUP BY 1
+    )
+    SELECT t.doc_id AS id, any_value(s.total_grams) AS total_grams,
+           CAST(count(*) AS BIGINT) AS hit_grams,
+           round(count(*) / CAST(any_value(s.total_grams) AS DOUBLE), 6) AS hit_ratio
+    FROM train t
+    JOIN bench USING (gram)
+    JOIN sized s ON s.doc_id = t.doc_id
+    GROUP BY t.doc_id
+    """,
+)
+def d08_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination (the pre-training hygiene pass): docs
+    sharing any 8-word-gram with a held-out benchmark slice (doc_id %
+    50 == 0 plays the eval set).  The benchmark's distinct gram hashes
+    broadcast — the 100 TB training scan is shuffle-free up to the
+    per-doc hit count over contaminated rows only (operators/dedup.py
+    `decontaminate`)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return dedup.decontaminate(train, bench, n=8)
+
+
+@query(
+    "t11_source_overlap",
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT source,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+      FROM documents
+    ), sized AS (
+      SELECT source, count(*) AS vocab_size FROM vocab GROUP BY 1
+    ), inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+      FROM vocab a JOIN vocab b ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           round(shared / CAST(sa.vocab_size + sb.vocab_size - shared AS DOUBLE), 6)
+             AS vocab_jaccard
+    FROM inter
+    JOIN sized sa ON sa.source = source_a
+    JOIN sized sb ON sb.source = source_b
+    """,
+)
+def t11_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap matrix (data-mixing diagnostic):
+    Jaccard of distinct-term vocabularies for every source pair.  The
+    per-source vocabulary collapses FIRST (distinct (source, term) — a
+    partial-aggregatable dedup at fact scale), so the self-join runs on
+    |vocab| rows per source, not |tokens|; 20 sources → 190 pairs out."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select("source", text.tokens("text").alias("__toks"))
+        .select("source", F.explode("__toks").alias("term"))
+        .distinct()
+        .persist()
+    )
+    sized = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("vocab_size"))
+    a = vocab.select(F.col("source").alias("source_a"), "term")
+    b = vocab.select(F.col("source").alias("source_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sized.select(F.col("source").alias("source_a"), F.col("vocab_size").alias("size_a"))
+    sb = sized.select(F.col("source").alias("source_b"), F.col("vocab_size").alias("size_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared")).cast("double"),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+    )
