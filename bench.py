@@ -51,6 +51,7 @@ HEADLINE = [
     "s04_ann_srp_topk",
     "q62_unshipped_orders",
     "q65_lone_late_supplier",
+    "d08_decontaminate",
 ]
 
 

@@ -110,3 +110,59 @@ def stratified_threshold_case_sql(
         f"WHEN {strata_col} = '{s}' THEN '{fraction_to_hex(r)}'" for s, r in rates.items()
     ]
     return "CASE " + " ".join(arms) + f" ELSE '{fraction_to_hex(default_rate)}' END"
+
+
+def mixture_resample(
+    df: DataFrame,
+    weights: dict[str, float],
+    target_fraction: float,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic mixture resampling: downsample each group so the
+    kept corpus approximates ``target_fraction`` of the input with
+    group shares proportional to ``weights`` (missing groups weigh 1).
+
+    Two passes, both cheap: (1) per-group counts — a partial-agg shuffle
+    of group keys only; (2) the rate for each group becomes a fixed
+    32-bit hex threshold BROADCAST back onto the fact scan, so the
+    actual sampling is a pure per-row predicate on the content hash —
+    no shuffle of the corpus, reproducible across runs/engines/sharding
+    (same md5 draw as `hash_split`), and rates adapt to whatever the
+    actual group sizes are at run time.  Rates cap at 1 (a group smaller
+    than its target keeps everything)."""
+    w = F.lit(None)
+    expr = None
+    for name, wt in weights.items():
+        expr = F.when(F.col(group_col) == name, float(wt)) if expr is None else expr.when(
+            F.col(group_col) == name, float(wt)
+        )
+    w = F.lit(1.0) if expr is None else expr.otherwise(1.0)
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__cnt")).withColumn("__wt", w)
+    totals = counts.agg(
+        F.sum("__cnt").alias("__total"), F.sum("__wt").alias("__sum_w")
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            (F.lit(target_fraction) * F.col("__total") * F.col("__wt") / F.col("__sum_w"))
+            / F.col("__cnt"),
+        ).alias("__rate"),
+    )
+    thresholds = rates.select(
+        group_col,
+        F.format_string(
+            "%08x",
+            F.least(
+                F.floor(F.col("__rate") * F.lit(float(_SPACE))).cast("long"),
+                F.lit(_SPACE - 1),
+            ),
+        ).alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), group_col)
+        .filter(_draw(text_col) < F.col("__thr"))
+        .drop("__thr")
+    )

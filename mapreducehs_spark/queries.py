@@ -3546,3 +3546,157 @@ def t11_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vocab_jaccard"),
         )
     )
+
+
+@query(
+    "q67_mixture_resample",
+    oracle="""
+    WITH w AS (
+      SELECT source, count(*) AS cnt,
+             CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                  THEN 2.0 ELSE 1.0 END AS wt
+      FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT sum(cnt) AS total, sum(wt) AS sum_w FROM w
+    ), thr AS (
+      SELECT source, cnt,
+             printf('%08x',
+                    CAST(least(floor(least(1.0,
+                           (0.5 * total * wt / sum_w) / cnt) * 4294967296.0),
+                         4294967295.0) AS BIGINT)) AS thr
+      FROM w, tot
+    )
+    SELECT d.source,
+           CAST(any_value(t.cnt) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT)         AS n_kept
+    FROM documents d
+    JOIN thr t USING (source)
+    WHERE substr(md5(d.text), 1, 8) < t.thr
+    GROUP BY d.source
+    """,
+)
+def q67_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing resample: keep ~50% of the corpus with sources
+    src0-src4 weighted 2x the rest (operators/sampling.mixture_resample).
+    Per-source rates are computed FROM the data (counts agg, key-only
+    shuffle), turned into 32-bit hex thresholds, and broadcast back onto
+    the scan — the sampling itself is a pure per-row md5 predicate, so
+    the 100 TB corpus is never shuffled and the draw is reproducible
+    across engines (the oracle recomputes the identical thresholds in
+    SQL)."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = _sampling.mixture_resample(
+        docs,
+        weights={f"src{i}": 2.0 for i in range(5)},
+        target_fraction=0.5,
+    )
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .join(F.broadcast(counts), "source")
+        .select("source", "n_docs", "n_kept")
+    )
+
+
+@query(
+    "d09_incremental_dedup",
+    oracle="""
+    WITH batch AS (
+      SELECT doc_id + 1000000 AS doc_id, source,
+             CASE WHEN doc_id % 3 = 1 THEN text || ' updated' ELSE text END AS text
+      FROM documents WHERE doc_id % 3 IN (0, 1)
+    ), hist AS (
+      SELECT DISTINCT md5(text) AS h FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS batch_n,
+           CAST(sum(CASE WHEN h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST(sum(CASE WHEN h IS NULL THEN 1 ELSE 0 END) AS BIGINT)     AS n_new
+    FROM batch LEFT JOIN hist ON md5(batch.text) = hist.h
+    GROUP BY source
+    """,
+)
+def d09_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (the nightly pipeline op): a derived
+    re-ingest batch — re-crawls (doc_id%3==0, unchanged text) and edits
+    (doc_id%3==1, new content) — is deduped against the HISTORICAL
+    CONTENT-HASH INDEX, never the raw corpus.  At 100 TB the index is
+    the narrow (hash, keep_id) table maintained by d01; the increment
+    (MBs-GBs) joins against it hash-to-hash, so nightly dedup cost is
+    O(|increment| + index probe), not a corpus rescan.  Per-source
+    accounting of dropped-as-duplicate vs genuinely-new."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter((F.col("doc_id") % 3).isin(0, 1)).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "source",
+        F.when(F.col("doc_id") % 3 == 1, F.concat(F.col("text"), F.lit(" updated")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    hist_idx = docs.select(F.md5("text").alias("h")).distinct()
+    flagged = batch.join(
+        hist_idx, F.md5(batch.text) == hist_idx.h, "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("batch_n"),
+        F.sum(F.when(F.col("h").isNotNull(), 1).otherwise(0)).alias("n_dup"),
+        F.sum(F.when(F.col("h").isNull(), 1).otherwise(0)).alias("n_new"),
+    )
+
+
+@query(
+    "t12_filter_funnel",
+    oracle="""
+    WITH scored AS (
+      SELECT lang,
+             n_chars < 200 AS r_short,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) < 40
+               AS r_few,
+             len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')))
+               < 0.5 * len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+               AS r_lowdiv
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN r_short THEN 1 ELSE 0 END) AS BIGINT) AS drop_short,
+           CAST(sum(CASE WHEN NOT r_short AND r_few THEN 1 ELSE 0 END) AS BIGINT) AS drop_few_tokens,
+           CAST(sum(CASE WHEN NOT r_short AND NOT r_few AND r_lowdiv THEN 1 ELSE 0 END) AS BIGINT)
+             AS drop_low_diversity,
+           CAST(sum(CASE WHEN NOT r_short AND NOT r_few AND NOT r_lowdiv THEN 1 ELSE 0 END) AS BIGINT)
+             AS survivors
+    FROM scored
+    GROUP BY lang
+    """,
+)
+def t12_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel with first-failing-rule attribution — the
+    per-rule rejection report every corpus-cleaning pipeline emits.  All
+    rules evaluate in ONE codegen'd pass (tokens staged once as a
+    projection, shared by two rules); the funnel semantics (a doc counts
+    against only the FIRST rule it fails, in pipeline order) is plain
+    conditional aggregation — no per-rule scans, no per-rule shuffles,
+    one key-only exchange for the lang rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "lang",
+        "n_chars",
+        text.tokens("text").alias("__toks"),
+    ).select(
+        "lang",
+        (F.col("n_chars") < 200).alias("r_short"),
+        (F.size("__toks") < 40).alias("r_few"),
+        (F.size(F.array_distinct("__toks")) < 0.5 * F.size("__toks")).alias("r_lowdiv"),
+    )
+    return staged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("r_short"), 1).otherwise(0)).alias("drop_short"),
+        F.sum(F.when(~F.col("r_short") & F.col("r_few"), 1).otherwise(0)).alias("drop_few_tokens"),
+        F.sum(
+            F.when(~F.col("r_short") & ~F.col("r_few") & F.col("r_lowdiv"), 1).otherwise(0)
+        ).alias("drop_low_diversity"),
+        F.sum(
+            F.when(~F.col("r_short") & ~F.col("r_few") & ~F.col("r_lowdiv"), 1).otherwise(0)
+        ).alias("survivors"),
+    )
