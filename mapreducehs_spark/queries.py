@@ -3700,3 +3700,42 @@ def t12_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(~F.col("r_short") & ~F.col("r_few") & ~F.col("r_lowdiv"), 1).otherwise(0)
         ).alias("survivors"),
     )
+
+
+@query(
+    "q68_grouped_agg_udf",
+    oracle="""
+    SELECT o_orderpriority,
+           round(exp(avg(ln(o_totalprice))), 4) AS geo_mean_price,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q68_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via a GROUPED_AGG pandas UDF: per-priority geometric
+    mean of order value.  Unlike built-in aggregates a grouped-agg UDF
+    gets the whole group's values as one Arrow series — no partial
+    aggregation, the shuffle carries raw rows.  That is the documented
+    trade-off (SCALE.md "grouped-map materializes whole groups"); the
+    declarative identity exp(avg(ln(x))) is what you ship at 100 TB,
+    and the oracle checks the UDF against exactly that identity."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return int(len(v))
+
+    orders = _t(spark, sf_dir, "orders")
+    # a grouped-agg pandas UDF cannot mix with JVM aggregates in one
+    # agg() (INVALID_PANDAS_UDF_PLACEMENT) — so the count is a UDF too
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(geo_mean("o_totalprice"), 4).alias("geo_mean_price"),
+        n_rows("o_totalprice").alias("n_orders"),
+    )
