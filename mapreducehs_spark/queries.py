@@ -3739,3 +3739,80 @@ def q68_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(geo_mean("o_totalprice"), 4).alias("geo_mean_price"),
         n_rows("o_totalprice").alias("n_orders"),
     )
+
+
+@query(
+    "q69_event_funnel",
+    oracle="""
+    WITH tv AS (
+      SELECT user_id, min(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ), tc AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN tv USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > tv.t_view
+        AND e.ts <= tv.t_view + INTERVAL 4 HOUR
+      GROUP BY 1
+    ), tp AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN tc USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > tc.t_click
+        AND e.ts <= tc.t_click + INTERVAL 4 HOUR
+      GROUP BY 1
+    )
+    SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS users_total,
+           (SELECT CAST(count(*) AS BIGINT) FROM tv) AS reached_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM tc) AS reached_click,
+           (SELECT CAST(count(*) AS BIGINT) FROM tp) AS reached_purchase
+    """,
+)
+def q69_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (view → click-after-view →
+    purchase-after-click, each step converting within 4 hours), the
+    product-analytics / MATCH_RECOGNIZE-lite idiom.  The oracle's three dependent aggregation-joins collapse into
+    THREE window stages over ONE user_id partitioning — a single
+    shuffle: each stage's conditional min can reference the previous
+    stage's column because they share the exchange (the q36 pattern),
+    and the trailing per-user rollup reuses the same partitioning.
+    Emits stage counts only (no raw event timestamps cross the
+    engine boundary)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    s = (
+        ev.withColumn(
+            "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view"))
+                    & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 4 HOURS")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click"))
+                    & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 4 HOURS")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = s.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("users_total"),
+        F.count("t_view").alias("reached_view"),
+        F.count("t_click").alias("reached_click"),
+        F.count("t_purchase").alias("reached_purchase"),
+    )
