@@ -39,14 +39,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Plain parquet scan → full pushdown.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects (PARQUET_TYPE_ILLEGAL).  We read it as long
-    (``nanosAsLong``) and convert with exact integer division to a µs
-    timestamp — same truncation a ns→µs reader would apply.
+    Timestamp discipline: the testdata stores naive (no-timezone)
+    timestamps.  Spark 4 would infer those as TIMESTAMP_NTZ, a type
+    that rejects numeric casts and diverges from the DuckDB oracle's
+    plain-TIMESTAMP handling, so we disable NTZ inference and pin the
+    session timezone to UTC — naive values then read as identical
+    UTC instants on both engines.  Older generations of the testdata
+    stored ``events.ts`` as TIMESTAMP(NANOS), which the reader
+    rejects outright; the ``nanosAsLong`` fallback covers that.
     """
-    # Oracle discipline (BASELINE.md): timestamp rendering must be UTC
-    # regardless of how the calling session was built.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
