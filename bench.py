@@ -52,6 +52,10 @@ HEADLINE = [
     "q62_unshipped_orders",
     "q65_lone_late_supplier",
     "d08_decontaminate",
+    "q70_range_band_join",
+    "q71_mg_heavy_hitters",
+    "d10_chunk_dedup",
+    "s05_kmeans_profile",
 ]
 
 

@@ -659,3 +659,73 @@ def decontaminate(
             F.round(F.col("hit_grams") / F.col("set_size").cast("double"), 6).alias("hit_ratio"),
         )
     )
+
+
+def chunk_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    facet: str = "source",
+    chunk_tokens: int = 16,
+) -> DataFrame:
+    """Sub-document (chunk-level) duplication profile per facet — the
+    boilerplate/template detector run before training-data dedup.
+
+    Each document's token stream is cut into fixed ``chunk_tokens``-token
+    chunks (last partial chunk included); a chunk *instance* is
+    "duplicated" when the identical chunk text occurs in at least one
+    OTHER document.  Reported per facet: document count, total chunk
+    instances, duplicated instances, and the mean per-document duplicated
+    fraction.
+
+    Scale shape: one explode (linear in corpus tokens / chunk_tokens),
+    then the cross-document occurrence count groups on the chunk's
+    128-bit md5 — a bounded-width shuffle key regardless of chunk text
+    size — and the result joins back by hash.  No pairwise comparisons
+    anywhere: corpus-wide chunk frequency is a hash aggregation, which
+    survives 100 TB the same way d01 exact dedup does.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    staged = (
+        df.select(F.col(id_col).alias("id"), F.col(facet).alias("facet"), F.col(text_col).alias("__text"))
+        .repartition(par)
+        .select("id", "facet", tokens(F.col("__text")).alias("__toks"))
+    )
+    toks = F.col("__toks")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    chunks = staged.select(
+        "id",
+        "facet",
+        F.explode_outer(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(" ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)),
+            )
+        ).alias("chunk"),
+    ).filter(F.col("chunk").isNotNull() & (F.col("chunk") != ""))
+    hashed = chunks.select("id", "facet", F.md5("chunk").alias("h"))
+    # chunk hash -> number of distinct documents containing it
+    docs_per_chunk = (
+        hashed.select("id", "h").distinct().groupBy("h").agg(F.count(F.lit(1)).alias("n_docs_with"))
+    )
+    per_doc = (
+        hashed.join(docs_per_chunk, "h")
+        .groupBy("id", "facet")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs_with") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+        )
+    )
+    return (
+        per_doc.groupBy("facet")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chunks").alias("chunk_instances"),
+            F.sum("n_dup_chunks").alias("dup_instances"),
+            F.round(F.avg(F.col("n_dup_chunks") / F.col("n_chunks").cast("double")), 6).alias(
+                "avg_dup_frac"
+            ),
+        )
+        .withColumnRenamed("facet", facet)
+    )

@@ -21,6 +21,7 @@ corpus/n_cells × n_probe per query.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -462,3 +463,88 @@ def all_pairs_cosine_blocked(
     return block_pairs.repartition(min(n_pairs * (n_pairs + 1) // 2, 256)).mapInPandas(
         score, schema=out_schema
     )
+
+
+def kmeans_profile(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means (data-seeded: initial centroids are
+    the ``k`` lowest-``id_col`` vectors) returning the per-cluster
+    profile ``(cluster, n_members, avg_sqdist)`` after ``iters``
+    iterations — the iterative-algorithm witness with a replayable
+    trajectory (no RNG), so even the oracle can re-derive it.
+
+    Distributed shape per iteration (same as train_ivf_centroids):
+    (1) assignment is an Arrow-batched numpy matmul against the
+    broadcast-sized centroid matrix — scan-shaped, no shuffle;
+    (2) the centroid update is posexplode + hash-agg keyed on
+    (cluster, pos) — ONE partial-aggregatable shuffle of k×dim×P partial
+    rows, never raw vectors.  Only k×dim floats hit the driver per
+    iteration.  All arithmetic in float64 (inputs upcast) so results are
+    engine-portable.  Clusters that empty out drop from the codebook
+    (standard Lloyd-with-pruning).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    def assign_udf(cids: list[int], cents: np.ndarray):
+        # codebook rows sorted by cluster id; np.argmin's first-min
+        # tie-break therefore means "lowest cluster id wins"
+        c = np.asarray(cents, dtype=np.float64)  # (k, dim)
+        c_sq = (c * c).sum(axis=1)
+        labels = np.asarray(cids, dtype=np.int64)
+
+        @pandas_udf("struct<cluster: long, sqdist: double>")
+        def assign(vs: pd.Series) -> pd.DataFrame:
+            m = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+            # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2
+            d2 = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T) + c_sq[None, :]
+            best = d2.argmin(axis=1)
+            return pd.DataFrame(
+                {"cluster": labels[best], "sqdist": d2[np.arange(len(best)), best]}
+            )
+
+        return assign
+
+    vecs = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    init = vecs.filter(F.col("id") < k).orderBy("id").collect()
+    # clusters stay labeled by their seed vector's id across iterations
+    cids = [int(r["id"]) for r in init]
+    cents = np.asarray([r["v"] for r in init], dtype=np.float64)
+
+    vecs = vecs.persist()
+    try:
+        for _ in range(max(iters - 1, 0)):
+            assigned = vecs.withColumn("a", assign_udf(cids, cents)(F.col("v")))
+            sums = (
+                assigned.select(F.col("a.cluster").alias("cl"), F.posexplode("v").alias("pos", "x"))
+                .groupBy("cl", "pos")
+                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            survivors = sorted({int(r["cl"]) for r in sums})
+            remap = {cl: i for i, cl in enumerate(survivors)}
+            dim = cents.shape[1]
+            acc = np.zeros((len(survivors), dim))
+            cnt = np.zeros(len(survivors))
+            for r in sums:
+                acc[remap[r["cl"]], r["pos"]] = r["s"]
+                cnt[remap[r["cl"]]] = r["n"]
+            cids = survivors
+            cents = acc / cnt[:, None]
+        final = vecs.withColumn("a", assign_udf(cids, cents)(F.col("v")))
+        return (
+            final.groupBy(F.col("a.cluster").alias("cluster"))
+            .agg(
+                F.count(F.lit(1)).alias("n_members"),
+                F.avg("a.sqdist").alias("avg_sqdist"),
+            )
+        )
+    finally:
+        vecs.unpersist()

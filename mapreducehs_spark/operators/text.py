@@ -298,3 +298,48 @@ def ngram_hash_rows(
         F.col(text_col).alias("__text"),
     ).repartition(par)
     return staged.mapInPandas(kernel, "id long, carry string, gram long")
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    n: int = 5,
+    min_doc_frac: float = 0.05,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide boilerplate detector: word ``n``-grams ranked by
+    DOCUMENT frequency (how many distinct docs contain them), keeping
+    those above ``min_doc_frac`` of the corpus, top ``top_k`` overall.
+
+    High-doc-frequency long n-grams are headers/footers/templates — the
+    removal list a web-scale cleaning pipeline derives first.  Shape:
+    tokens staged once, n-grams per doc DISTINCT'd array-side (cheap,
+    in-memory per row) so the explode emits each (doc, gram) once, then
+    ONE hash aggregation on the gram string and a global top-k via
+    ordered limit.  The gram aggregation key could be xxhash64-folded at
+    100 TB to keep shuffle rows narrow; kept as text here because the
+    output IS the removal list.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    staged = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        .repartition(par)
+        .select("id", tokens(F.col("__text")).alias("__toks"))
+        .filter(F.size("__toks") >= n)
+    )
+    n_docs = df.count()
+    exploded = staged.select(
+        "id", F.explode_outer(F.array_distinct(ngrams("__toks", n))).alias("gram")
+    ).filter(F.col("gram").isNotNull())
+    dfreq = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return (
+        dfreq.filter(F.col("doc_freq") >= float(min_doc_frac) * n_docs)
+        .select(
+            "gram",
+            "doc_freq",
+            F.round(F.col("doc_freq") / F.lit(float(n_docs)), 6).alias("doc_frac"),
+        )
+        .orderBy(F.col("doc_freq").desc(), F.col("gram").asc())
+        .limit(top_k)
+    )

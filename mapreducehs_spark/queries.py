@@ -3816,3 +3816,264 @@ def q69_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_click").alias("reached_click"),
         F.count("t_purchase").alias("reached_purchase"),
     )
+
+
+# =========================================================================
+# Round 3: range/band joins, windowed dedup, mergeable sketches,
+# chunk-level dedup, boilerplate mining, iterative k-means
+# =========================================================================
+
+@query(
+    "q70_range_band_join",
+    oracle="""
+    WITH bands AS (
+      SELECT CAST(i AS BIGINT) AS band_id, i * 25000.0 AS lo, (i + 1) * 25000.0 AS hi
+      FROM range(0, 20) t(i)
+    )
+    SELECT band_id, lo,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 4) AS sum_price
+    FROM orders o JOIN bands b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY band_id, lo
+    """,
+)
+def q70_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval (band) join via operators/joins.range_join: the
+    interval side explodes to the buckets it overlaps, the join is a
+    HASH join on bucket id + residual BETWEEN filter — never the
+    quadratic broadcast-nested-loop a raw theta join plans to.  At
+    100 TB the band dim is broadcast-sized, so the fact side is
+    scan-shaped with zero extra shuffle before the final rollup."""
+    from mapreducehs_spark.operators.joins import range_join
+
+    orders = _t(spark, sf_dir, "orders")
+    bands = (
+        spark.range(0, 20)
+        .select(
+            F.col("id").alias("band_id"),
+            (F.col("id") * 25000.0).alias("lo"),
+            ((F.col("id") + 1) * 25000.0).alias("hi"),
+        )
+    )
+    joined = range_join(
+        orders.select("o_orderkey", "o_totalprice"),
+        bands,
+        left_point="o_totalprice",
+        right_lo="lo",
+        right_hi="hi",
+        bucket_width=25000.0,
+    ).filter(F.col("o_totalprice") < F.col("hi"))  # half-open [lo, hi)
+    return joined.groupBy("band_id", "lo").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+    )
+
+
+@query(
+    "q71_mg_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT lang,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+      FROM documents
+    ), cnt AS (
+      SELECT lang, term, CAST(count(*) AS BIGINT) AS est
+      FROM toks GROUP BY 1, 2
+    ), rk AS (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY est DESC, term ASC) AS rank
+      FROM cnt
+    )
+    SELECT lang, term, est, CAST(rank AS BIGINT) AS rank
+    FROM rk WHERE rank <= 5
+    """,
+)
+def q71_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters per language via partition-local Misra-Gries
+    sketches merged per group (operators/sketches.py) — the
+    bounded-shuffle alternative to explode→groupBy→count: shuffle rows
+    are O(partitions × capacity), not O(corpus tokens).  With capacity
+    (64) ≥ the corpus vocabulary the sketch is provably exact, which is
+    what the oracle checks; the approximation bound N/(c+1) for
+    adversarial vocabularies is pinned in unit tests."""
+    from mapreducehs_spark.operators.sketches import mg_topk_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    terms = (
+        docs.select("lang", text.tokens("text").alias("__toks"))
+        .repartition(par)
+        .select("lang", F.explode_outer("__toks").alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
+    return mg_topk_per_group(terms, group_col="lang", term_col="term", capacity=64, k=5)
+
+
+@query(
+    "q72_window_dedup",
+    oracle="""
+    WITH keyed AS (
+      SELECT event_type, user_id,
+             CAST(epoch(ts) AS BIGINT) // 600 AS win,
+             row_number() OVER (
+               PARTITION BY user_id, event_type, CAST(epoch(ts) AS BIGINT) // 600
+               ORDER BY ts ASC, event_id ASC
+             ) AS rn
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM keyed
+    GROUP BY event_type
+    """,
+)
+def q72_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed deduplication — keep the first event per (user, type)
+    within each 10-minute tumbling window; the batch twin of Structured
+    Streaming's dropDuplicatesWithinWatermark (st04 is the stream side).
+    ONE shuffle on the dedup key (user, type, window) shared by the
+    row_number and nothing else; the per-type rollup is a second
+    key-only exchange of survivors.  At 100 TB the window term bounds
+    dedup state: identical keys more than a window apart never meet."""
+    ev = _t(spark, sf_dir, "events")
+    win = (F.col("ts").cast("long") / F.lit(600)).cast("long") - (
+        ((F.col("ts").cast("long") % 600) < 0).cast("long")
+    )  # floor-div toward -inf matches DuckDB's // on the positive epochs here
+    w = Window.partitionBy("user_id", "event_type", "win").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    keyed = ev.select("event_type", "user_id", "ts", "event_id", win.alias("win")).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return keyed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+    )
+
+
+@query(
+    "d10_chunk_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, source, t,
+             unnest(range(0, greatest(CAST(ceil(len(t) / 16.0) AS BIGINT), 1))) AS i
+      FROM toks
+    ), ch AS (
+      SELECT doc_id, source, md5(array_to_string(t[i*16+1 : i*16+16], ' ')) AS h
+      FROM idx
+      WHERE array_to_string(t[i*16+1 : i*16+16], ' ') != ''
+    ), dpc AS (
+      SELECT h, count(DISTINCT doc_id) AS n_docs_with FROM ch GROUP BY 1
+    ), per_doc AS (
+      SELECT ch.doc_id, ch.source,
+             count(*) AS n_chunks,
+             sum(CASE WHEN dpc.n_docs_with > 1 THEN 1 ELSE 0 END) AS n_dup
+      FROM ch JOIN dpc USING (h)
+      GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chunks) AS BIGINT) AS chunk_instances,
+           CAST(sum(n_dup) AS BIGINT) AS dup_instances,
+           round(avg(n_dup / CAST(n_chunks AS DOUBLE)), 6) AS avg_dup_frac
+    FROM per_doc
+    GROUP BY source
+    """,
+)
+def d10_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document chunk-level duplication profile per source
+    (operators/dedup.chunk_dup_stats): 16-token chunks, md5 chunk keys,
+    corpus-wide chunk frequency by hash aggregation — the boilerplate
+    profile computed before paragraph-level dedup, with zero pairwise
+    work (same scalability class as d01 exact dedup)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.chunk_dup_stats(docs, chunk_tokens=16)
+
+
+@query(
+    "t13_boilerplate_ngrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i
+      FROM toks
+    ), g AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+      FROM pos
+    ), dfq AS (
+      SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq FROM g GROUP BY 1
+    )
+    SELECT gram, doc_freq,
+           round(doc_freq / (SELECT CAST(count(*) AS DOUBLE) FROM documents), 6) AS doc_frac
+    FROM dfq
+    WHERE doc_freq >= 0.01 * (SELECT count(*) FROM documents)
+    ORDER BY doc_freq DESC, gram ASC
+    LIMIT 20
+    """,
+)
+def t13_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining: 3-grams ranked by document frequency
+    (operators/text.boilerplate_ngrams) — the template/header removal
+    list.  One explode of per-doc DISTINCT grams + one hash agg + a
+    total-ordered global top-k."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.boilerplate_ngrams(docs, n=3, min_doc_frac=0.01, top_k=20)
+
+
+@query(
+    "s05_kmeans_profile",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8
+    ), d1 AS (
+      SELECT e.vec_id, e.v, c0.cid, power(list_distance(e.v, c0.c), 2) AS dd
+      FROM e CROSS JOIN c0
+    ), a1 AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd ASC, cid ASC) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ), m1 AS (
+      SELECT cid, pos, avg(x) AS mx FROM (
+        SELECT cid, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM a1
+      ) GROUP BY 1, 2
+    ), c1 AS (
+      SELECT cid, list(mx ORDER BY pos) AS c FROM m1 GROUP BY cid
+    ), d2 AS (
+      SELECT e.vec_id, c1.cid, power(list_distance(e.v, c1.c), 2) AS dd
+      FROM e CROSS JOIN c1
+    ), a2 AS (
+      SELECT vec_id, cid, dd FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd ASC, cid ASC) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    )
+    SELECT cid AS cluster,
+           CAST(count(*) AS BIGINT) AS n_members,
+           round(avg(dd), 4) AS avg_sqdist
+    FROM a2 GROUP BY cid
+    """,
+)
+def s05_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 2-iteration Lloyd k-means (k=8, seeded by the 8
+    lowest vec_ids) over the embedding corpus
+    (operators/similarity.kmeans_profile) — the iterative-algorithm
+    witness.  Per iteration: Arrow/numpy matmul assignment (no shuffle)
+    + ONE partial-aggregatable (cluster, dim) shuffle for the centroid
+    update; only k×dim floats reach the driver.  The no-RNG trajectory
+    lets even DuckDB replay both iterations as CTEs."""
+    from mapreducehs_spark.operators.similarity import kmeans_profile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = kmeans_profile(emb, k=8, iters=2)
+    return out.withColumn("avg_sqdist", F.round(F.col("avg_sqdist"), 4))

@@ -679,3 +679,127 @@ def test_observe_metrics_single_pass(spark):
     assert metrics["n_rows"] == li.count()
     assert metrics["null_qty"] == 0
     assert metrics["min_ship"] is not None
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries sketch (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+def test_mg_exact_when_capacity_covers_vocab(spark):
+    # 3 terms, capacity 8 >> vocab: sketch must be exact
+    rows = [("g", t) for t in ["a"] * 50 + ["b"] * 30 + ["c"] * 20]
+    df = spark.createDataFrame(rows, "g string, term string").repartition(4)
+    from mapreducehs_spark.operators.sketches import mg_topk_per_group
+
+    got = {
+        (r["term"]): (r["est"], r["rank"])
+        for r in mg_topk_per_group(df, "g", "term", capacity=8, k=3).collect()
+    }
+    assert got == {"a": (50, 1), "b": (30, 2), "c": (20, 3)}
+
+
+def test_mg_error_bound_under_adversarial_vocab(spark):
+    # one heavy hitter + 200 singletons, capacity 16: the PODS'12 merge
+    # bound still guarantees the heavy hitter survives with
+    # est >= true - N/(c+1) ... but partition-local sketches each add
+    # their own N_p/(c+1) slack; the mergeable-summaries theorem keeps
+    # the TOTAL underestimate <= N/(c+1) across arbitrary merge trees.
+    heavy = ["hot"] * 300
+    noise = [f"w{i}" for i in range(200)]
+    rows = [("g", t) for t in heavy + noise]
+    df = spark.createDataFrame(rows, "g string, term string").repartition(4)
+    from mapreducehs_spark.operators.sketches import mg_topk_per_group
+
+    out = {r["term"]: r["est"] for r in
+           mg_topk_per_group(df, "g", "term", capacity=16, k=1).collect()}
+    n_total = len(heavy) + len(noise)
+    assert "hot" in out
+    assert out["hot"] <= 300
+    assert out["hot"] >= 300 - n_total / (16 + 1)
+
+
+# ---------------------------------------------------------------------------
+# chunk-level dedup (operators/dedup.chunk_dup_stats)
+# ---------------------------------------------------------------------------
+
+def test_chunk_dup_stats_counts_shared_chunks(spark):
+    # doc 1 and 2 share their first 4-token chunk; doc 3 is unique
+    shared = "a b c d"
+    rows = [
+        (1, "s0", f"{shared} e f g h"),
+        (2, "s0", f"{shared} p q r s"),
+        (3, "s1", "u v w x y z aa bb"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    from mapreducehs_spark.operators.dedup import chunk_dup_stats
+
+    got = {
+        r["source"]: (r["n_docs"], r["chunk_instances"], r["dup_instances"], r["avg_dup_frac"])
+        for r in chunk_dup_stats(df, chunk_tokens=4).collect()
+    }
+    # each s0 doc = 2 chunks, one of which (shared) appears in 2 docs
+    assert got["s0"] == (2, 4, 2, 0.5)
+    assert got["s1"] == (1, 2, 0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# boilerplate ngrams (operators/text.boilerplate_ngrams)
+# ---------------------------------------------------------------------------
+
+def test_boilerplate_ngrams_ranks_by_doc_freq(spark):
+    rows = [
+        (1, "the same header unique1 tail1"),
+        (2, "the same header unique2 tail2"),
+        (3, "the same header unique3 tail3"),
+        (4, "totally different words here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from mapreducehs_spark.operators.text import boilerplate_ngrams
+
+    top = boilerplate_ngrams(df, n=3, min_doc_frac=0.5, top_k=5).collect()
+    assert top[0]["gram"] == "the same header"
+    assert top[0]["doc_freq"] == 3
+    assert abs(top[0]["doc_frac"] - 0.75) < 1e-9
+    # nothing else reaches 50% of the 4 docs
+    assert len(top) == 1
+
+
+# ---------------------------------------------------------------------------
+# deterministic k-means (operators/similarity.kmeans_profile)
+# ---------------------------------------------------------------------------
+
+def test_kmeans_profile_matches_numpy_reference(spark):
+    rng = np.random.default_rng(7)
+    k, dim, n = 4, 8, 60
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from mapreducehs_spark.operators.similarity import kmeans_profile
+
+    got = {
+        r["cluster"]: (r["n_members"], r["avg_sqdist"])
+        for r in kmeans_profile(df, k=k, iters=2).collect()
+    }
+
+    # numpy replay with the identical trajectory
+    v = vecs.astype(np.float64)
+    cents = v[:k].copy()
+    cids = list(range(k))
+    for it in range(2):
+        d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        best = d2.argmin(axis=1)
+        if it == 0:
+            surv = sorted(set(best.tolist()))
+            cents = np.stack([v[best == b].mean(axis=0) for b in surv])
+            cids = [cids[b] for b in surv]
+    d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    best = d2.argmin(axis=1)
+    want = {}
+    for j, cid in enumerate(cids):
+        mask = best == j
+        if mask.any():
+            want[cid] = (int(mask.sum()), float(d2[mask, j].mean()))
+    assert set(got) == set(want)
+    for cid in want:
+        assert got[cid][0] == want[cid][0]
+        assert abs(got[cid][1] - want[cid][1]) < 1e-6
