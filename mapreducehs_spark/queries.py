@@ -4077,3 +4077,86 @@ def s05_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = kmeans_profile(emb, k=8, iters=2)
     return out.withColumn("avg_sqdist", F.round(F.col("avg_sqdist"), 4))
+
+
+@query(
+    "st08_stream_late_data",
+    oracle="""
+    WITH b AS (
+      SELECT max(ts) AS tmax,
+             (SELECT max(ts) FROM events WHERE ts < (SELECT max(ts) FROM events)) AS m0
+      FROM events
+    ),
+    keep AS (
+      SELECT e.* FROM events e, b
+      WHERE NOT (e.ts >= b.tmax - INTERVAL 5400 SECOND
+                 AND e.ts < b.tmax - INTERVAL 1800 SECOND)
+         OR (floor(epoch(e.ts) / 3600) * 3600 + 3600
+             > epoch(b.m0) - 2233)
+    )
+    SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM keep
+    GROUP BY 1, 2
+    """,
+)
+def st08_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics, exercised for real: the replay
+    holds back the [t_max-90min, t_max-30min) slice of events and plays
+    it AFTER everything else (streaming/ops.prepare_late_stream_dir).
+    By then the LATE-EVENT-FILTER watermark (the previous batch's —
+    Spark's two-watermark model, SPARK-24634) sits at m0 - 2233s where
+    m0 = max(ts < t_max), so Spark must drop exactly the late rows
+    whose hour window closed against it (window.end <= m0 - 2233) and
+    merge the rest into still-open windows.  The oracle recomputes that
+    drop set arithmetically — deterministic because both watermarks
+    depend only on event time.
+    The 2233s delay is deliberately not minute-aligned so window ends
+    can never tie the watermark exactly.  At 100 TB this bounded-state
+    discipline (watermark evicts closed windows) is what keeps an
+    always-on aggregation's state finite."""
+    from mapreducehs_spark import streaming as st
+
+    replay = st.prepare_late_stream_dir(spark, sf_dir)
+    events = st.events_stream(spark, replay)
+    agg = st.tumbling_aggregate(events, window="1 hour", watermark="2233 seconds")
+    out = st.run_to_batch(agg, "st08_sink", output_mode="append")
+    return out.filter(F.col("event_type") != "__flush__")
+
+
+@query(
+    "q73_time_range_frames",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           round(sum(value) OVER w, 4) AS sum_1h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts
+      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q73_time_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frames: per event, the rolling 1-hour count and
+    value-sum for the same user — the time-decayed rolling metric
+    (rate limiting, anomaly scoring) that ROWS frames cannot express
+    when arrival cadence varies.  ONE shuffle on user_id; the frame is
+    bounded sliding state per key (evict-left as the lower bound
+    advances), identical at any scale.  RANGE frames treat equal
+    timestamps as peers (all enter the frame together), which is why
+    the oracle needs no tiebreak column."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+    )

@@ -3,6 +3,7 @@ from mapreducehs_spark.streaming.ops import (
     clicks_then_purchases,
     enrich_with_dim,
     events_stream,
+    prepare_late_stream_dir,
     prepare_stream_dir,
     run_to_batch,
     session_aggregate,
@@ -17,6 +18,7 @@ __all__ = [
     "clicks_then_purchases",
     "enrich_with_dim",
     "events_stream",
+    "prepare_late_stream_dir",
     "prepare_stream_dir",
     "run_to_batch",
     "session_aggregate",

@@ -453,3 +453,94 @@ def enrich_with_dim(
         F.round("value", 4).alias("value"),
         "n_name",
     )
+
+
+def prepare_late_stream_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    late_lo_sec: int = 5400,
+    late_hi_sec: int = 1800,
+    n_ontime_chunks: int = 3,
+    base_dir: str = "/tmp/mapreducehs_stream",
+) -> str:
+    """Replay directory with a deterministic LATE slice — the
+    watermark-semantics fixture.
+
+    Rows with ``ts`` in ``[t_max - late_lo_sec, t_max - late_hi_sec)``
+    are held back and replayed as the LAST data chunk, after every
+    on-time row (the on-time chunks stay time-ordered, so no on-time
+    row is ever late).
+
+    Two-watermark subtlety (SPARK-24634, Spark ≥ 3.4): within a batch
+    the LATE-EVENT FILTER uses the previous batch's watermark while
+    EVICTION uses the updated one.  To make the drop set cleanly
+    derivable, the rows carrying the maximum timestamp get their own
+    one-row chunk played right before the late chunk: when the late
+    chunk runs, its late-filter watermark is then
+    ``max(ts where ts < t_max) - delay`` (call it m0 - delay) and its
+    eviction watermark is ``t_max - delay``.  Spark drops exactly the
+    late rows whose window end <= m0 - delay (those windows were also
+    evicted+emitted in the previous batch, so no duplicate emission is
+    possible), and merges the rest — a deterministic, oracle-checkable
+    subset because both watermarks depend only on event time.
+    """
+    key = f"{os.path.basename(os.path.normpath(sf_dir))}_late_{late_lo_sec}_{late_hi_sec}_{n_ontime_chunks}_v2"
+    out = os.path.join(base_dir, key)
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    pdf = ev.toPandas().sort_values("ts", kind="mergesort", ignore_index=True)
+    t_max = pdf["ts"].max()
+    lo = t_max - pd.Timedelta(seconds=late_lo_sec)
+    hi = t_max - pd.Timedelta(seconds=late_hi_sec)
+    late_mask = (pdf["ts"] >= lo) & (pdf["ts"] < hi)
+    tmax_mask = pdf["ts"] == t_max
+    late = pdf[late_mask]
+    tail = pdf[tmax_mask & ~late_mask]
+    ontime = pdf[~late_mask & ~tmax_mask]
+
+    n = len(ontime)
+    bounds = [round(i * n / n_ontime_chunks) for i in range(n_ontime_chunks + 1)]
+    files = []
+    for i in range(n_ontime_chunks):
+        chunk = ontime.iloc[bounds[i] : bounds[i + 1]]
+        if len(chunk) == 0:
+            continue
+        p = os.path.join(out, f"chunk_{i:04d}.parquet")
+        chunk.to_parquet(p, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+        files.append(p)
+    # the t_max rows ride alone so they advance the late-filter
+    # watermark exactly one batch before the late chunk plays
+    p_tail = os.path.join(out, f"chunk_{n_ontime_chunks:04d}_tail.parquet")
+    tail.to_parquet(p_tail, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    files.append(p_tail)
+    p_late = os.path.join(out, f"chunk_{n_ontime_chunks + 1:04d}_late.parquet")
+    late.to_parquet(p_late, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    files.append(p_late)
+
+    sentinel = pd.DataFrame(
+        {
+            "event_id": [-1],
+            "ts": [pdf["ts"].max() + pd.Timedelta(days=365)],
+            "user_id": [-1],
+            "event_type": [FLUSH_TYPE],
+            "value": [0.0],
+            "props": ["{}"],
+        }
+    )
+    p_sent = os.path.join(out, f"chunk_{n_ontime_chunks + 2:04d}_flush.parquet")
+    sentinel.to_parquet(p_sent, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    files.append(p_sent)
+
+    now = time.time()
+    for i, f in enumerate(files):
+        os.utime(f, (now + i * 10, now + i * 10))
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
