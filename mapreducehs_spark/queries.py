@@ -3857,7 +3857,7 @@ def q70_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     joined = range_join(
-        orders.select("o_orderkey", "o_totalprice"),
+        orders.select("o_totalprice"),
         bands,
         left_point="o_totalprice",
         right_lo="lo",
@@ -4159,4 +4159,83 @@ def q73_time_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+    )
+
+
+@query(
+    "q74_promo_revenue_share",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def q74_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share in a one-month window.  The
+    numerator/denominator ratio computes as TWO conditional sums in ONE
+    scan+join pass (never two scans); the date filter pushes to the
+    fact scan and the part dim broadcasts, so the only exchange is the
+    single-row final aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_type")), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q75_profit_by_nation_year",
+    oracle="""
+    SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS profit,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand LIKE 'Brand#1%'
+    GROUP BY n_name, year(l_shipdate)
+    """,
+)
+def q75_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-(nation, year) profit for a brand family.
+    All three dimensions broadcast; the brand LIKE filter semi-join-
+    prunes the fact side through the broadcast join; ONE exchange for
+    the rollup.  year() stays an expression on the pushed-down scan —
+    no pre-materialized date dim needed."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(sup.select("s_suppkey", "s_nationkey")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat.select("n_nationkey", "n_name")), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(part.select("p_partkey").filter(F.col("p_brand").like("Brand#1%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("n_name", F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
     )

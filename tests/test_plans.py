@@ -265,3 +265,35 @@ def test_q65_two_fact_scans_no_correlated_probe(q):
     assert len(re.findall(r"lineitem\.parquet", plan)) == 2
     assert "LeftSemi" not in plan and "LeftAnti" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q70_band_join_is_hash_not_nested_loop(q):
+    df = q("q70_range_band_join")
+    plan = I.formatted_plan(df)
+    # the bucketized form must plan an equi hash join on the bucket id,
+    # never BroadcastNestedLoopJoin (the quadratic raw-theta-join plan)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or I.sort_merge_join_count(df) > 0
+    # fact side pruned to the single needed column
+    assert set(I.scan_columns(df, "orders")) == {"o_totalprice"}
+
+
+def test_q72_window_dedup_two_exchanges(q):
+    df = q("q72_window_dedup")
+    # one shuffle for the (user, type, window) dedup key, one for the
+    # per-type rollup — nothing else
+    assert I.exchange_count(df) == 2
+
+
+def test_q73_range_frame_single_exchange(q):
+    df = q("q73_time_range_frames")
+    # both rolling aggregates share the user_id partitioning: ONE shuffle
+    assert I.exchange_count(df) == 1
+
+
+def test_d10_chunk_dedup_no_pairwise_join(q):
+    df = q("d10_chunk_dedup")
+    plan = I.formatted_plan(df)
+    # corpus-wide chunk frequency is hash aggregation + hash join on the
+    # md5 — no nested-loop/cartesian anywhere
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
