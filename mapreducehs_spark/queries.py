@@ -1170,10 +1170,22 @@ def m01_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("m02_payload_features")  # sha256-fold features: not SQL-expressible
+@query(
+    "m02_payload_features",
+    oracle="""
+    SELECT doc_id,
+           round((('0x' || substr(sha256(text), 1, 8))::BIGINT) / 4294967296.0, 6) AS f0,
+           round((('0x' || substr(sha256(text), 57, 8))::BIGINT) / 4294967296.0, 6) AS f7,
+           8 AS dim
+    FROM documents
+    """,
+)
 def m02_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
-    mapInPandas (deterministic stand-in extractor; real decode stubs)."""
+    mapInPandas (deterministic stand-in extractor; real decode stubs).
+    The stand-in folds the payload's sha256 into unit floats, which the
+    oracle replays in SQL (hex-slice → int / 2^32) — so even the UDF
+    boundary is hash-checked, not just row-counted."""
     docs = _t(spark, sf_dir, "documents")
     feats = multimodal.extract_features(multimodal.attach_payload(docs), dim=8)
     return feats.select(
@@ -1188,11 +1200,34 @@ def m02_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Reference-parity pipeline kernel (SURVEY §2.1 O1-O5; Impl.hs sample)
 # =========================================================================
 
-@query("p01_wordcount_pipeline")  # KV pipeline semantics: rows-only check
+@query(
+    "p01_wordcount_pipeline",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+      FROM documents
+    ), ch AS (
+      SELECT doc_id, i, text[i] AS c FROM pos
+    ), flagged AS (
+      SELECT doc_id, c,
+             CASE WHEN lag(c) OVER (PARTITION BY doc_id ORDER BY i)
+                       IS DISTINCT FROM c THEN 1 ELSE 0 END AS new_run
+      FROM ch
+    )
+    -- each run of length L contributes L+1 (the add1 stage applies to
+    -- the run's count): per char, sum = occurrences + number of runs
+    SELECT c AS key, CAST(count(*) + sum(new_run) AS INTEGER) AS value
+    FROM flagged
+    GROUP BY c
+    """,
+)
 def p01_wordcount_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's own sample pipeline (src/Impl.hs:30-44) — char
     run-length-encode → +1 → sum per key — run through the M1 Pipeline
-    kernel (mapInPandas/applyInPandas lowering) over documents.text."""
+    kernel (mapInPandas/applyInPandas lowering) over documents.text.
+    The oracle re-derives the run-length algebra relationally: a run of
+    length L contributes L+1, so each char's total is its occurrence
+    count plus its run count."""
     docs = _t(spark, sf_dir, "documents")
     kv = docs.select(
         F.col("doc_id").cast("string").alias("key"), F.col("text").alias("value")
