@@ -1,0 +1,104 @@
+"""Simulate the round driver: vanilla SparkSession + DuckDB oracle compare.
+
+Run with cwd=/root/repo:  python /tmp/driver_sim.py [sf_dir]
+"""
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+os.chdir("/root/repo")
+
+import duckdb
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("driver_sim")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "16g")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as E
+
+rows = E.entry(spark).count()
+assert rows > 0, "entry() returned 0 rows"
+print(f"entry: {rows} rows OK", flush=True)
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    p = os.path.join(SF_DIR, f"{t}.parquet")
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+
+def canon(df: pd.DataFrame) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(4)
+        elif df[c].dtype.kind in "iu":
+            df[c] = df[c].astype("Int64")
+        elif df[c].dtype.kind == "b":
+            df[c] = df[c].astype("boolean")
+        elif df[c].dtype.kind == "O":
+            try:
+                num = pd.to_numeric(df[c], errors="raise")
+                df[c] = num.round(4) if num.dtype.kind == "f" else num.astype("Int64")
+            except (ValueError, TypeError):
+                df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+
+Q = E.queries()
+O = E.oracle_sql()
+fails = []
+for name, fn in Q.items():
+    if ONLY and name not in ONLY:
+        continue
+    t0 = time.perf_counter()
+    try:
+        sp = fn(spark, SF_DIR).toPandas()
+    except Exception as ex:
+        fails.append(name)
+        print(f"{name}: SPARK ERROR {type(ex).__name__}: {str(ex)[:200]}", flush=True)
+        continue
+    dt = time.perf_counter() - t0
+    if name not in O:
+        status = f"rows_only rows={len(sp)}" + (" EMPTY!" if len(sp) == 0 else "")
+        if len(sp) == 0:
+            fails.append(name)
+        print(f"{name}: {status} ({dt:.1f}s)", flush=True)
+        continue
+    try:
+        ora = con.execute(O[name]).fetchdf()
+    except Exception as ex:
+        fails.append(name)
+        print(f"{name}: ORACLE ERROR {type(ex).__name__}: {str(ex)[:200]}", flush=True)
+        continue
+    rows_m = len(sp) == len(ora)
+    schema_m = sorted(map(str, sp.columns)) == sorted(map(str, ora.columns))
+    hash_m = schema_m and canon(sp) == canon(ora)
+    ok = rows_m and schema_m and hash_m
+    if not ok:
+        fails.append(name)
+        print(f"{name}: MISMATCH rows={len(sp)}/{len(ora)} schema={schema_m} "
+              f"cols_spark={sorted(sp.columns)} cols_ora={sorted(ora.columns)}", flush=True)
+    else:
+        print(f"{name}: MATCH rows={len(sp)} ({dt:.1f}s)", flush=True)
+
+print(f"\n{'FAILURES: ' + ', '.join(fails) if fails else 'ALL PASS'}", flush=True)
+spark.stop()
+sys.exit(1 if fails else 0)
