@@ -729,3 +729,105 @@ def chunk_dup_stats(
         )
         .withColumnRenamed("facet", facet)
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checkable MinHash LSH (md5-fold shingle ids + literal seeds)
+# ---------------------------------------------------------------------------
+
+#: Parameters of the CHECKED minhash variant, shared with the oracle-SQL
+#: renderer in queries.py so Spark and DuckDB are identical by
+#: construction.  Seeds come from a fixed PRNG stream.
+MINHASH_CHECK_NUM_PERM = 16
+MINHASH_CHECK_BANDS = 4
+
+
+def minhash_check_seeds() -> tuple[list[int], list[int]]:
+    import random
+
+    rnd = random.Random(7)
+    a = [rnd.randrange(1, _H31) for _ in range(MINHASH_CHECK_NUM_PERM)]
+    b = [rnd.randrange(0, _H31) for _ in range(MINHASH_CHECK_NUM_PERM)]
+    return a, b
+
+
+def minhash_lsh_pairs_checked(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    est_threshold: float = 0.25,
+) -> DataFrame:
+    """MinHash LSH near-dup pairs in a fully ENGINE-PORTABLE formulation:
+    shingle ids are md5-hex folds (not siphash/xxhash, which only Spark
+    has), permutations are universal hashes with literal seeds, and band
+    keys are plain signature concatenations — every step re-runnable in
+    ANSI-ish SQL, so the whole LSH pipeline (signatures → banding →
+    candidates → estimate) is value-checked against the DuckDB oracle,
+    not just row-counted.  ``minhash_lsh_pairs`` (vectorized numpy
+    kernel, xxhash-class hashing) remains the throughput path; this
+    variant costs ~an md5 per shingle and exists to pin the ALGORITHM.
+
+    Same scale shape as the fast path: shingling + hashing are
+    scan-shaped, signatures are one 16-way min aggregation (partial
+    aggregation applies — min is associative), candidates come from a
+    band-key equi-join, and only candidate pairs compare signatures.
+    """
+    a_seeds, b_seeds = minhash_check_seeds()
+    p = F.lit(_H31).cast("bigint")
+    rows_per_band = MINHASH_CHECK_NUM_PERM // MINHASH_CHECK_BANDS
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    staged = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        .repartition(par)
+        .select("id", tokens(F.col("__text")).alias("__toks"))
+        .filter(F.size("__toks") >= shingle_n)
+    )
+    shingles = (
+        staged.select("id", F.explode_outer(shingles_of("__toks", shingle_n)).alias("s"))
+        .filter(F.col("s").isNotNull())
+    )
+    x = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint") % p
+    ids = shingles.select("id", x.alias("x"))
+    sigs = ids.groupBy("id").agg(
+        *[
+            F.min((F.lit(a_seeds[i]).cast("bigint") * F.col("x") + F.lit(b_seeds[i])) % p).alias(
+                f"m{i}"
+            )
+            for i in range(MINHASH_CHECK_NUM_PERM)
+        ]
+    )
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"m{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(MINHASH_CHECK_BANDS)
+        ]
+    )
+    banded = sigs.select("id", F.posexplode(band_keys).alias("band", "bk"))
+    cand = (
+        banded.select(F.col("id").alias("id_a"), "band", "bk")
+        .join(banded.select(F.col("id").alias("id_b"), "band", "bk"), ["band", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sigs.select(F.col("id").alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(MINHASH_CHECK_NUM_PERM)])
+    sb = sigs.select(F.col("id").alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(MINHASH_CHECK_NUM_PERM)])
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(MINHASH_CHECK_NUM_PERM)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(agree / float(MINHASH_CHECK_NUM_PERM), 6))
+        .filter(F.col("est_jaccard") >= est_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )

@@ -4274,3 +4274,67 @@ def q75_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+def _d11_oracle() -> str:
+    """Render the d11 oracle from the SAME seed constants the Spark
+    operator uses (operators/dedup.minhash_check_seeds) — parity by
+    construction."""
+    from mapreducehs_spark.operators.dedup import (
+        MINHASH_CHECK_BANDS,
+        MINHASH_CHECK_NUM_PERM,
+        minhash_check_seeds,
+    )
+
+    a, b = minhash_check_seeds()
+    np_, nb = MINHASH_CHECK_NUM_PERM, MINHASH_CHECK_BANDS
+    rows = np_ // nb
+    mins = ",\n             ".join(
+        f"min(({a[i]}*x + {b[i]}) % 2147483647) AS m{i}" for i in range(np_)
+    )
+    bkeys = ", ".join(
+        "concat_ws('_', "
+        + ", ".join(f"m{bi * rows + r}" for r in range(rows))
+        + f") AS bk{bi}"
+        for bi in range(nb)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, bk{bi} AS bk FROM bandcols" for bi in range(nb)
+    )
+    agree = " + ".join(f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(np_))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i FROM toks
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s FROM pos
+    ), ids AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS x FROM sh
+    ), sigs AS (
+      SELECT doc_id, {mins}
+      FROM ids GROUP BY doc_id
+    ), bandcols AS (
+      SELECT doc_id, {bkeys} FROM sigs
+    ), banded AS ({unions}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b, round(({agree}) / {float(np_)}, 6) AS est_jaccard
+    FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b
+    WHERE ({agree}) / {float(np_)} >= 0.25
+    """
+
+
+@query("d11_minhash_checked", oracle=_d11_oracle())
+def d11_minhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH with every stage value-checked: md5-fold shingle ids,
+    literal-seed universal-hash permutations, concatenated band keys —
+    the DuckDB oracle replays signatures, banding, candidate generation
+    and the agreement estimate bit-for-bit
+    (operators/dedup.minhash_lsh_pairs_checked).  d03 remains the
+    vectorized throughput path; this pins the LSH algorithm itself."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs_checked(docs, est_threshold=0.25)
