@@ -831,3 +831,77 @@ def minhash_lsh_pairs_checked(
         .filter(F.col("est_jaccard") >= est_threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+#: Checked-simhash parameters (see ``simhash_checked``).
+SIMHASH_CHECK_BITS = 32
+SIMHASH_CHECK_BANDS = 4
+
+
+def simhash_checked(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """SimHash near-dup pairs in an engine-portable formulation (the
+    d11 discipline applied to simhash): token hashes are md5-hex folds,
+    the 32 signature bits are per-bit term-frequency-weighted majority
+    votes (sum over token OCCURRENCES of ±1 per bit — multiplicity
+    matters on a small vocabulary), banding is 4×8 bits of the
+    signature, and verification is bit_count(xor) <= max_hamming.
+    Every step reruns in DuckDB, so the whole simhash pipeline is
+    value-checked; ``simhash``/``simhash_near_pairs`` stay the
+    vectorized throughput path.
+
+    Scale shape: token hashing is scan-side, the 32 bit-sums are ONE
+    partial-aggregatable grouped aggregation, candidates come from a
+    band-key equi-join, and only candidates pay the xor popcount.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    bits, bands = SIMHASH_CHECK_BITS, SIMHASH_CHECK_BANDS
+    band_width = bits // bands
+
+    staged = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        .repartition(par)
+        .select("id", F.explode_outer(tokens(F.col("__text"))).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
+    x = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+    ids = staged.select("id", x.alias("x"))
+    bitsums = ids.groupBy("id").agg(
+        *[
+            F.sum(2 * F.shiftright(F.col("x"), k).bitwiseAND(F.lit(1)) - 1).alias(f"s{k}")
+            for k in range(bits)
+        ]
+    )
+    sig = sum(
+        F.when(F.col(f"s{k}") > 0, F.lit(1).cast("bigint")).otherwise(0) * F.lit(1 << k).cast("bigint")
+        for k in range(bits)
+    )
+    sigs = bitsums.select("id", sig.alias("sig"))
+    band_keys = F.array(
+        *[
+            F.shiftright(F.col("sig"), band_width * b).bitwiseAND(F.lit((1 << band_width) - 1))
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("id", F.posexplode(band_keys).alias("band", "bk"))
+    cand = (
+        banded.select(F.col("id").alias("id_a"), "band", "bk")
+        .join(banded.select(F.col("id").alias("id_b"), "band", "bk"), ["band", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

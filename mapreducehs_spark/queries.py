@@ -4338,3 +4338,124 @@ def d11_minhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorized throughput path; this pins the LSH algorithm itself."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs_checked(docs, est_threshold=0.25)
+
+
+def _d12_oracle() -> str:
+    """Render the d12 oracle from the same bit/band constants as
+    operators/dedup.simhash_checked."""
+    from mapreducehs_spark.operators.dedup import SIMHASH_CHECK_BANDS, SIMHASH_CHECK_BITS
+
+    bits, bands = SIMHASH_CHECK_BITS, SIMHASH_CHECK_BANDS
+    bw = bits // bands
+    bitsums = ",\n             ".join(
+        f"sum(2*((x >> {k}) & 1) - 1) AS s{k}" for k in range(bits)
+    )
+    sigexpr = " + ".join(
+        f"(CASE WHEN s{k} > 0 THEN 1::BIGINT ELSE 0 END << {k})" for k in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')) AS tok
+      FROM documents
+    ), ids AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS x FROM toks
+    ), bitsums AS (
+      SELECT doc_id, {bitsums}
+      FROM ids GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, {sigexpr} AS sig FROM bitsums
+    ), banded AS (
+      SELECT doc_id, b AS band, (sig >> ({bw}*b)) & {(1 << bw) - 1} AS bk
+      FROM sigs, unnest(range(0, {bands})) AS u(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b, CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+    FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b
+    WHERE bit_count(xor(sa.sig, sb.sig)) <= 2
+    """
+
+
+@query("d12_simhash_checked", oracle=_d12_oracle())
+def d12_simhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the whole pipeline value-checked
+    (operators/dedup.simhash_checked): md5-fold token hashes,
+    frequency-weighted per-bit majority votes, 4x8-bit banding, xor
+    popcount verification — DuckDB replays all of it.  d04 remains the
+    vectorized 63-bit throughput path."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_checked(docs, max_hamming=2)
+
+
+@query(
+    "s06_ann_ivf_checked",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16
+    ), corpus AS (
+      SELECT * FROM e WHERE vec_id >= 8
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8
+    ), assign AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT corpus.vec_id, corpus.v, c.cid,
+               row_number() OVER (
+                 PARTITION BY corpus.vec_id
+                 ORDER BY list_cosine_similarity(corpus.v, c.cv) DESC, c.cid ASC
+               ) AS rn
+        FROM corpus CROSS JOIN c
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid ASC
+               ) AS rn
+        FROM q CROSS JOIN c
+      ) WHERE rn <= 4
+    ), scored AS (
+      SELECT p.query_id, a.vec_id AS match_id,
+             round(list_cosine_similarity(p.qv, a.v), 6) AS cosine
+      FROM probes p JOIN assign a ON a.cid = p.cid
+      WHERE p.query_id != a.vec_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, match_id ASC
+      ) AS rank FROM scored
+    )
+    SELECT query_id, match_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def s06_ann_ivf_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k with a DATA-SEEDED codebook (the 16 lowest-vec_id
+    vectors as cell centroids) so the whole pipeline — cell assignment
+    (argmax cosine, ties to the lowest cell), 4-cell probing, candidate
+    scoring, rank — replays in the DuckDB oracle.  Same plan as s02
+    (Arrow argmax kernel for assignment, broadcast probe join on the
+    cell id, rank only candidates); s02 keeps the trained-codebook
+    recall path, this pins the IVF algorithm itself."""
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    import numpy as np
+
+    cents = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    return similarity.ivf_topk(
+        emb.filter(F.col("vec_id") >= 8),
+        emb.filter(F.col("vec_id") < 8),
+        k=5,
+        n_cells=16,
+        n_probe=4,
+        centroids=cents,
+    )
