@@ -4459,3 +4459,52 @@ def s06_ann_ivf_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=4,
         centroids=cents,
     )
+
+
+def _q76_oracle() -> str:
+    """Morton-key oracle rendered from the same bit arithmetic as
+    operators/layout.zorder_value (bits=8 on the bucketed keys)."""
+    terms = " + ".join(
+        f"(((xk >> {k}) & 1) << {2 * k}) + (((yk >> {k}) & 1) << {2 * k + 1})"
+        for k in range(8)
+    )
+    return f"""
+    WITH keyed AS (
+      SELECT l_partkey % 256 AS xk, l_suppkey % 256 AS yk
+      FROM lineitem
+    ), z AS (
+      SELECT ({terms}) AS zval FROM keyed
+    )
+    SELECT zval // 4096 AS z_block,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(zval) AS BIGINT) AS z_min,
+           CAST(max(zval) AS BIGINT) AS z_max
+    FROM z
+    GROUP BY 1
+    """
+
+
+@query("q76_zorder_key", oracle=_q76_oracle())
+def q76_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) clustering key over (l_partkey, l_suppkey) —
+    the multi-column data-skipping layout (operators/layout.py): files
+    sorted by this key cover small rectangles of the key space, so
+    min-max pruning works for predicates on EITHER column.  The key is
+    pure shift/mask JVM expressions (codegen); the query profiles the
+    key-space occupancy per 4096-key block, and the oracle re-derives
+    the interleave arithmetic.  The write path (zorder_write:
+    repartitionByRange on the key + within-partition sort) is pinned by
+    tests/test_operators.py::test_zorder_write_tightens_file_ranges."""
+    from mapreducehs_spark.operators.layout import zorder_value
+
+    li = _t(spark, sf_dir, "lineitem")
+    z = zorder_value(F.col("l_partkey") % 256, F.col("l_suppkey") % 256, bits=8)
+    return (
+        li.select(z.alias("zval"))
+        .groupBy(F.floor(F.col("zval") / 4096).cast("long").alias("z_block"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zval").alias("z_min"),
+            F.max("zval").alias("z_max"),
+        )
+    )

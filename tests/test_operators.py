@@ -803,3 +803,55 @@ def test_kmeans_profile_matches_numpy_reference(spark):
     for cid in want:
         assert got[cid][0] == want[cid][0]
         assert abs(got[cid][1] - want[cid][1]) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# z-order layout (operators/layout.py)
+# ---------------------------------------------------------------------------
+
+def test_zorder_value_interleaves_bits(spark):
+    from mapreducehs_spark.operators.layout import zorder_value
+
+    df = spark.createDataFrame([(0b1011, 0b0110)], "x long, y long")
+    got = df.select(zorder_value("x", "y", bits=4).alias("z")).collect()[0]["z"]
+
+    def ref(x, y, bits=4):
+        z = 0
+        for k in range(bits):
+            z |= ((x >> k) & 1) << (2 * k)
+            z |= ((y >> k) & 1) << (2 * k + 1)
+        return z
+
+    assert got == ref(0b1011, 0b0110)
+
+
+def test_zorder_write_tightens_file_ranges(spark, tmp_path):
+    """Files written z-ordered on (partkey, suppkey) must cover much
+    narrower ranges of BOTH columns than the unsorted layout — the
+    min-max pruning precondition."""
+    import pyarrow.parquet as pq
+    import glob as g
+
+    from mapreducehs_spark.operators.layout import zorder_write
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+
+    plain_dir, z_dir = str(tmp_path / "plain"), str(tmp_path / "zord")
+    li.repartition(16).write.mode("overwrite").parquet(plain_dir)
+    zorder_write(li, z_dir, "l_partkey", "l_suppkey", n_files=16, bits=8)
+
+    def spread(d, col):
+        tot = 0
+        for f in g.glob(d + "/*.parquet"):
+            t = pq.read_table(f, columns=[col])
+            c = t.column(col).to_pylist()
+            if c:
+                tot += max(c) - min(c)
+        return tot
+
+    # round-robin files each span ~the full key range; z-ordered files
+    # must be at least 2x tighter on each interleaved column
+    assert spread(z_dir, "l_partkey") * 2 < spread(plain_dir, "l_partkey")
+    assert spread(z_dir, "l_suppkey") * 2 < spread(plain_dir, "l_suppkey")
