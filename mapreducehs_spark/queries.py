@@ -4508,3 +4508,53 @@ def q76_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zval").alias("z_max"),
         )
     )
+
+
+@query(
+    "st09_stream_python_source",
+    oracle="""
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(id_sq) AS BIGINT) AS sum_sq
+    FROM (
+      SELECT i AS id, i * i AS id_sq, 'b' || CAST(i % 10 AS VARCHAR) AS bucket
+      FROM range(0, 2000) t(i)
+    )
+    GROUP BY bucket
+    """,
+)
+def st09_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming over a CUSTOM PYTHON streaming source
+    (sources/pydatasource.SequenceStreamDataSource): offset-managed
+    micro-batches + exact replay, the API a queue/CDC connector
+    implements.  The bounded stream drains through a complete-mode
+    aggregation into the memory sink; the oracle recomputes the
+    sequence arithmetic.  (sf-independent by design — the source IS the
+    data; deterministic across chunking because counts/sums are
+    order-insensitive.)"""
+    from mapreducehs_spark.sources.pydatasource import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("seqstream")
+        .option("n", 2000)
+        .option("chunk", 500)
+        .load()
+    )
+    agg = stream.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("id_sq").alias("sum_sq")
+    )
+    # availableNow drains only the prefetched first chunk of a Python
+    # simple stream reader; for a bounded source the drain loop is
+    # processAllAvailable (returns once offsets stop advancing)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("st09_sink")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("st09_sink")

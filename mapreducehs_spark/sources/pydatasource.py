@@ -61,3 +61,58 @@ class SequenceReader(DataSourceReader):
 def register(spark) -> None:
     """Idempotent registration of all custom Python data sources."""
     spark.dataSource.register(SequenceDataSource)
+    spark.dataSource.register(SequenceStreamDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming Python data source (Spark 4 SimpleDataSourceStreamReader)
+# ---------------------------------------------------------------------------
+
+class SequenceStreamDataSource(DataSource):
+    """``spark.readStream.format("seqstream").option("n", N)``: a
+    bounded deterministic stream of (id, id_sq, bucket) rows emitted in
+    ``chunk``-row micro-batch increments — the streaming twin of
+    ``seqgen`` and the minimal witness of the Python STREAMING source
+    API: offset management (``initialOffset``/``read``) plus exact
+    replay (``readBetweenOffsets``) for recovery.  A production source
+    (message queue, CDC feed) implements the same three methods against
+    its real offsets; Spark handles checkpointing them.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "seqstream"
+
+    def schema(self) -> str:
+        return "id bigint, id_sq bigint, bucket string"
+
+    def simpleStreamReader(self, schema) -> "SequenceStreamReader":
+        return SequenceStreamReader(self.options)
+
+
+class SequenceStreamReader:
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.chunk = int(options.get("chunk", 100))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        i = int(start["i"])
+        end = min(i + self.chunk, self.n)
+        # an ITERATOR over a materialized list: the prefetch cache both
+        # advances it (next()) and pickles the remainder for replay
+        return (iter(self._rows(i, end)), {"i": end})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(int(start["i"]), int(end["i"])))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    @staticmethod
+    def _rows(lo: int, hi: int):
+        # a LIST, not a generator: the simple-reader prefetch cache
+        # pickles the batch for replay, and generators can't pickle
+        return [(i, i * i, f"b{i % 10}") for i in range(lo, hi)]
