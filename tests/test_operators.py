@@ -855,3 +855,23 @@ def test_zorder_write_tightens_file_ranges(spark, tmp_path):
     # must be at least 2x tighter on each interleaved column
     assert spread(z_dir, "l_partkey") * 2 < spread(plain_dir, "l_partkey")
     assert spread(z_dir, "l_suppkey") * 2 < spread(plain_dir, "l_suppkey")
+
+
+def test_compact_dir_reduces_file_count(spark, tmp_path):
+    from mapreducehs_spark.operators.layout import compact_dir
+    import glob as g
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    frag = str(tmp_path / "frag")
+    li.repartition(64).write.parquet(frag)  # the streaming-sink mess
+    assert len(g.glob(frag + "/*.parquet")) == 64
+
+    compacted = str(tmp_path / "compacted")
+    size = sum(
+        __import__("os").path.getsize(f) for f in g.glob(frag + "/*.parquet")
+    )
+    n = compact_dir(spark, frag, compacted, target_file_bytes=size // 4)
+    files = g.glob(compacted + "/*.parquet")
+    assert len(files) == n <= 8
+    # no rows lost
+    assert spark.read.parquet(compacted).count() == li.count()
