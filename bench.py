@@ -56,6 +56,11 @@ HEADLINE = [
     "q71_mg_heavy_hitters",
     "d10_chunk_dedup",
     "s05_kmeans_profile",
+    "q72_window_dedup",
+    "q73_time_range_frames",
+    "q76_zorder_key",
+    "d12_simhash_checked",
+    "t14_source_entropy",
 ]
 
 

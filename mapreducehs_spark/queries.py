@@ -4558,3 +4558,72 @@ def st09_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table("st09_sink")
+
+
+@query(
+    "t14_source_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+      FROM documents
+    ), sc AS (
+      SELECT source, term, count(*) AS c FROM toks GROUP BY 1, 2
+    ), stot AS (
+      SELECT source, sum(c) AS tot FROM sc GROUP BY 1
+    ), corpus AS (
+      SELECT term, sum(c) AS cc FROM sc GROUP BY 1
+    ), ctot AS (
+      SELECT sum(cc) AS ct FROM corpus
+    )
+    SELECT sc.source,
+           CAST(stot.tot AS BIGINT) AS n_tokens,
+           round(-sum((sc.c / stot.tot) * ln(sc.c / stot.tot)), 6) AS entropy,
+           round(sum((sc.c / stot.tot) *
+                     ln((sc.c / stot.tot) / (corpus.cc / ctot.ct))), 6) AS kl_vs_corpus
+    FROM sc
+    JOIN stot USING (source)
+    JOIN corpus USING (term)
+    CROSS JOIN ctot
+    GROUP BY sc.source, stot.tot
+    """,
+)
+def t14_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing diagnostics: per-source token-distribution Shannon
+    entropy and KL divergence vs the corpus distribution — the drift /
+    domain-balance report a mixture pipeline emits per shard.  Shape:
+    one explode, one (source, term) hash agg, then only VOCABULARY-sized
+    frames (per-source counts, corpus counts) flow through two
+    broadcast-scale joins and a rollup — token rows never shuffle twice.
+    KL here is finite by construction (every source term is a corpus
+    term)."""
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        docs.select("source", text.tokens("text").alias("__t"))
+        .repartition(par)
+        .select("source", F.explode_outer("__t").alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
+    sc = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    stot = sc.groupBy("source").agg(F.sum("c").alias("tot"))
+    corpus = sc.groupBy("term").agg(F.sum("c").alias("cc"))
+    ct = corpus.agg(F.sum("cc").alias("ct"))
+    p = F.col("c") / F.col("tot")
+    q = F.col("cc") / F.col("ct")
+    return (
+        sc.join(F.broadcast(stot), "source")
+        .join(F.broadcast(corpus), "term")
+        .crossJoin(F.broadcast(ct))
+        .groupBy("source", "tot")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
+        )
+        .select(
+            "source",
+            F.col("tot").cast("long").alias("n_tokens"),
+            "entropy",
+            "kl_vs_corpus",
+        )
+    )

@@ -149,3 +149,60 @@ def test_foreachbatch_parquet_sink(spark, tmp_path):
         (r["bucket_start"], r["event_type"]): r["n_events"] for r in df.collect()
     }
     assert as_map(got) == as_map(want)
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Kill-and-restart semantics: a checkpointed query that stops after
+    the first files and restarts when more arrive must produce exactly
+    the batch result — no missing chunks, no double-counted ones.  This
+    is the recovery contract a 100 TB always-on pipeline leans on."""
+    import glob, shutil, time as _time
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = _time.time()
+    for i in range(6):
+        _write_chunk(
+            os.path.join(src, f"c{i}.parquet"),
+            [_row(10 * i + j, f"2024-01-01 0{i}:0{j}:00", value=1.0) for j in range(3)],
+        )
+        os.utime(os.path.join(src, f"c{i}.parquet"), (base + i, base + i))
+
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    files = sorted(glob.glob(src + "/*.parquet"))
+    for f in files[:3]:
+        shutil.copy2(f, staged)
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
+        # stateless projection -> append file sink: restart-safe via the
+        # checkpoint's file-source log + output commit protocol
+        proj = stream.select("event_id", "user_id", "value")
+        q = (
+            proj.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == 9  # 3 files x 3 rows
+
+    for f in files[3:]:
+        shutil.copy2(f, staged)
+    run_once()  # restart from checkpoint: must process ONLY the new files
+
+    got = spark.read.parquet(out)
+    assert got.count() == 18
+    assert got.select("event_id").distinct().count() == 18  # no double-processing
