@@ -59,7 +59,6 @@ HEADLINE = [
     "q72_window_dedup",
     "q73_time_range_frames",
     "q76_zorder_key",
-    "d12_simhash_checked",
     "t14_source_entropy",
 ]
 
