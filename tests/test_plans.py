@@ -297,3 +297,28 @@ def test_d10_chunk_dedup_no_pairwise_join(q):
     # corpus-wide chunk frequency is hash aggregation + hash join on the
     # md5 — no nested-loop/cartesian anywhere
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_q74_date_filter_pushed_and_part_broadcast(q):
+    df = q("q74_promo_revenue_share")
+    pushed = I.pushed_filters(df)["lineitem"]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed and "LessThan(l_shipdate" in pushed
+    assert I.broadcast_join_count(df) >= 1
+    assert I.sort_merge_join_count(df) == 0
+
+
+def test_q75_all_dims_broadcast_single_exchange(q):
+    df = q("q75_profit_by_nation_year")
+    assert I.broadcast_join_count(df) >= 3
+    assert I.sort_merge_join_count(df) == 0
+    # one exchange: the (nation, year) rollup
+    assert I.exchange_count(df) == 1
+
+
+def test_t14_token_rows_shuffle_once(q):
+    df = q("t14_source_entropy")
+    plan = I.formatted_plan(df)
+    # corpus/source marginals join back BROADCAST — token-level rows pay
+    # one aggregation exchange, not repeated shuffles
+    assert I.broadcast_join_count(df) >= 2
+    assert I.sort_merge_join_count(df) == 0
