@@ -4627,3 +4627,157 @@ def t14_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_vs_corpus",
         )
     )
+
+
+@query(
+    "q77_locf_gap_fill",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, epoch(ts) AS es,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    ), filled AS (
+      SELECT user_id, event_id,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY es ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS v_filled,
+             v IS NULL AS was_gap
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN was_gap THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+           round(sum(coalesce(v_filled, 0)), 4) AS sum_filled
+    FROM filled
+    GROUP BY user_id
+    """,
+)
+def q77_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling by last-observation-carried-forward (LOCF): error
+    events null out their reading and inherit the user's previous
+    value — the sensor/telemetry repair idiom.  ``last(..., ignorenulls
+    =True)`` over an unbounded-preceding ROWS frame is the whole
+    operator: ONE shuffle on user_id, bounded running state per key
+    (the last non-null), then a per-user rollup on the same
+    partitioning.  Leading gaps (no prior observation) stay null and
+    are coalesced to 0 in the rollup on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = ev.select(
+        "user_id",
+        v.alias("v"),
+        F.last(v, ignorenulls=True).over(w).alias("v_filled"),
+    )
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_gaps"),
+        F.round(F.sum(F.coalesce(F.col("v_filled"), F.lit(0.0))), 4).alias("sum_filled"),
+    )
+
+
+@query(
+    "d13_containment_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i
+      FROM toks
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM pos
+    ), sized AS (
+      SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS id_small, b.doc_id AS id_big, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_small, id_big,
+           round(inter / CAST(ss.set_size AS DOUBLE), 6) AS containment
+    FROM inter
+    JOIN sized ss ON ss.doc_id = id_small
+    JOIN sized sb ON sb.doc_id = id_big
+    WHERE inter / CAST(ss.set_size AS DOUBLE) >= 0.5
+      AND ss.set_size < sb.set_size
+    """,
+)
+def d13_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment |A∩B| / |A| ≥ 0.5 with
+    |A| < |B| — catches short documents subsumed by longer ones
+    (quote/excerpt dedup), which symmetric Jaccard misses because the
+    size imbalance caps Jaccard at |A|/|B|.  Same candidates-then-
+    measure shape as d02 (shared-shingle equi-join, never all-pairs);
+    the direction filter keeps only small-inside-big rows."""
+    from mapreducehs_spark.operators.dedup import hashed_shingle_rows
+
+    docs = _t(spark, sf_dir, "documents")
+    ex = hashed_shingle_rows(docs, "text", "doc_id", 3).persist()
+    a = ex.select(F.col("id").alias("id_small"), F.col("set_size").alias("size_small"), "shingle")
+    b = ex.select(F.col("id").alias("id_big"), F.col("set_size").alias("size_big"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_small") != F.col("id_big"))
+        .groupBy("id_small", "id_big", "size_small", "size_big")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "containment",
+            F.round(F.col("inter") / F.col("size_small").cast("double"), 6),
+        )
+        .filter((F.col("containment") >= 0.5) & (F.col("size_small") < F.col("size_big")))
+        .select("id_small", "id_big", "containment")
+    )
+
+
+@query(
+    "t15_zipf_slope",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+      FROM documents
+    ), freq AS (
+      SELECT term, count(*) AS f FROM toks GROUP BY 1
+    ), ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, term ASC) AS r FROM freq
+    )
+    SELECT CAST(count(*) AS BIGINT) AS vocab,
+           round(regr_slope(ln(f), ln(r)), 6) AS zipf_slope,
+           round(regr_r2(ln(f), ln(r)), 6) AS r2
+    FROM ranked
+    """,
+)
+def t15_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf diagnostics: regression slope of ln(frequency) on ln(rank)
+    over the corpus rank-frequency curve (natural text ≈ -1; synthetic
+    or templated corpora deviate — a cheap corpus-health check).  The
+    regression runs on the VOCABULARY-sized frame, so the only
+    token-scale work is the frequency count; ``regr_slope``/``regr_r2``
+    are built-in partial-aggregatable aggregates on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    freq = (
+        docs.select(text.tokens("text").alias("__t"))
+        .repartition(par)
+        .select(F.explode_outer("__t").alias("term"))
+        .filter(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = freq.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("f").desc(), F.col("term").asc()))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.round(F.expr("regr_slope(ln(f), ln(r))"), 6).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln(f), ln(r))"), 6).alias("r2"),
+    )
