@@ -20,6 +20,10 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+#: repeats per query in the measured pass; the reported time is the
+#: MEDIAN, which strips the box-noise outliers that a single pass
+#: shows (+-20% observed when anything else runs on the machine).
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
 
 #: headline set: one per operator family, weighted toward the scale-relevant ones
 HEADLINE = [
@@ -91,7 +95,12 @@ def main() -> None:
     # occupy executor memory during the measured pass
     spark.catalog.clearCache()
 
-    timings = {name: round(run(name), 4) for name in HEADLINE}
+    import statistics
+
+    timings = {
+        name: round(statistics.median(run(name) for _ in range(REPEATS)), 4)
+        for name in HEADLINE
+    }
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {
         "metric": "headline_queries_total_wall",

@@ -1488,7 +1488,7 @@ def q27_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q28_trimmed_mean",
     oracle="""
     SELECT l_suppkey AS key,
-           round((sum(l_extendedprice) - min(l_extendedprice) - max(l_extendedprice))
+           round((sum(l_quantity) - min(l_quantity) - max(l_quantity))
                  / (count(*) - 2), 4) AS value
     FROM lineitem
     GROUP BY l_suppkey
@@ -1502,15 +1502,24 @@ def q28_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``k -> [v] -> [v']`` reducers (reference MapReduceC.hs:26,35-40)."""
     from mapreducehs_spark.pipeline import Pipeline
 
+    # l_quantity is integer-valued: sums are exact in double, so the
+    # reducer's fold order vs the oracle's cannot shift the rounded
+    # result (l_extendedprice drifted at a 4-decimal boundary at sf0.1)
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_suppkey").cast("bigint").alias("key"),
-        F.col("l_extendedprice").alias("value"),
+        F.col("l_quantity").alias("value"),
     )
 
     def trimmed(k, vs):
         if len(vs) <= 2:
             return []
-        return [round((sum(vs) - min(vs) - max(vs)) / (len(vs) - 2), 4)]
+        import math
+
+        x = (sum(vs) - min(vs) - max(vs)) / (len(vs) - 2)
+        # round HALF AWAY FROM ZERO: python round() is banker's, but the
+        # oracle (DuckDB) and F.round both round .5 away — an exact
+        # .xxxx5 quotient at sf0.1 exposed the difference
+        return [math.copysign(math.floor(abs(x) * 10000 + 0.5), x) / 10000]
 
     return Pipeline().reduce_stage(trimmed, "key bigint, value double").run(li)
 
@@ -3949,9 +3958,9 @@ def q71_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH keyed AS (
       SELECT event_type, user_id,
-             CAST(epoch(ts) AS BIGINT) // 600 AS win,
+             CAST(floor(epoch(ts)) AS BIGINT) // 600 AS win,
              row_number() OVER (
-               PARTITION BY user_id, event_type, CAST(epoch(ts) AS BIGINT) // 600
+               PARTITION BY user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) // 600
                ORDER BY ts ASC, event_id ASC
              ) AS rn
       FROM events
@@ -4166,7 +4175,7 @@ def st08_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            CAST(count(*) OVER w AS BIGINT) AS n_1h,
-           round(sum(value) OVER w, 4) AS sum_1h
+           round(sum(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0, 4) AS sum_1h
     FROM events
     WINDOW w AS (
       PARTITION BY user_id ORDER BY ts
@@ -4186,14 +4195,19 @@ def q73_time_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
+    # frame sums run over integer CENTS: Spark rebuilds sliding frames
+    # sequentially while DuckDB uses pairwise segment trees, and at
+    # sf0.1 the differing float addition order crossed a rounding
+    # boundary — integer sums are order-exact
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
     return ev.select(
         "event_id",
         "user_id",
         F.count(F.lit(1)).over(w).alias("n_1h"),
-        F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+        F.round(F.sum(cents).over(w) / 100.0, 4).alias("sum_1h"),
     )
 
 
@@ -4633,13 +4647,13 @@ def t14_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q77_locf_gap_fill",
     oracle="""
     WITH marked AS (
-      SELECT user_id, event_id, epoch(ts) AS es,
+      SELECT user_id, event_id, ts,
              CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
       FROM events
     ), filled AS (
       SELECT user_id, event_id,
              last_value(v IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY es ASC, event_id ASC
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS v_filled,
              v IS NULL AS was_gap
@@ -4648,7 +4662,8 @@ def t14_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(CASE WHEN was_gap THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
-           round(sum(coalesce(v_filled, 0)), 4) AS sum_filled
+           round(sum(CAST(round(coalesce(v_filled, 0) * 100) AS BIGINT)) / 100.0, 4)
+             AS sum_filled
     FROM filled
     GROUP BY user_id
     """,
@@ -4666,7 +4681,7 @@ def q77_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.when(F.col("event_type") != "error", F.col("value"))
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long").asc(), F.col("event_id").asc())
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = ev.select(
@@ -4677,7 +4692,14 @@ def q77_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_gaps"),
-        F.round(F.sum(F.coalesce(F.col("v_filled"), F.lit(0.0))), 4).alias("sum_filled"),
+        # integer-cents sum: unordered group aggregation order differs
+        # between engines, and exact integer sums can't straddle a
+        # rounding boundary (see q73)
+        F.round(
+            F.sum(F.round(F.coalesce(F.col("v_filled"), F.lit(0.0)) * 100, 0).cast("bigint"))
+            / 100.0,
+            4,
+        ).alias("sum_filled"),
     )
 
 
