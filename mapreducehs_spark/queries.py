@@ -856,14 +856,18 @@ def d02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("d03_minhash_lsh_pairs")  # xxhash64 not in DuckDB → rows-only check
 def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms) + LSH(8 bands): the scalable near-dup path.
-    No SQL oracle (xxhash64); validated in tests against exact Jaccard."""
+    No SQL oracle (xxhash64-class hashing); validated in tests against
+    exact Jaccard, and the ALGORITHM is value-checked end-to-end by its
+    engine-portable twin d11_minhash_checked."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.35)
 
 
 @query("d04_simhash_pairs")  # xxhash64/bit ops not oracle-expressible
 def d04_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 8 over 63 bits, banded)."""
+    """SimHash near-dup pairs (Hamming ≤ 8 over 63 bits, banded).
+    Rows-only (vectorized hashing); the algorithm is value-checked by
+    its engine-portable twin d12_simhash_checked."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(docs, max_hamming=8)
 
@@ -927,7 +931,8 @@ def s02_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via IVF random-centroid probing — the 100 TB path
     (scan shrinks by n_probe/n_cells).  Recall vs exact top-k pinned in
     tests (test_ivf_topk_recall); the LSH-bucketed alternative is
-    d05/cosine_pairs_lsh."""
+    d05/cosine_pairs_lsh, and the IVF pipeline itself is value-checked
+    by the data-seeded twin s06_ann_ivf_checked."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb.filter(F.col("vec_id") >= 8), emb.filter(F.col("vec_id") < 8), k=5)
 
