@@ -23,7 +23,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 #: repeats per query in the measured pass; the reported time is the
 #: MEDIAN, which strips the box-noise outliers that a single pass
 #: shows (+-20% observed when anything else runs on the machine).
-REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 #: headline set: one per operator family, weighted toward the scale-relevant ones
 HEADLINE = [

@@ -51,6 +51,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's coalesce target: the default 64m optimizes shuffle IO and
+        # merges CPU-bound stages (window sorts, per-group ranks) down to
+        # a couple of tasks on small-to-mid data — measured 25-45% slower
+        # across the window/agg headline at sf0.1.  8m keeps parallelism
+        # while still merging tiny fragments; on a real cluster the
+        # per-partition CPU cost of wide operators, not just bytes, is
+        # what this knob trades against scheduling overhead.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
