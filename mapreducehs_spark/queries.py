@@ -4808,3 +4808,136 @@ def t15_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_slope(ln(f), ln(r))"), 6).alias("zipf_slope"),
         F.round(F.expr("regr_r2(ln(f), ln(r))"), 6).alias("r2"),
     )
+
+
+@query(
+    "q78_multiformat_join",
+    oracle="""
+    SELECT n.n_name, r.r_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c.c_acctbal), 4) AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def q78_multiformat_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous-source join: the nation dim round-trips through
+    CSV and region through JSON (explicit schemas — no inference scan),
+    then both join the parquet customer table.  Witnesses the
+    csv/json readers inside the ORACLE-CHECKED inventory, not just unit
+    tests; at 100 TB this is the common shape of sidecar dims living in
+    exported flat files.  The dims are rewritten per run into /tmp —
+    trivial (25 + 5 rows); the fact side stays parquet with full
+    pushdown."""
+    import os
+    import tempfile
+
+    from mapreducehs_spark.sources.catalog import read_any, write_any
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(tempfile.gettempdir(), f"mapreducehs_fmt_{tag}")
+    nation_csv = os.path.join(base, "nation_csv")
+    region_json = os.path.join(base, "region_json")
+    nat, reg = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    write_any(nat, nation_csv, fmt="csv", header="true")
+    write_any(reg, region_json, fmt="json")
+
+    nat2 = read_any(
+        spark, nation_csv, fmt="csv",
+        schema="n_nationkey int, n_name string, n_regionkey int", header="true",
+    )
+    reg2 = read_any(spark, region_json, fmt="json", schema="r_regionkey int, r_name string")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.join(F.broadcast(nat2), nat2["n_nationkey"] == cust["c_nationkey"])
+        .join(F.broadcast(reg2), reg2["r_regionkey"] == nat2["n_regionkey"])
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("sum_acctbal"),
+        )
+    )
+
+
+@query(
+    "q79_date_spine",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(o_orderdate) AS DATE) AS lo, CAST(max(o_orderdate) AS DATE) AS hi
+      FROM orders
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM bounds
+    ), daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n, sum(o_totalprice) AS s
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(spine.d, '%Y-%m-%d') AS day,
+           CAST(coalesce(daily.n, 0) AS BIGINT) AS n_orders,
+           round(coalesce(daily.s, 0), 4) AS revenue
+    FROM spine LEFT JOIN daily ON daily.d = spine.d
+    """,
+)
+def q79_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap fill: a dense daily calendar between the first
+    and last order date, zero-filled where no orders exist — the
+    reporting idiom that makes time series chartable/joinable (missing
+    days are rows, not gaps).  The spine is sequence()+explode of DATE
+    (generated, never scanned) and broadcast to the daily aggregate —
+    the fact table is scanned once.  Day emitted as a formatted string
+    (oracle discipline: no raw timestamp columns)."""
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s")
+    )
+    return (
+        spine.join(daily, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+            F.round(F.coalesce("s", F.lit(0.0)), 4).alias("revenue"),
+        )
+    )
+
+
+_Q80_SQL = """
+    WITH RECURSIVE months(m) AS (
+      SELECT CAST('1992-01-01' AS DATE)
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+      WHERE m < CAST('1998-12-01' AS DATE)
+    ), monthly AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - (EXTRACT(DAY FROM o_orderdate) - 1) * INTERVAL 1 DAY AS DATE) AS m,
+             count(*) AS n, sum(o_totalprice) AS s
+      FROM orders
+      GROUP BY 1
+    )
+    SELECT CAST(EXTRACT(YEAR FROM months.m) AS BIGINT) AS y,
+           CAST(EXTRACT(MONTH FROM months.m) AS BIGINT) AS mo,
+           CAST(coalesce(monthly.n, 0) AS BIGINT) AS n_orders,
+           round(coalesce(monthly.s, 0), 4) AS revenue
+    FROM months LEFT JOIN monthly ON monthly.m = months.m
+"""
+
+
+@query("q80_recursive_cte", oracle=_Q80_SQL)
+def q80_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE through the SQL surface (Spark 4 recursive CTE):
+    a monthly spine generated by recursion, left-joined to monthly
+    revenue.  Spark and DuckDB execute the IDENTICAL SQL text — the
+    strongest single parity witness in the inventory (same semantics,
+    two engines, no dialect translation).  Recursion here is
+    driver-bounded (84 iterations of a one-row step), which is exactly
+    the shape recursive CTEs scale at — the per-iteration work, not the
+    iteration count, is what grows with data, and the monthly aggregate
+    is computed once outside the recursion."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q80_SQL)
