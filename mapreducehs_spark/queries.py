@@ -4941,3 +4941,77 @@ def q80_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     is computed once outside the recursion."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_Q80_SQL)
+
+
+@query(
+    "st10_stream_upsert_serving",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def st10_stream_upsert_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-upsert SERVING-TABLE pattern: an update-mode
+    per-user aggregation drains through ``foreachBatch``, and each
+    micro-batch MERGES its changed rows into a keyed parquet serving
+    table (operators/merge.merge_upsert) — the Delta/Iceberg
+    ``MERGE INTO`` topology on plain parquet.  Only rows whose
+    aggregate changed flow per batch (update mode); the final table
+    must equal the batch aggregate regardless of chunking.  At 100 TB
+    the serving table is written bucketed on the merge key so the
+    nightly/continuous merge reuses the layout (SCALE.md CDC row).
+    Integer-cents sums keep the fold order-exact across engines."""
+    import os
+    import shutil
+    import tempfile
+
+    from mapreducehs_spark import streaming as st
+    from mapreducehs_spark.operators.merge import merge_upsert
+
+    replay = st.prepare_stream_dir(spark, sf_dir, n_chunks=4)
+    events = st.events_stream(spark, replay)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    agg = (
+        events.filter(F.col("event_type") != st.FLUSH_TYPE)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents).alias("cents"))
+    )
+
+    serving = os.path.join(
+        tempfile.gettempdir(),
+        f"mapreducehs_serving_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(serving, ignore_errors=True)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        if os.path.exists(serving):
+            base = sp.read.parquet(serving)
+            merged = merge_upsert(base, batch_df, keys=["user_id"])
+        else:
+            merged = batch_df
+        # rewrite via a temp dir: the merge READS the current serving
+        # table, and overwriting a path being read is undefined
+        tmp = serving + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(serving):
+            shutil.rmtree(serving)
+        os.rename(tmp, serving)
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout=600):
+        q.stop()
+        raise TimeoutError("st10 stream did not finish")
+    return spark.read.parquet(serving).select(
+        "user_id",
+        "n_events",
+        F.round(F.col("cents") / 100.0, 4).alias("sum_value"),
+    )
