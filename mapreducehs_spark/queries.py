@@ -5015,3 +5015,47 @@ def st10_stream_upsert_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("cents") / 100.0, 4).alias("sum_value"),
     )
+
+
+@query(
+    "m05_pointer_manifest",
+    oracle="""
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS file_name,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def m05_pointer_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINTER-style multimodal layout, end to end: payloads live as
+    individual files on storage and the engine handles a manifest of
+    (path, size, checksum) — the 100 TB posture where petabytes of
+    media bytes never enter the relational plan (SCALE.md multimodal
+    row).  The query builds the manifest with Spark's ``binaryFile``
+    source over the payload directory (content read once, hashed,
+    dropped); the oracle recomputes size/checksum from the source text
+    the fixture files were written from.  The fixture write is a
+    one-time driver loop (it IS the external media store); everything
+    after is distributed."""
+    import os
+    import tempfile
+
+    from mapreducehs_spark.operators.multimodal import read_binary_dir
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(tempfile.gettempdir(), f"mapreducehs_media_{tag}")
+    done = os.path.join(base, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(base, exist_ok=True)
+        for r in _t(spark, sf_dir, "documents").select("doc_id", "text").collect():
+            with open(os.path.join(base, f"doc_{r['doc_id']}.bin"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+        with open(done, "w") as f:
+            f.write("ok")
+
+    bins = read_binary_dir(spark, os.path.join(base, "*.bin"))
+    return bins.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("checksum"),
+    )
