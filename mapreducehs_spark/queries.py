@@ -5059,3 +5059,85 @@ def m05_pointer_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("checksum"),
     )
+
+
+@query(
+    "q82_partitioned_pruned_scan",
+    oracle="""
+    WITH lo AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS sum_value
+    FROM events, lo
+    WHERE CAST(ts AS DATE) = d0 + 5
+    GROUP BY event_type
+    """,
+)
+def q82_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + static partition pruning, inside the
+    checked inventory: events are written ONCE per sf partitioned by
+    event date (the 100 TB fact layout — a daily ingest appends one
+    directory), and the one-day query touches exactly one partition
+    directory (PartitionFilters, zero data read elsewhere).  The
+    fixture write is idempotent (_DONE marker); the day is
+    data-relative (min date + 5) so the query is deterministic across
+    scale factors."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(tempfile.gettempdir(), f"mapreducehs_events_bydate_{tag}")
+    done = os.path.join(base, "_DONE")
+    ev = _t(spark, sf_dir, "events")
+    if not os.path.exists(done):
+        (
+            ev.withColumn("event_date", F.col("ts").cast("date"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(base)
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+
+    d0 = ev.agg(F.min(F.col("ts").cast("date"))).collect()[0][0]
+    target = d0 + __import__("datetime").timedelta(days=5)
+    part = spark.read.parquet(base).filter(F.col("event_date") == F.lit(target))
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    return part.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(cents) / 100.0, 4).alias("sum_value"),
+    )
+
+
+@query(
+    "q83_large_large_smj",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q83_large_large_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The large×large join done deliberately: lineitem ⋈ orders with a
+    MERGE hint — at 100 TB neither side broadcasts, so the correct plan
+    is a sort-merge join with BOTH sides shuffled once on the join key
+    (or zero shuffles when both tables are bucketed on it — the
+    write_bucketed layout; plan pinned in
+    test_bucketed_join_has_no_exchange).  The rollup reuses nothing:
+    it keys on o_orderpriority, an unavoidable second exchange.  Plan
+    shape pinned in test_q83_smj_not_broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        li.hint("merge")
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+        )
+    )

@@ -322,3 +322,19 @@ def test_t14_token_rows_shuffle_once(q):
     # one aggregation exchange, not repeated shuffles
     assert I.broadcast_join_count(df) >= 2
     assert I.sort_merge_join_count(df) == 0
+
+
+def test_q82_partition_pruning_in_scan(q):
+    df = q("q82_partitioned_pruned_scan")
+    plan = I.formatted_plan(df)
+    # the one-day predicate must land in PartitionFilters of the
+    # partitioned scan (directory pruning), not in a data Filter
+    assert "PartitionFilters: [" in plan and "event_date" in plan.split("PartitionFilters: [", 1)[1].split("]")[0]
+
+
+def test_q83_smj_not_broadcast(q):
+    df = q("q83_large_large_smj")
+    assert I.sort_merge_join_count(df) == 1
+    assert I.broadcast_join_count(df) == 0
+    # two exchanges for the join (one per side) + one for the rollup
+    assert I.exchange_count(df) == 3
