@@ -905,3 +905,43 @@ def simhash_checked(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    name_col: str,
+    max_edit: int = 2,
+    band_width: int | None = None,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: DISTINCT names within
+    ``max_edit`` Levenshtein distance, with COMPLETE length-band
+    blocking — never all-pairs.
+
+    Edit distance ≤ k implies |len(a) − len(b)| ≤ k, so banding lengths
+    at width > k and exploding the left side to adjacent bands loses
+    nothing: every qualifying pair meets in some band.  The verify step
+    is the built-in ``levenshtein`` (JVM codegen).  At 100 TB the name
+    frame is the DISTINCT name vocabulary — orders of magnitude smaller
+    than the row count — and the band join bounds the quadratic term by
+    per-band occupancy; tighter blocking (q-gram prefix filtering)
+    drops in at the same place when name vocabularies are huge.
+    Returns (name_a, name_b, edit_dist), name_a < name_b.
+    """
+    bw = band_width or (max_edit + 1)
+    names = df.select(F.col(name_col).alias("name")).distinct()
+    banded = names.select("name", F.floor(F.length("name") / bw).alias("b"))
+    left = banded.select(
+        F.col("name").alias("name_a"),
+        F.explode(
+            F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)
+        ).alias("b"),
+    )
+    right = banded.select(F.col("name").alias("name_b"), "b")
+    return (
+        left.join(right, "b")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("edit_dist") <= max_edit)
+        .select("name_a", "name_b", "edit_dist")
+        .dropDuplicates(["name_a", "name_b"])
+    )

@@ -5141,3 +5141,52 @@ def q83_large_large_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "d14_fuzzy_name_match",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist
+    FROM names a JOIN names b
+      ON a.name < b.name
+     AND abs(length(a.name) - length(b.name)) <= 2
+    WHERE levenshtein(a.name, b.name) <= 2
+    """,
+)
+def d14_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / fuzzy matching: distinct part-name pairs
+    within Levenshtein distance 2, via complete length-band blocking
+    (operators/dedup.fuzzy_name_pairs) — the record-linkage primitive
+    (vendor/product name reconciliation) missing from pure
+    equality-based dedup.  Both engines share the levenshtein
+    definition, so the whole operator is value-checked."""
+    part = _t(spark, sf_dir, "part")
+    return dedup.fuzzy_name_pairs(part, "p_name", max_edit=2)
+
+
+@query(
+    "q84_decimal_exact_money",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS VARCHAR) AS total_exact,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q84_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-decimal money aggregation: the financial-correctness
+    discipline — cast to DECIMAL(18,2) before summing, so the result is
+    exact regardless of aggregation order (double sums drift in the
+    last bits with partial-aggregation order; see the q73 fix).  The
+    exact sum is emitted as its canonical string so the check is
+    bit-for-bit, not rounded.  Spark decimals partial-aggregate fine
+    (sum of DECIMAL(18,2) widens to DECIMAL(28,2)); at 100 TB this is
+    the ledger-grade rollup path."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("string").alias("total_exact"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
