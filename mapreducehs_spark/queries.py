@@ -5114,7 +5114,8 @@ def q82_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_lines,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                 / 10000.0, 4) AS revenue
     FROM lineitem JOIN orders ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority
     """,
@@ -5136,9 +5137,19 @@ def q83_large_large_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            ),
+            # revenue rides as exact basis-point integers: 120k-row
+            # groups drifted past the 4-decimal rounding boundary under
+            # differing fold orders at sf0.1 (price and discount have 2
+            # decimals each, so x10000 is exact)
+            F.round(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0).cast(
+                        "bigint"
+                    )
+                )
+                / 10000.0,
+                4,
+            ).alias("revenue"),
         )
     )
 
