@@ -3410,12 +3410,14 @@ def q65_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (lateness derived from ship-vs-order date):
     suppliers who alone shipped late on a finished multi-supplier order.
     The textbook form is two correlated EXISTS self-joins on the fact;
-    here both collapse into ONE per-order aggregate — count of distinct
-    suppliers and the set of distinct late suppliers — computed in a
-    single scan of the late-annotated join, then re-joined.  A late line
-    qualifies iff its order has >1 supplier and exactly one late
-    supplier (necessarily this one).  Two fact scans total instead of
-    three, and no O(lines²) correlated probe at 100 TB."""
+    here both collapse into ONE per-order aggregate that also carries
+    the answer: distinct-supplier count, distinct-LATE-supplier count,
+    the late supplier's identity (max over a one-element set), and that
+    supplier's late-line count.  Orders with >1 supplier and exactly
+    one late supplier contribute their late-line count to that
+    supplier.  ONE fact scan, ONE order-key aggregation, no
+    re-join of the fact and no O(lines²) correlated probe — the
+    textbook form needs three fact scans."""
     orders = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -3430,16 +3432,16 @@ def q65_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_order = annotated.groupBy("l_orderkey").agg(
         F.count_distinct("l_suppkey").alias("n_supp"),
         F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+        F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("late_supp"),
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("n_late_lines"),
     )
-    qualifying = (
-        annotated.filter(F.col("is_late"))
-        .join(per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)), "l_orderkey")
-    )
+    lone = per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        qualifying.join(F.broadcast(supp), qualifying.l_suppkey == supp.s_suppkey)
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        lone.groupBy("late_supp")
+        .agg(F.sum("n_late_lines").alias("numwait"))
+        .join(F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
+        .select("s_name", F.col("numwait").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )

@@ -254,15 +254,16 @@ def test_q64_disjunctive_residues_pushed(q):
     assert I.sort_merge_join_count(df) == 0
 
 
-def test_q65_two_fact_scans_no_correlated_probe(q):
-    # the two correlated EXISTS collapse into one per-order aggregate:
-    # exactly two lineitem scans (annotated join + its reuse), zero
-    # left-semi/anti probes of the fact against itself
+def test_q65_single_fact_scan_no_correlated_probe(q):
+    # both correlated EXISTS collapse into ONE per-order aggregate that
+    # carries the lone late supplier's identity and late-line count:
+    # exactly one lineitem scan, zero left-semi/anti probes of the fact
+    # against itself (the textbook form needs three scans)
     import re
 
     df = q("q65_lone_late_supplier")
     plan = I.formatted_plan(df)
-    assert len(re.findall(r"lineitem\.parquet", plan)) == 2
+    assert len(re.findall(r"lineitem\.parquet", plan)) == 1
     assert "LeftSemi" not in plan and "LeftAnti" not in plan
     assert "TakeOrderedAndProject" in plan
 
