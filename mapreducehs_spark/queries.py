@@ -5203,3 +5203,37 @@ def q84_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("string").alias("total_exact"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@query(
+    "q85_salted_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400 AS ship_day,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_quantity >= 45
+    GROUP BY 1, 2
+    """,
+)
+def q85_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof SALTED join inside the checked inventory: the fact
+    side spreads each join key over 16 salt sub-keys and the dim side
+    replicates x16 (operators/skew.salted_join) — the manual remedy for
+    hot keys in the joins AQE's skew splitting can't reach
+    (grouped-map consumers, shuffle-hash joins).  The oracle is the
+    PLAIN join: salting must be result-invisible, which is exactly
+    what's worth hash-checking about it."""
+    from mapreducehs_spark.operators.skew import salted_join
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_shipdate")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, orders, "l_orderkey", "o_orderkey", n_salts=16)
+    return joined.groupBy(
+        "o_orderpriority",
+        (F.col("l_shipdate").cast("long") / 86400).cast("long").alias("ship_day"),
+    ).agg(F.count(F.lit(1)).alias("n_lines"))
