@@ -157,6 +157,7 @@ def srp_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """ANN top-k via banded SRP-LSH bucketing (query-side broadcast).
 
@@ -173,10 +174,18 @@ def srp_topk(
     in every band is missed — recall rises with ``bands`` (more, shorter
     bands → higher recall, more candidates).  Recall vs the exact path
     (cosine_topk) is pinned in tests on planted near-duplicates.
+
+    ``planes`` overrides the seeded Gaussian hyperplanes with an
+    explicit (n_planes × dim) matrix — e.g. data-seeded planes an
+    external oracle can replay (s07), mirroring ``ivf_topk``'s
+    ``centroids`` override.
     """
     from mapreducehs_spark.functions.vector_np import cosine_udf, srp_band_keys_udf
 
-    planes = np.asarray(_hyperplanes(dim, n_planes, seed))
+    if planes is None:
+        planes = np.asarray(_hyperplanes(dim, n_planes, seed))
+    else:
+        planes = np.asarray(planes, dtype=np.float64)
     keys_udf = srp_band_keys_udf(planes, bands)
 
     def banded(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
@@ -513,7 +522,11 @@ def kmeans_profile(
         F.col(id_col).alias("id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
     )
-    init = vecs.filter(F.col("id") < k).orderBy("id").collect()
+    # the k lowest-id vectors, as documented — ids need not start at 0
+    # or be contiguous (an id<k filter would silently under-seed then)
+    init = vecs.orderBy("id").limit(k).collect()
+    if len(init) != k:
+        raise ValueError(f"kmeans_profile: need {k} seed vectors, corpus has {len(init)}")
     # clusters stay labeled by their seed vector's id across iterations
     cids = [int(r["id"]) for r in init]
     cents = np.asarray([r["v"] for r in init], dtype=np.float64)

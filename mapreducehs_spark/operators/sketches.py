@@ -30,17 +30,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _mg_add(sketch: dict[str, int], term: str, weight: int, capacity: int) -> None:
-    """Feed one occurrence into a Misra-Gries sketch, in place."""
+def _mg_add(sketch: dict[str, int], term: str, capacity: int) -> None:
+    """Feed one occurrence (weight 1) into a Misra-Gries sketch, in place.
+
+    Unit-weight only by design: the weighted variant must decrement by
+    ``min(weight, min counter)`` and re-insert the remainder to keep
+    the N/(c+1) bound, which the simple decrement-all step below does
+    not do — so the parameter is not offered.
+    """
     if term in sketch:
-        sketch[term] += weight
+        sketch[term] += 1
     elif len(sketch) < capacity:
-        sketch[term] = weight
+        sketch[term] = 1
     else:
-        # decrement-all step; weight>1 decrements by the full weight
         dead = []
         for t in sketch:
-            sketch[t] -= weight
+            sketch[t] -= 1
             if sketch[t] <= 0:
                 dead.append(t)
         for t in dead:
@@ -85,7 +90,7 @@ def mg_topk_per_group(
         sketches: dict[str, dict[str, int]] = {}
         for pdf in batches:
             for g, t in zip(pdf[group_col], pdf[term_col]):
-                _mg_add(sketches.setdefault(g, {}), t, 1, cap)
+                _mg_add(sketches.setdefault(g, {}), t, cap)
         rows = [
             (g, t, n) for g, sk in sketches.items() for t, n in sk.items()
         ]

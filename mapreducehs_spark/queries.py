@@ -4085,7 +4085,7 @@ def t13_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ), c0 AS (
-      SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8
+      SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT 8
     ), d1 AS (
       SELECT e.vec_id, e.v, c0.cid, power(list_distance(e.v, c0.c), 2) AS dd
       FROM e CROSS JOIN c0
@@ -4482,6 +4482,79 @@ def s06_ann_ivf_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "s07_ann_srp_checked",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), h AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS hid, v AS hv
+      FROM e ORDER BY vec_id LIMIT 16
+    ), corpus AS (
+      SELECT vec_id, v FROM e WHERE vec_id >= 8
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8
+    ), csig AS (
+      SELECT c.vec_id,
+             CAST(sum(CASE WHEN list_dot_product(c.v, h.hv) > 0
+                           THEN 1::BIGINT << h.hid ELSE 0 END) AS BIGINT) AS sig
+      FROM corpus c CROSS JOIN h GROUP BY c.vec_id
+    ), qsig AS (
+      SELECT q.query_id,
+             CAST(sum(CASE WHEN list_dot_product(q.qv, h.hv) > 0
+                           THEN 1::BIGINT << h.hid ELSE 0 END) AS BIGINT) AS sig
+      FROM q CROSS JOIN h GROUP BY q.query_id
+    ), cband AS (
+      SELECT vec_id, b AS band, (sig >> (4*b)) & 15 AS bk
+      FROM csig, unnest(range(0, 4)) AS u(b)
+    ), qband AS (
+      SELECT query_id, b AS band, (sig >> (4*b)) & 15 AS bk
+      FROM qsig, unnest(range(0, 4)) AS u(b)
+    ), cand AS (
+      SELECT DISTINCT qb.query_id, cb.vec_id AS match_id
+      FROM qband qb JOIN cband cb ON cb.band = qb.band AND cb.bk = qb.bk
+      WHERE qb.query_id != cb.vec_id
+    ), scored AS (
+      SELECT cand.query_id, cand.match_id,
+             round(list_cosine_similarity(q.qv, c.v), 6) AS cosine
+      FROM cand JOIN q ON q.query_id = cand.query_id
+                JOIN corpus c ON c.vec_id = cand.match_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, match_id ASC
+      ) AS rank FROM scored
+    )
+    SELECT query_id, match_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def s07_ann_srp_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH ANN top-k with DATA-SEEDED hyperplanes (the 16 lowest-
+    vec_id vectors), so the whole pipeline — 16 sign bits from literal
+    dot products, 4x4-bit banding, band-bucket candidate join, exact
+    cosine rank — replays in the DuckDB oracle.  Same plan as s04
+    (Arrow band-key kernel, broadcast probe join on the band key, score
+    before pair-dedup); s04 keeps the Gaussian-hyperplane recall path,
+    this pins the SRP banding algorithm itself — the last rows-only ANN
+    path without a value-checked twin.  Sign ties (dot exactly 0) are
+    impossible at double precision on this data; both engines use
+    strict > 0."""
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(16).collect()
+    import numpy as np
+
+    planes = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    return similarity.srp_topk(
+        emb.filter(F.col("vec_id") >= 8),
+        emb.filter(F.col("vec_id") < 8),
+        k=5,
+        dim=planes.shape[1],
+        n_planes=16,
+        bands=4,
+        planes=planes,
+    )
+
+
 def _q76_oracle() -> str:
     """Morton-key oracle rendered from the same bit arithmetic as
     operators/layout.zorder_value (bits=8 on the bucketed keys)."""
@@ -4745,27 +4818,41 @@ def d13_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quote/excerpt dedup), which symmetric Jaccard misses because the
     size imbalance caps Jaccard at |A|/|B|.  Same candidates-then-
     measure shape as d02 (shared-shingle equi-join, never all-pairs);
-    the direction filter keeps only small-inside-big rows."""
+    the direction filter keeps only small-inside-big rows.
+
+    The join key is the 64-bit siphash of the shingle, not the string
+    (half the shuffle width — the 100 TB choice); the intersection
+    count therefore equals the string-set intersection only absent a
+    within-pair 64-bit collision, a ~|A||B|/2^64 event that never
+    fires at any tested scale.  The pair result is tiny, so it is
+    materialized eagerly (localCheckpoint) and the shingle frame
+    unpersisted immediately — no cached blocks outlive the call."""
     from mapreducehs_spark.operators.dedup import hashed_shingle_rows
 
     docs = _t(spark, sf_dir, "documents")
     ex = hashed_shingle_rows(docs, "text", "doc_id", 3).persist()
-    a = ex.select(F.col("id").alias("id_small"), F.col("set_size").alias("size_small"), "shingle")
-    b = ex.select(F.col("id").alias("id_big"), F.col("set_size").alias("size_big"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_small") != F.col("id_big"))
-        .groupBy("id_small", "id_big", "size_small", "size_big")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    return (
-        inter.withColumn(
-            "containment",
-            F.round(F.col("inter") / F.col("size_small").cast("double"), 6),
+    try:
+        a = ex.select(
+            F.col("id").alias("id_small"), F.col("set_size").alias("size_small"), "shingle"
         )
-        .filter((F.col("containment") >= 0.5) & (F.col("size_small") < F.col("size_big")))
-        .select("id_small", "id_big", "containment")
-    )
+        b = ex.select(F.col("id").alias("id_big"), F.col("set_size").alias("size_big"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_small") != F.col("id_big"))
+            .groupBy("id_small", "id_big", "size_small", "size_big")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        return (
+            inter.withColumn(
+                "containment",
+                F.round(F.col("inter") / F.col("size_small").cast("double"), 6),
+            )
+            .filter((F.col("containment") >= 0.5) & (F.col("size_small") < F.col("size_big")))
+            .select("id_small", "id_big", "containment")
+            .localCheckpoint()
+        )
+    finally:
+        ex.unpersist(blocking=False)
 
 
 @query(
@@ -5043,9 +5130,11 @@ def m05_pointer_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from mapreducehs_spark.operators.multimodal import read_binary_dir
+    from mapreducehs_spark.sources.catalog import source_fingerprint
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    base = os.path.join(tempfile.gettempdir(), f"mapreducehs_media_{tag}")
+    fp = source_fingerprint(sf_dir, "documents")
+    base = os.path.join(tempfile.gettempdir(), f"mapreducehs_media_{tag}_{fp}")
     done = os.path.join(base, "_DONE")
     if not os.path.exists(done):
         os.makedirs(base, exist_ok=True)
@@ -5087,8 +5176,11 @@ def q82_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    from mapreducehs_spark.sources.catalog import source_fingerprint
+
     tag = os.path.basename(os.path.normpath(sf_dir))
-    base = os.path.join(tempfile.gettempdir(), f"mapreducehs_events_bydate_{tag}")
+    fp = source_fingerprint(sf_dir, "events")
+    base = os.path.join(tempfile.gettempdir(), f"mapreducehs_events_bydate_{tag}_{fp}")
     done = os.path.join(base, "_DONE")
     ev = _t(spark, sf_dir, "events")
     if not os.path.exists(done):

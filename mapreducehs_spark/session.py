@@ -51,14 +51,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # AQE's coalesce target: the default 64m optimizes shuffle IO and
-        # merges CPU-bound stages (window sorts, per-group ranks) down to
-        # a couple of tasks on small-to-mid data — measured 25-45% slower
-        # across the window/agg headline at sf0.1.  8m keeps parallelism
-        # while still merging tiny fragments; on a real cluster the
-        # per-partition CPU cost of wide operators, not just bytes, is
-        # what this knob trades against scheduling overhead.
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # AQE's coalesce target.  The 8m default here is a LOCAL/BENCH
+        # profile: Spark's 64m default merges CPU-bound stages (window
+        # sorts, per-group ranks) down to a couple of tasks on
+        # small-to-mid data — measured 25-45% slower across the
+        # window/agg headline at sf0.1 — while 8m keeps parallelism and
+        # still merges tiny fragments.  On genuinely large shuffles the
+        # small target multiplies reducer counts ~8x vs 64m, trading
+        # shuffle IO and scheduling overhead, so a cluster deployment
+        # should override via SPARK_GRAFT_ADVISORY_PARTITION (e.g.
+        # "64m") rather than inherit the bench tuning.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "8m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))

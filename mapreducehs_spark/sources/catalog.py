@@ -36,6 +36,26 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def source_fingerprint(sf_dir: str, *tables: str) -> str:
+    """Short content token for *tables* under *sf_dir*, for fixture
+    cache keys.
+
+    Derived cached fixtures (stream replay dirs, partitioned rewrites,
+    media files) must be rebuilt when the driver regenerates the
+    testdata in place — the sf-dir *name* stays the same, so a
+    name-only cache key would silently serve fixtures built from stale
+    data.  size + mtime_ns of each source parquet changes on any
+    regeneration; folding them into the key makes reuse safe.
+    """
+    import hashlib
+
+    h = hashlib.md5()
+    for name in tables or TABLES:
+        st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
+        h.update(f"{name}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:12]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Plain parquet scan → full pushdown.
 

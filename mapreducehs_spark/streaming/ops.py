@@ -76,7 +76,12 @@ def prepare_stream_dir(
     Idempotent per (sf_dir, n_chunks): reuses the directory if it is
     already fully built (a ``_DONE`` marker commits it).
     """
-    key = f"{os.path.basename(os.path.normpath(sf_dir))}_c{n_chunks}_v2"
+    from mapreducehs_spark.sources.catalog import source_fingerprint
+
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}_c{n_chunks}_v2"
+        f"_{source_fingerprint(sf_dir, 'events')}"
+    )
     out = os.path.join(base_dir, key)
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
@@ -484,7 +489,12 @@ def prepare_late_stream_dir(
     possible), and merges the rest — a deterministic, oracle-checkable
     subset because both watermarks depend only on event time.
     """
-    key = f"{os.path.basename(os.path.normpath(sf_dir))}_late_{late_lo_sec}_{late_hi_sec}_{n_ontime_chunks}_v2"
+    from mapreducehs_spark.sources.catalog import source_fingerprint
+
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}_late_{late_lo_sec}_{late_hi_sec}"
+        f"_{n_ontime_chunks}_v2_{source_fingerprint(sf_dir, 'events')}"
+    )
     out = os.path.join(base_dir, key)
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
