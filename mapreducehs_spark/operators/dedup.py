@@ -588,7 +588,25 @@ def near_dedup_drop_list(
     cands = minhash_lsh_pairs(
         df, text_col, id_col, num_perm, bands, shingle_n,
         jaccard_threshold=candidate_threshold,
-    ).persist()
+    )
+    return _verify_and_resolve(df, cands, text_col, id_col, shingle_n, jaccard_threshold)
+
+
+def _verify_and_resolve(
+    df: DataFrame,
+    cands: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    jaccard_threshold: float,
+) -> DataFrame:
+    """Shared tail of the composed dedup pipelines: exact per-pair
+    Jaccard verification of candidate pairs → connected-component
+    resolution → drop list (doc_id, rep_id) with the representative
+    removed.  Candidate generation is the caller's (vectorized
+    minhash_lsh_pairs for throughput, minhash_lsh_pairs_checked for the
+    oracle-replayable twin)."""
+    cands = cands.persist()
     cand_docs = (
         cands.select(F.col("id_a").alias("cid"))
         .unionByName(cands.select(F.col("id_b").alias("cid")))
@@ -625,6 +643,28 @@ def near_dedup_drop_list(
     )
     clusters = resolve_duplicate_clusters(verified)
     return clusters.filter(F.col("doc_id") != F.col("rep_id"))
+
+
+def near_dedup_drop_list_checked(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    est_threshold: float = 0.25,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """The composed dedup pipeline with CANDIDATES an external oracle
+    can replay: minhash_lsh_pairs_checked (md5-fold shingle ids,
+    literal-seed permutations, deterministic banding) feeds the same
+    exact-verify → resolve tail as near_dedup_drop_list.  End to end
+    value-checked by d15's DuckDB oracle; near_dedup_drop_list stays
+    the vectorized throughput path (identical topology).  The estimate
+    threshold sits below the verify threshold so LSH boundary misses
+    don't leak through — the exact pass decides."""
+    cands = minhash_lsh_pairs_checked(
+        df, text_col, id_col, shingle_n, est_threshold
+    ).select("id_a", "id_b")
+    return _verify_and_resolve(df, cands, text_col, id_col, shingle_n, jaccard_threshold)
 
 
 def decontaminate(

@@ -4297,10 +4297,13 @@ def q75_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _d11_oracle() -> str:
-    """Render the d11 oracle from the SAME seed constants the Spark
-    operator uses (operators/dedup.minhash_check_seeds) — parity by
-    construction."""
+def _minhash_checked_ctes() -> tuple[str, str, int]:
+    """Shared CTE prefix (shingles → md5-fold ids → literal-seed
+    signatures → banding → candidate pairs) rendered from the SAME seed
+    constants the Spark operator uses
+    (operators/dedup.minhash_check_seeds) — parity by construction.
+    Returns (cte_body, agree_expr, num_perm); d11 and d15 append
+    different tails."""
     from mapreducehs_spark.operators.dedup import (
         MINHASH_CHECK_BANDS,
         MINHASH_CHECK_NUM_PERM,
@@ -4323,8 +4326,7 @@ def _d11_oracle() -> str:
         f"SELECT doc_id, {bi} AS band, bk{bi} AS bk FROM bandcols" for bi in range(nb)
     )
     agree = " + ".join(f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(np_))
-    return f"""
-    WITH toks AS (
+    ctes = f"""toks AS (
       SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
       FROM documents
     ), pos AS (
@@ -4342,7 +4344,14 @@ def _d11_oracle() -> str:
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
-    )
+    )"""
+    return ctes, agree, np_
+
+
+def _d11_oracle() -> str:
+    ctes, agree, np_ = _minhash_checked_ctes()
+    return f"""
+    WITH {ctes}
     SELECT c.id_a, c.id_b, round(({agree}) / {float(np_)}, 6) AS est_jaccard
     FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b
     WHERE ({agree}) / {float(np_)} >= 0.25
@@ -4552,6 +4561,65 @@ def s07_ann_srp_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=16,
         bands=4,
         planes=planes,
+    )
+
+
+def _d15_oracle() -> str:
+    """d15: the full composed drop list — checked-minhash candidates
+    (shared CTEs) → exact string-shingle Jaccard ≥ 0.5 → recursive-CTE
+    connected components → drop everything but the min-id
+    representative."""
+    ctes, agree, np_ = _minhash_checked_ctes()
+    return f"""
+    WITH RECURSIVE {ctes},
+    est AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b
+      WHERE ({agree}) / {float(np_)} >= 0.25
+    ), sized AS (
+      SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT e.id_a, e.id_b, count(*) AS inter
+      FROM est e
+      JOIN sh a ON a.doc_id = e.id_a
+      JOIN sh b ON b.doc_id = e.id_b AND b.s = a.s
+      GROUP BY 1, 2
+    ), p AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sized za ON za.doc_id = id_a
+      JOIN sized zb ON zb.doc_id = id_b
+      WHERE inter / CAST(za.set_size + zb.set_size - inter AS DOUBLE) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION
+      SELECT id_b, id_a FROM p
+    ), reach(src, dst) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
+    )
+    SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS rep_id
+    FROM reach
+    GROUP BY src
+    HAVING src != min(dst)
+    """
+
+
+@query("d15_near_dedup_checked", oracle=_d15_oracle())
+def d15_near_dedup_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP composed dedup pipeline, value-checked end to end:
+    oracle-replayable MinHash-LSH candidates (d11's literal seeds) →
+    exact per-pair Jaccard verification → connected-component
+    resolution → the (doc_id, rep_id) drop list
+    (operators/dedup.near_dedup_drop_list_checked).  d07 keeps the
+    vectorized-hash throughput path with identical topology; this run
+    proves the COMPOSITION — candidates, verify decisions, cluster
+    reps, drop set — bit-for-bit against DuckDB's recursive-CTE
+    replay."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.near_dedup_drop_list_checked(
+        docs, est_threshold=0.25, jaccard_threshold=0.5
     )
 
 
