@@ -875,3 +875,29 @@ def test_compact_dir_reduces_file_count(spark, tmp_path):
     assert len(files) == n <= 8
     # no rows lost
     assert spark.read.parquet(compacted).count() == li.count()
+
+
+def test_batch_chaos_same_answer_under_task_failures():
+    """The reference's failure-injection discipline, batch edition: a
+    kernel that aborts EVERY task's first attempt (harsher than the
+    reference's 50% Drop runner, src/ImplWorker.hs:88-96) must produce
+    the identical result once Spark's task retry re-executes it.  Runs
+    in a subprocess because retry needs its own master config
+    (local[4, 2]); the script asserts match AND that retries actually
+    fired (tools/chaos_check.py)."""
+    import json
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "tools/chaos_check.py", "/root/testdata/sf0.001"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["match"] is True
+    assert out["retries"] > 0
+    assert out["rows"] > 0
