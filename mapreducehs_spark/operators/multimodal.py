@@ -12,12 +12,12 @@ reference).  Conventions:
   the testdata is synthetic text; the schema contract is identical.
 - Decode / feature-extract run as Arrow-batched ``mapInPandas`` — the
   only sane shape for per-item Python media libs (one Python worker per
-  partition, batches amortize serialization).  The actual image/audio
-  decode libs are NOT in this container, so ``decode_image`` raises
-  ``NotImplementedError`` by design and ``fake_features`` provides the
-  deterministic stand-in used by tests (real deployments swap the body,
-  the Spark plumbing — schema, partitioning, batch shape — is what is
-  tested here).
+  partition, batches amortize serialization).  ``decode_image`` is a
+  REAL pure-numpy decoder for binary PGM (P5) — header parse + raster —
+  so the decode stage is exercised end-to-end (m06); formats that need
+  a codec lib (JPEG/PNG, absent in this container) still raise
+  ``NotImplementedError`` and ``fake_features`` provides the
+  deterministic stand-in used by the feature-extraction tests.
 """
 
 from __future__ import annotations
@@ -52,13 +52,49 @@ def read_binary_dir(spark, path: str) -> DataFrame:
     return spark.read.format("binaryFile").load(path)
 
 
+def encode_pgm(pixels: "np.ndarray") -> bytes:
+    """Encode a (h, w) uint8 array as a binary PGM (P5) image — the
+    netpbm format is simple enough to implement with no codec lib, so
+    the encode→decode path is REAL in this container (not a stub)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 2:
+        raise ValueError(f"encode_pgm: expected 2-D grayscale array, got shape {px.shape}")
+    h, w = px.shape
+    return f"P5\n{w} {h}\n255\n".encode("ascii") + px.tobytes()
+
+
 def decode_image(payload_bytes: bytes) -> "np.ndarray":
-    """STUB — image decode requires a codec lib (PIL/cv2) not present in
-    this container.  Deployments replace this body; everything calling
-    it goes through the same mapInPandas plumbing as fake_features."""
-    raise NotImplementedError(
-        "image decode requires PIL/cv2; not available in this environment"
-    )
+    """Decode an image payload to a (h, w) uint8 array.
+
+    Implements binary PGM (P5, maxval ≤ 255) in pure numpy — a real
+    parse of magic, whitespace/comment-tolerant header, and raster —
+    so the decode stage of the multimodal pipeline is exercised
+    end-to-end without PIL/cv2 (which this container lacks).  Other
+    formats (JPEG/PNG/…) still require a codec lib: deployments extend
+    the dispatch below; the mapInPandas plumbing is identical.
+    """
+    if not payload_bytes.startswith(b"P5"):
+        raise NotImplementedError(
+            "only PGM (P5) decodes without a codec lib; JPEG/PNG need PIL/cv2"
+        )
+    # header = magic + 3 whitespace-separated ints, '#' comments allowed
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(payload_bytes) and payload_bytes[pos : pos + 1].isspace():
+            pos += 1
+        if payload_bytes[pos : pos + 1] == b"#":
+            pos = payload_bytes.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload_bytes) and not payload_bytes[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload_bytes[start:pos]))
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PGM not supported")
+    raster = np.frombuffer(payload_bytes, dtype=np.uint8, count=w * h, offset=pos + 1)
+    return raster.reshape(h, w)
 
 
 def fake_features(payload: bytes, dim: int = 8) -> list[float]:
@@ -104,6 +140,58 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
         F.explode(
             F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_index"),
+    )
+
+
+def render_pgm_payloads(
+    df: DataFrame, id_col: str = "doc_id", width: int = 32, height: int = 16
+) -> DataFrame:
+    """Deterministic synthetic image per row: pixel[i] =
+    (id*31 + i*7) mod 256, encoded as real PGM bytes.  Plays the
+    external camera/media store in tests and m06 — the arithmetic
+    pixel law is what lets a SQL oracle replay decoded-image stats
+    without itself decoding anything.  Emits (id, payload binary)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(width * height, dtype=np.int64)
+        for pdf in it:
+            payloads = [
+                encode_pgm((((int(i) * 31 + idx * 7) % 256).astype(np.uint8)).reshape(height, width))
+                for i in pdf[id_col]
+            ]
+            yield pd.DataFrame({"id": pdf[id_col].astype("int64"), "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, schema="id long, payload binary")
+
+
+def decoded_image_stats(df: DataFrame, id_col: str = "id", payload_col: str = "payload") -> DataFrame:
+    """Decode each payload with ``decode_image`` and reduce to stats:
+    (id, width, height, px_sum, px_min, px_max).  A genuinely-decoding
+    mapInPandas stage — header parse, raster reshape, numpy reduce —
+    the template every real extractor (resize, embed, OCR) follows."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_image(bytes(p))
+                rows.append(
+                    (
+                        int(i),
+                        img.shape[1],
+                        img.shape[0],
+                        int(img.astype(np.int64).sum()),
+                        int(img.min()),
+                        int(img.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["id", "width", "height", "px_sum", "px_min", "px_max"]
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema="id long, width long, height long, px_sum long, px_min long, px_max long",
     )
 
 

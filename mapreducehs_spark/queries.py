@@ -4623,6 +4623,43 @@ def d15_near_dedup_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "m06_image_decode_stats",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, (doc_id * 31 + i * 7) % 256 AS p
+      FROM documents, unnest(range(0, 512)) AS u(i)
+    )
+    SELECT doc_id,
+           32::BIGINT AS width,
+           16::BIGINT AS height,
+           CAST(sum(p) AS BIGINT) AS px_sum,
+           CAST(min(p) AS BIGINT) AS px_min,
+           CAST(max(p) AS BIGINT) AS px_max
+    FROM px GROUP BY doc_id
+    """,
+)
+def m06_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode inside the checked inventory: every doc gets a
+    synthetic 32x16 PGM payload (pixel law (id*31 + 7i) mod 256,
+    operators/multimodal.render_pgm_payloads), and a second Arrow stage
+    decodes the actual bytes — magic check, header parse, raster
+    reshape (multimodal.decode_image, pure numpy) — then reduces to
+    per-image stats.  The arithmetic pixel law lets DuckDB replay the
+    stats without decoding, so the encode→decode round trip itself is
+    what is value-checked.  Formats needing codec libs stay env-gated;
+    the pipeline shape (binary column → decode kernel → stats) is the
+    production one."""
+    from mapreducehs_spark.operators.multimodal import (
+        decoded_image_stats,
+        render_pgm_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    payloads = render_pgm_payloads(docs, "doc_id", width=32, height=16)
+    return decoded_image_stats(payloads).withColumnRenamed("id", "doc_id")
+
+
 def _q76_oracle() -> str:
     """Morton-key oracle rendered from the same bit arithmetic as
     operators/layout.zorder_value (bits=8 on the bucketed keys)."""

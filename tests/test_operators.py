@@ -901,3 +901,18 @@ def test_batch_chaos_same_answer_under_task_failures():
     assert out["match"] is True
     assert out["retries"] > 0
     assert out["rows"] > 0
+
+
+def test_pgm_encode_decode_roundtrip():
+    from mapreducehs_spark.operators.multimodal import decode_image, encode_pgm
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(16, 32), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_pgm(img)), img)
+
+    # comment-tolerant header parse (netpbm allows '#' lines)
+    with_comment = b"P5\n# synthetic\n32 16\n255\n" + img.tobytes()
+    assert np.array_equal(decode_image(with_comment), img)
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
