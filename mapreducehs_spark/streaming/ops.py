@@ -324,6 +324,62 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Spark 4 successor-API twin of ``stateful_user_totals``:
+    per-user running totals via ``transformWithStateInPandas`` (the
+    ``StatefulProcessor`` + typed ``ValueState`` API that replaces
+    ``applyInPandasWithState``).  Semantics are identical — same output
+    schema, one emitted row per (user, trigger-with-data), last update
+    equals the batch aggregate — so the st03 differential applies
+    verbatim.
+
+    ENV-GATED: the processor runs through a Python-side state server
+    that needs ``google.protobuf``, absent in this container; the test
+    (tests/test_streaming.py::test_transform_with_state_totals) skips
+    until the dependency appears.  applyInPandasWithState (st03)
+    remains the tested path for the same semantics.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", _USER_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, total, seq = self._state.get() if self._state.exists() else (0, 0.0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            seq += 1
+            self._state.update((n, total, seq))
+            (user_id,) = key
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "total_value": [round(total, 4)],
+                    "update_seq": [seq],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.filter(F.col("event_type") != FLUSH_TYPE)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserTotalsProcessor(),
+            outputStructType=_USER_TOTALS_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )
+
+
 def stream_distinct(events: DataFrame, keys: list[str]) -> DataFrame:
     """Streaming exact dedup: first occurrence per key, state-backed.
 

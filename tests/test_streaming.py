@@ -206,3 +206,49 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 18
     assert got.select("event_id").distinct().count() == 18  # no double-processing
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (absent in this container); "
+    "applyInPandasWithState covers the same semantics (st03)",
+)
+def test_transform_with_state_totals(spark):
+    """Spark 4 successor stateful API (transformWithStateInPandas) must
+    reproduce the applyInPandasWithState result: last update per user ==
+    batch groupBy aggregate.  Skip-marked until the container gains
+    protobuf — the day it does, this exercises the new API with zero
+    code changes."""
+    from mapreducehs_spark.streaming.ops import latest_per_user
+
+    sf_dir = "/root/testdata/sf0.001"
+    replay = st.prepare_stream_dir(spark, sf_dir, n_chunks=4)
+    events = st.events_stream(spark, replay)
+    updates = st.stateful_user_totals_tws(events)
+    log = st.run_to_batch(updates, "tws_sink", output_mode="append")
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in latest_per_user(log).collect()
+    }
+
+    from mapreducehs_spark.sources.catalog import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 4).alias("t"),
+        )
+    )
+    want = {r["user_id"]: (r["n"], r["t"]) for r in batch.collect()}
+    assert got == want
