@@ -64,6 +64,14 @@ HEADLINE = [
     "q73_time_range_frames",
     "q76_zorder_key",
     "t14_source_entropy",
+    # round-4 families: multiformat dims, recursive CTE, large-large
+    # SMJ, exact decimal money, checked-composition dedup, image decode
+    "q78_multiformat_join",
+    "q80_recursive_cte",
+    "q83_large_large_smj",
+    "q84_decimal_exact_money",
+    "d15_near_dedup_checked",
+    "m06_image_decode_stats",
 ]
 
 

@@ -493,47 +493,89 @@ def embedding_near_dup_pairs(
     return cosine_pairs_lsh(emb, id_col=id_col, vec_col=vec_col, threshold=threshold)
 
 
-def resolve_duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
-    """Resolve near-dup pairs into clusters: connected components by
-    iterative min-label propagation; returns (doc_id, rep_id) where
-    ``rep_id`` is the minimum doc id of the component — the canonical
-    "keep one representative per duplicate cluster" step after any
-    candidate-pair generator (d02/d03/d04/d05).
+def resolve_duplicate_clusters(
+    pairs: DataFrame, max_iter: int = 25, driver_threshold: int = 5_000_000
+) -> DataFrame:
+    """Resolve near-dup pairs into clusters: connected components;
+    returns (doc_id, rep_id) where ``rep_id`` is the minimum doc id of
+    the component — the canonical "keep one representative per
+    duplicate cluster" step after any candidate-pair generator
+    (d02/d03/d04/d05).
 
-    Each round every node takes the min label among itself and its
-    neighbors; convergence in O(component diameter) rounds.  Dup
-    clusters in practice are small and dense (diameter ≲ 4), so the
-    loop is a handful of rounds — the standard scalable CC shape (a
-    GraphX/Pregel equivalent expressed as DataFrame joins).
+    Two regimes, chosen by the materialized pair count:
 
-    Per-round cost is ONE equi-join + ONE hash aggregation: self-loops
-    baked into the edge list make "min over self and neighbors" a
-    single ``groupBy(dst).min(rep)`` (no separate left join to carry
-    unchanged nodes).  Convergence detection rides the monotonicity of
-    min-label propagation: reps only decrease, so the loop is done
-    exactly when ``sum(rep)`` stops falling — one scalar aggregate over
-    the already-computed round result, no old-vs-new join.  Caps at
-    ``max_iter`` as a pathological-chain guard.
+    - ``n_pairs ≤ driver_threshold`` → **driver union-find**.  The
+      verified pair list is scalar (two longs/row) and a vanishing
+      fraction of the corpus — 5M pairs is ~80 MB — while every round
+      of the distributed loop is a full Spark job (join + agg +
+      convergence collect) whose scheduling dwarfs the compute at this
+      size (measured seconds/round for a 25-edge graph).  Union-find
+      with path compression resolves millions of edges in under a
+      second on the driver; the result is parallelized back.
+    - larger → **iterative min-label propagation**: each round every
+      node takes the min label among itself and its neighbors;
+      convergence in O(component diameter) rounds — the standard
+      scalable CC shape (a GraphX/Pregel equivalent expressed as
+      DataFrame joins).  Per-round cost is ONE equi-join + ONE hash
+      aggregation: self-loops baked into the edge list make "min over
+      self and neighbors" a single ``groupBy(dst).min(rep)``.
+      Convergence detection rides the monotonicity of min-label
+      propagation: reps only decrease, so the loop is done exactly
+      when ``sum(rep)`` stops falling.  Caps at ``max_iter`` as a
+      pathological-chain guard.
+
+    Both paths are semantically identical (pinned by
+    tests/test_operators.py::test_resolve_clusters_driver_vs_distributed);
+    pass ``driver_threshold=0`` to force the distributed loop.
     """
-    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # materialize the pair list once up front: its size picks the
+    # regime, and every downstream frame derives from it
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).persist()
+    n_pairs = fwd.count()
+
+    if n_pairs <= driver_threshold:
+        pdf = fwd.toPandas()
+        fwd.unpersist(blocking=False)
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(pdf["src"].values, pdf["dst"].values):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra  # min root wins → rep is the min id
+        ids = sorted(set(pdf["src"].astype(int)) | set(pdf["dst"].astype(int)))
+        out = pd.DataFrame(
+            {"doc_id": ids, "rep_id": [find(i) for i in ids]}, dtype="int64"
+        )
+        return pairs.sparkSession.createDataFrame(out, schema="doc_id long, rep_id long")
+
     nodes = (
         fwd.select(F.col("src").alias("id"))
         .unionByName(fwd.select(F.col("dst").alias("id")))
         .distinct()
     )
-    # repartition before persist: the 3-way union otherwise carries the
-    # SUM of its branches' partition counts into every round's map side
-    # (600 tasks/round under a 200-shuffle-partition session); hashing
-    # on src also co-locates each round's join probe.  AQE handles the
-    # reduce sides; at real scale size the session's parallelism, not
-    # this call.
+    # Right-size the loop's parallelism to the actual graph: one
+    # partition per ~25k edges, capped at the session's parallelism.
+    # The repartition co-locates each round's join probe on src; AQE
+    # handles the reduce sides.
     par = pairs.sparkSession.sparkContext.defaultParallelism
+    target = max(1, min(par, n_pairs // 25_000 + 1))
     edges = (
         fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .unionByName(nodes.select(F.col("id").alias("src"), F.col("id").alias("dst")))
-        .repartition(par, "src")
+        .repartition(target, "src")
     ).persist()
     edges.count()  # materialize once; every round joins this frame
+    fwd.unpersist(blocking=False)
     labels = nodes.withColumn("rep", F.col("id")).persist()
     prev_sum = None
 

@@ -916,3 +916,34 @@ def test_pgm_encode_decode_roundtrip():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+def test_resolve_clusters_driver_vs_distributed(spark):
+    """The two CC regimes (driver union-find below the threshold,
+    iterative min-label propagation above) must agree exactly — a
+    planted graph with a chain (worst diameter), a triangle, and an
+    isolated pair."""
+    from mapreducehs_spark.operators.dedup import resolve_duplicate_clusters
+
+    edges = [
+        # chain 10-11-12-13-14 (diameter 4)
+        (10, 11), (11, 12), (12, 13), (13, 14),
+        # triangle 20-21-22
+        (20, 21), (21, 22), (20, 22),
+        # isolated pair
+        (30, 31),
+    ]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = {10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+            20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+    via_driver = {
+        r["doc_id"]: r["rep_id"]
+        for r in resolve_duplicate_clusters(pairs).collect()
+    }
+    via_loop = {
+        r["doc_id"]: r["rep_id"]
+        for r in resolve_duplicate_clusters(pairs, driver_threshold=0).collect()
+    }
+    assert via_driver == want
+    assert via_loop == want
