@@ -4660,6 +4660,80 @@ def m06_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded_image_stats(payloads).withColumnRenamed("id", "doc_id")
 
 
+@query(
+    "q86_lateral_topn",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, round(c_acctbal, 4) AS c_acctbal
+      FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c.c_acctbal DESC, c_name ASC
+      LIMIT 3
+    ) t
+    """,
+)
+def q86_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through the Spark 4 DataFrame API
+    (``DataFrame.lateralJoin`` + ``Column.outer()`` correlation): the
+    top-3 customers by balance per nation, expressed as a per-outer-row
+    ordered limit rather than a window-rank over the whole fact.
+    Catalyst rewrites the correlated limit into the same
+    rank-then-filter physical shape (no per-nation re-scan), so this
+    pins the API surface AND its plan equivalence with q12's window
+    formulation; DuckDB runs the identical LATERAL semantics."""
+    nat = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    return nat.lateralJoin(
+        cust.where(F.col("c_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_name").asc())
+        .limit(3)
+        .select("c_name", F.round("c_acctbal", 4).alias("c_acctbal"))
+    ).select("n_name", "c_name", "c_acctbal")
+
+
+@query(
+    "d16_embedding_dedup_drop_list",
+    oracle="""
+    WITH RECURSIVE p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION
+      SELECT id_b, id_a FROM p
+    ), reach(src, dst) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
+    )
+    SELECT src AS vec_id, CAST(min(dst) AS BIGINT) AS rep_id
+    FROM reach
+    GROUP BY src
+    HAVING src != min(dst)
+    """,
+)
+def d16_embedding_dedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC (embedding-space) dedup composed end to end: exact
+    blocked-matmul cosine pairs (d05's operator) → connected-component
+    resolution → the (vec_id, rep_id) drop list — the companion of
+    d15's lexical pipeline for paraphrase-level duplicates that share
+    no shingles.  Value-checked throughout: the pair stage is exact,
+    and DuckDB replays the component closure recursively.  At 100 TB
+    the pair stage swaps to SRP-LSH candidates (cosine_pairs_lsh) with
+    the identical downstream; the drop-list contract is unchanged."""
+    from mapreducehs_spark.operators.similarity import all_pairs_cosine_blocked
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = all_pairs_cosine_blocked(emb, threshold=0.4).select("id_a", "id_b")
+    clusters = dedup.resolve_duplicate_clusters(pairs)
+    return (
+        clusters.filter(F.col("doc_id") != F.col("rep_id"))
+        .select(F.col("doc_id").alias("vec_id"), "rep_id")
+    )
+
+
 def _q76_oracle() -> str:
     """Morton-key oracle rendered from the same bit arithmetic as
     operators/layout.zorder_value (bits=8 on the bucketed keys)."""

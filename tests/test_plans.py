@@ -339,3 +339,14 @@ def test_q83_smj_not_broadcast(q):
     assert I.broadcast_join_count(df) == 0
     # two exchanges for the join (one per side) + one for the rollup
     assert I.exchange_count(df) == 3
+
+
+def test_q86_lateral_decorrelates_to_window_group_limit(q):
+    df = q("q86_lateral_topn")
+    plan = I.formatted_plan(df)
+    # the correlated ORDER BY ... LIMIT 3 must decorrelate into a
+    # rank-then-filter (WindowGroupLimit), never a per-outer-row rescan
+    # (nested loop); the nation side broadcasts
+    assert "WindowGroupLimit" in plan
+    assert I.broadcast_join_count(df) == 1
+    assert "BroadcastNestedLoopJoin" not in plan

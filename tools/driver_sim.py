@@ -65,6 +65,7 @@ def canon(df: pd.DataFrame) -> str:
 Q = E.queries()
 O = E.oracle_sql()
 fails = []
+records = {}
 for name, fn in Q.items():
     if ONLY and name not in ONLY:
         continue
@@ -73,6 +74,9 @@ for name, fn in Q.items():
         sp = fn(spark, SF_DIR).toPandas()
     except Exception as ex:
         fails.append(name)
+        records[name] = {"rows_match": None, "schema_match": None, "hash_match": None,
+                         "spark_rows": None, "oracle_rows": None,
+                         "err": f"spark:{type(ex).__name__}"}
         print(f"{name}: SPARK ERROR {type(ex).__name__}: {str(ex)[:200]}", flush=True)
         continue
     dt = time.perf_counter() - t0
@@ -80,24 +84,37 @@ for name, fn in Q.items():
         status = f"rows_only rows={len(sp)}" + (" EMPTY!" if len(sp) == 0 else "")
         if len(sp) == 0:
             fails.append(name)
+        records[name] = {"rows_match": None, "schema_match": None, "hash_match": None,
+                         "spark_rows": len(sp), "oracle_rows": None, "err": "no_oracle"}
         print(f"{name}: {status} ({dt:.1f}s)", flush=True)
         continue
     try:
         ora = con.execute(O[name]).fetchdf()
     except Exception as ex:
         fails.append(name)
+        records[name] = {"rows_match": None, "schema_match": None, "hash_match": None,
+                         "spark_rows": len(sp), "oracle_rows": None,
+                         "err": f"oracle:{type(ex).__name__}"}
         print(f"{name}: ORACLE ERROR {type(ex).__name__}: {str(ex)[:200]}", flush=True)
         continue
     rows_m = len(sp) == len(ora)
     schema_m = sorted(map(str, sp.columns)) == sorted(map(str, ora.columns))
     hash_m = schema_m and canon(sp) == canon(ora)
     ok = rows_m and schema_m and hash_m
+    records[name] = {"rows_match": rows_m, "schema_match": schema_m, "hash_match": hash_m,
+                     "spark_rows": len(sp), "oracle_rows": len(ora), "err": None}
     if not ok:
         fails.append(name)
         print(f"{name}: MISMATCH rows={len(sp)}/{len(ora)} schema={schema_m} "
               f"cols_spark={sorted(sp.columns)} cols_ora={sorted(ora.columns)}", flush=True)
     else:
         print(f"{name}: MATCH rows={len(sp)} ({dt:.1f}s)", flush=True)
+
+if os.environ.get("DRIVER_SIM_JSON"):
+    import json
+
+    with open(os.environ["DRIVER_SIM_JSON"], "w") as f:
+        json.dump(records, f, indent=2)
 
 print(f"\n{'FAILURES: ' + ', '.join(fails) if fails else 'ALL PASS'}", flush=True)
 spark.stop()
