@@ -4734,6 +4734,75 @@ def d16_embedding_dedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "q87_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q87_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured data through the Spark 4 VARIANT type:
+    ``parse_json`` once into a variant column, then typed path access
+    (``try_variant_get``) — the open-schema ingestion shape that
+    replaces per-query string re-parsing (q19's get_json_object) with a
+    parse-once binary encoding; at 100 TB the variant column is stored
+    shredded and paths prune like real columns.  DuckDB replays the
+    same paths with its JSON operators."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "q88_listagg_ordered",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 4) AS revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q88_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (Spark 4 ``listagg ... WITHIN GROUP``)
+    — the report-friendly holistic aggregate that needs its group
+    sorted before concatenation, exercised through the SQL surface.
+    The WITHIN GROUP ordering makes the output deterministic (plain
+    collect_list+concat is partition-order-dependent and would never
+    hash-match an oracle).  DuckDB's string_agg(... ORDER BY) is the
+    same semantics.  (Engine note: Spark 4.1 throws ClassCastException
+    when listagg(DISTINCT) shares a grouping with a second distinct
+    aggregate — the revenue column here is deliberately non-distinct.)"""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               listagg(DISTINCT o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 4) AS revenue
+        FROM orders_v
+        GROUP BY o_orderpriority
+        """
+    )
+
+
 def _q76_oracle() -> str:
     """Morton-key oracle rendered from the same bit arithmetic as
     operators/layout.zorder_value (bits=8 on the bucketed keys)."""
