@@ -10,6 +10,7 @@ here Spark == run_local / numpy / a naive Spark plan.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pytest
@@ -947,3 +948,22 @@ def test_resolve_clusters_driver_vs_distributed(spark):
     }
     assert via_driver == want
     assert via_loop == want
+
+
+def test_source_fingerprint_changes_on_regeneration(tmp_path):
+    """Fixture cache keys must change when the driver regenerates the
+    testdata in place (same file name, new bytes/mtime) — the staleness
+    class that silently diverges cached fixtures from fresh oracles."""
+    import shutil
+    import time
+
+    from mapreducehs_spark.sources.catalog import source_fingerprint
+
+    d = str(tmp_path)
+    shutil.copy("/root/testdata/sf0.001/region.parquet", f"{d}/region.parquet")
+    fp1 = source_fingerprint(d, "region")
+    assert fp1 == source_fingerprint(d, "region")  # stable while unchanged
+
+    time.sleep(0.01)
+    os.utime(f"{d}/region.parquet")  # regeneration bumps mtime
+    assert source_fingerprint(d, "region") != fp1

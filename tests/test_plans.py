@@ -350,3 +350,22 @@ def test_q86_lateral_decorrelates_to_window_group_limit(q):
     assert "WindowGroupLimit" in plan
     assert I.broadcast_join_count(df) == 1
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_d15_composition_never_all_pairs(q):
+    df = q("d15_near_dedup_checked")
+    plan = I.formatted_plan(df)
+    # the composed dedup pipeline must stay candidates-then-verify:
+    # no cartesian product and no nested-loop join anywhere in the
+    # final drop-list plan (band-key equi-joins + hash joins only)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_m06_decode_is_two_arrow_stages_no_shuffle(q):
+    df = q("m06_image_decode_stats")
+    plan = I.formatted_plan(df)
+    # render → decode are scan-shaped Arrow stages: per-image stats
+    # need no shuffle at all (the only exchange AQE may add is none)
+    assert I.exchange_count(df) == 0
+    assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") >= 2
