@@ -166,3 +166,57 @@ def mixture_resample(
         .filter(_draw(text_col) < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def global_positions(df: DataFrame, order_cols: list[str], out_col: str = "pos") -> DataFrame:
+    """Assign every row its 1-based position in the global order of
+    ``order_cols`` — scalably.
+
+    A bare ``row_number() OVER (ORDER BY ...)`` collapses to ONE task
+    holding the whole dataset (Spark warns and obeys); this is the
+    two-phase idiom that doesn't: range-repartition + in-partition sort
+    (a real distributed sort — ranges are globally ordered by partition
+    id), count rows per partition (a key-only aggregate; only
+    #partitions longs reach the driver), then add each partition's
+    cumulative offset to its local running index in an Arrow kernel.
+    The sorted frame is persisted so both passes see the SAME sampled
+    range boundaries.
+
+    The training-data use: a seeded content-hash order column turns
+    this into a reproducible epoch shuffle (q89); downstream shard
+    writers partition on arithmetic over the position.
+    """
+    from pyspark import TaskContext
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    s = (
+        df.repartitionByRange(par, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .persist()
+    )
+    pid_counts = (
+        s.select(F.spark_partition_id().alias("__pid"))
+        .groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts = {r["__pid"]: r["n"] for r in pid_counts}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = ", ".join(f"{n} {t}" for n, t in s.dtypes) + f", {out_col} long"
+
+    def kernel(batches):
+        tc = TaskContext.get()
+        base = offsets.get(tc.partitionId(), 0)
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = range(base + seen + 1, base + seen + len(pdf) + 1)
+            seen += len(pdf)
+            yield pdf
+
+    return s.mapInPandas(kernel, schema=out_schema)

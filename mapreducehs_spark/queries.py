@@ -4803,6 +4803,48 @@ def q88_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q89_deterministic_shuffle",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, md5('epoch7_' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents
+    ), ordered AS (
+      SELECT doc_id, shuffle_key,
+             row_number() OVER (ORDER BY shuffle_key, doc_id) AS pos
+      FROM keyed
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           CAST((pos - 1) // 64 AS BIGINT) AS shard
+    FROM ordered
+    """,
+)
+def q89_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: a seeded content-hash key
+    gives every document a reproducible global position and shard — the
+    export step before training (new epoch = new seed string), with the
+    guarantees random() can't give: stable under re-runs, re-sharding,
+    and engine changes.  Positions come from
+    operators/sampling.global_positions — range-partitioned sort +
+    per-partition offsets, never the single-task gather a bare
+    ``row_number() OVER (ORDER BY ...)`` collapses to — and shard
+    assignment is arithmetic on the position; at 100 TB the per-shard
+    writer is ``partitionBy(shard)`` on this frame.  Both engines
+    share the md5 definition, so the permutation is value-checked."""
+    from mapreducehs_spark.operators.sampling import global_positions
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("epoch7_"), F.col("doc_id").cast("string"))).alias("shuffle_key"),
+    )
+    return (
+        global_positions(keyed, ["shuffle_key", "doc_id"])
+        .withColumn("shard", F.floor((F.col("pos") - 1) / 64).cast("bigint"))
+        .select("doc_id", "pos", "shard")
+    )
+
+
 def _q76_oracle() -> str:
     """Morton-key oracle rendered from the same bit arithmetic as
     operators/layout.zorder_value (bits=8 on the bucketed keys)."""
