@@ -173,7 +173,9 @@ def srp_topk(
     Approximate by construction: a true neighbor whose signature differs
     in every band is missed — recall rises with ``bands`` (more, shorter
     bands → higher recall, more candidates).  Recall vs the exact path
-    (cosine_topk) is pinned in tests on planted near-duplicates.
+    (cosine_topk) is pinned in tests on planted near-duplicates, and
+    the ALGORITHM itself (sign bits, banding, candidates, ranks) is
+    value-checked by s07's data-seeded-hyperplane twin against DuckDB.
 
     ``planes`` overrides the seeded Gaussian hyperplanes with an
     explicit (n_planes × dim) matrix — e.g. data-seeded planes an
