@@ -4845,6 +4845,52 @@ def q89_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q90_schema_evolution_union",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice
+      FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+    ), v2 AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    ), unioned AS (
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority FROM v1
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority FROM v2
+    )
+    SELECT coalesce(o_orderpriority, '(pre-schema)') AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 4) AS total
+    FROM unioned
+    GROUP BY 1
+    """,
+)
+def q90_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: an old export lacking a column merges
+    with the current one via ``unionByName(allowMissingColumns=True)``
+    — position-blind name matching with null back-fill, the only safe
+    way to union evolving pipeline generations (positional UNION
+    silently misaligns reordered columns).  At 100 TB this is the
+    nightly merge of years of heterogeneous exports; the union is
+    narrow (no shuffle) and the aggregate is the only exchange."""
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1995-01-01").cast("timestamp")
+    v1 = o.filter(F.col("o_orderdate") < cutoff).select("o_orderkey", "o_totalprice")
+    v2 = o.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    return (
+        v1.unionByName(v2, allowMissingColumns=True)
+        .groupBy(F.coalesce("o_orderpriority", F.lit("(pre-schema)")).alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(cents) / 100.0, 4).alias("total"),
+        )
+    )
+
+
 def _q76_oracle() -> str:
     """Morton-key oracle rendered from the same bit arithmetic as
     operators/layout.zorder_value (bits=8 on the bucketed keys)."""

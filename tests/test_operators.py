@@ -967,3 +967,24 @@ def test_source_fingerprint_changes_on_regeneration(tmp_path):
     time.sleep(0.01)
     os.utime(f"{d}/region.parquet")  # regeneration bumps mtime
     assert source_fingerprint(d, "region") != fp1
+
+
+def test_global_positions_invariant_to_input_partitioning(spark):
+    """The epoch-shuffle position assignment must be a pure function of
+    the data — identical whether the input arrives as 1 partition or
+    13 (re-sharding upstream must not change training order)."""
+    from mapreducehs_spark.operators.sampling import global_positions
+
+    base = spark.range(0, 1000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("k")
+    )
+    a = {
+        r["id"]: r["pos"]
+        for r in global_positions(base.repartition(1), ["k", "id"]).collect()
+    }
+    b = {
+        r["id"]: r["pos"]
+        for r in global_positions(base.repartition(13), ["k", "id"]).collect()
+    }
+    assert a == b
+    assert sorted(a.values()) == list(range(1, 1001))
