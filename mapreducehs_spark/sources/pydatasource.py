@@ -18,9 +18,16 @@ RecordBatches instead of tuples to skip per-row Python overhead.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 @dataclass
@@ -62,6 +69,77 @@ def register(spark) -> None:
     """Idempotent registration of all custom Python data sources."""
     spark.dataSource.register(SequenceDataSource)
     spark.dataSource.register(SequenceStreamDataSource)
+    spark.dataSource.register(KVFileDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Custom Python SINK (DataSourceWriter) — the write side of the API
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _Wrote(WriterCommitMessage):
+    file: str
+    rows: int
+
+
+class KVFileDataSource(DataSource):
+    """``df.write.format("kvfiles").option("path", dir).save()``: one
+    tab-separated file per partition + a committed ``_MANIFEST``.
+
+    The write-side witness of the Python DataSource API, and the
+    user-visible analog of the reference store's WRITE half
+    (``sendDataToPartitions`` → one entry per partition under a
+    deterministic path, reference ``src/Core/Partition.hs:60-65``,
+    ``src/Core/Store.hs:56-62``).  The same idempotency argument
+    carries over: task retries overwrite the SAME per-partition path,
+    and only ``commit`` (driver-side, after every task succeeded)
+    publishes the manifest — readers who insist on the manifest never
+    observe a partial write.  ``abort`` removes the orphans.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "kvfiles"
+
+    def schema(self) -> str:  # sink only; schema comes from the frame
+        return "key string, value string"
+
+    def writer(self, schema, overwrite: bool) -> "KVFileWriter":
+        return KVFileWriter(self.options, schema, overwrite)
+
+
+class KVFileWriter(DataSourceWriter):
+    def __init__(self, options, schema, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("kvfiles sink requires .option('path', ...)")
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        # deterministic per-partition path → retry-idempotent (same
+        # discipline as the reference's space-<wid>-<pid>-<tid> keys)
+        f = os.path.join(self.path, f"part-{pid:05d}.tsv")
+        n = 0
+        with open(f, "w") as fh:
+            for row in iterator:
+                fh.write("\t".join("" if v is None else str(v) for v in row) + "\n")
+                n += 1
+        return _Wrote(file=f, rows=n)
+
+    def commit(self, messages):
+        total = sum(m.rows for m in messages if m is not None)
+        with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
+            fh.write(f"files={sum(1 for m in messages if m is not None)}\nrows={total}\n")
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.file):
+                os.remove(m.file)
 
 
 # ---------------------------------------------------------------------------
