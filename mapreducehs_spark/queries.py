@@ -3566,7 +3566,10 @@ def t11_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard of distinct-term vocabularies for every source pair.  The
     per-source vocabulary collapses FIRST (distinct (source, term) — a
     partial-aggregatable dedup at fact scale), so the self-join runs on
-    |vocab| rows per source, not |tokens|; 20 sources → 190 pairs out."""
+    |vocab| rows per source, not |tokens|; 20 sources → 190 pairs out.
+    The pairs frame is sources² rows, so it is materialized eagerly
+    (localCheckpoint) and the shared vocabulary frame unpersisted in
+    the same call — no cached blocks outlive it (d13 discipline)."""
     docs = _t(spark, sf_dir, "documents")
     vocab = (
         docs.select("source", text.tokens("text").alias("__toks"))
@@ -3574,29 +3577,34 @@ def t11_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    sized = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("vocab_size"))
-    a = vocab.select(F.col("source").alias("source_a"), "term")
-    b = vocab.select(F.col("source").alias("source_b"), "term")
-    inter = (
-        a.join(b, "term")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sized.select(F.col("source").alias("source_a"), F.col("vocab_size").alias("size_a"))
-    sb = sized.select(F.col("source").alias("source_b"), F.col("vocab_size").alias("size_b"))
-    return (
-        inter.join(F.broadcast(sa), "source_a")
-        .join(F.broadcast(sb), "source_b")
-        .select(
-            "source_a",
-            "source_b",
-            F.round(
-                F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared")).cast("double"),
-                6,
-            ).alias("vocab_jaccard"),
+    try:
+        sized = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("vocab_size"))
+        a = vocab.select(F.col("source").alias("source_a"), "term")
+        b = vocab.select(F.col("source").alias("source_b"), "term")
+        inter = (
+            a.join(b, "term")
+            .filter(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
         )
-    )
+        sa = sized.select(F.col("source").alias("source_a"), F.col("vocab_size").alias("size_a"))
+        sb = sized.select(F.col("source").alias("source_b"), F.col("vocab_size").alias("size_b"))
+        return (
+            inter.join(F.broadcast(sa), "source_a")
+            .join(F.broadcast(sb), "source_b")
+            .select(
+                "source_a",
+                "source_b",
+                F.round(
+                    F.col("shared")
+                    / (F.col("size_a") + F.col("size_b") - F.col("shared")).cast("double"),
+                    6,
+                ).alias("vocab_jaccard"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        vocab.unpersist(blocking=False)
 
 
 @query(
