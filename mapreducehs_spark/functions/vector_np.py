@@ -110,3 +110,42 @@ def srp_band_keys_udf(planes: np.ndarray, bands: int):
         return pd.Series(list(vals + offsets))
 
     return band_keys
+
+
+def quantize_udf(levels: int = 127):
+    """UDF: array<float> → array<long> int8-style scalar quantization.
+
+    Per-vector symmetric quantization: ``q[i] = floor(x[i]/s * levels
+    + 0.5)`` with ``s = max|x|`` — every op (float32→float64 widening,
+    divide, multiply, add, floor) is an exactly-specified IEEE-754
+    double op, so an engine-independent oracle reproduces the codes
+    bit-for-bit (unlike any "round half to even vs away" builtin).
+    Zero vectors quantize to zeros.
+    """
+    from pyspark.sql.types import LongType
+
+    lv = float(levels)
+
+    @pandas_udf(ArrayType(LongType()))
+    def quantize(vecs: pd.Series) -> pd.Series:
+        m = _stack(vecs)
+        s = np.abs(m).max(axis=1, keepdims=True)
+        q = np.floor(np.divide(m, s, out=np.zeros_like(m), where=s > 0) * lv + 0.5)
+        return pd.Series(list(q.astype(np.int64)))
+
+    return quantize
+
+
+@pandas_udf(DoubleType())
+def int_cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Cosine over integer-quantized code arrays.
+
+    Integer dots/norms are exact in float64 (|q| ≤ 127, dim ≤ 2^38
+    before 2^53 overflows); the one inexact op is the final
+    dot/sqrt(n_a*n_b) — identical in any IEEE engine, so quantized
+    scores value-check exactly where float-vector cosines only
+    round-check."""
+    ma, mb = _stack(a), _stack(b)
+    num = np.einsum("ij,ij->i", ma, mb)
+    den = np.sqrt(np.einsum("ij,ij->i", ma, ma) * np.einsum("ij,ij->i", mb, mb))
+    return pd.Series(np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0))

@@ -343,3 +343,169 @@ def boilerplate_ngrams(
         .orderBy(F.col("doc_freq").desc(), F.col("gram").asc())
         .limit(top_k)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data compliance scrub)
+# ---------------------------------------------------------------------------
+
+#: (label, pattern, replacement) — applied in order.  Patterns stick to
+#: the regex subset shared by Java (Spark) and RE2 (DuckDB): character
+#: classes, \d, bounded repetition; no backrefs or lookaround, so the
+#: oracle replays the cascade verbatim.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d{1,3}-\d{3}-\d{4}", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Cascaded PII redaction: emails → phones → IPv4 literals, each a
+    codegen'd regexp_replace pass (3 passes per row, no Python).  Order
+    matters — emails are scrubbed before the phone pass so digit runs
+    inside addresses can't half-match.  At 100 TB this is one narrow
+    projection over the corpus scan; the patterns are conservative
+    (over-redaction is the safe failure mode for training data)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-row match counts for each PII pattern (pre-redaction)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {label: F.regexp_count(c, F.lit(pat)) for label, pat, _ in PII_PATTERNS}
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (RAG / context-window preparation)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking with overlap: chunk ``i`` covers
+    tokens [i*stride, i*stride + chunk_tokens).  The standard RAG /
+    long-context preparation step — overlap (chunk_tokens - stride)
+    keeps boundary sentences retrievable from both sides.
+
+    Emits (id, chunk_id, n_chunk_tokens, chunk_text).  All array-side:
+    one split per row, a sequence+transform to slice windows, one
+    explode — linear in token count, no shuffle at all (chunking is
+    embarrassingly parallel; the explode fission is why this scales to
+    100 TB: each output chunk row is independent downstream).
+    """
+    if stride <= 0 or chunk_tokens <= 0 or stride > chunk_tokens:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    staged = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    n = F.size("__toks")
+    # number of windows: 1 + ceil(max(n - chunk_tokens, 0) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    windows = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("bigint").alias("chunk_id"),
+            F.slice(F.col("__toks"), i * stride + 1, chunk_tokens).alias("toks"),
+        ),
+    )
+    ex = staged.select("id", F.explode_outer(windows).alias("c")).filter(
+        F.col("c").isNotNull()
+    )
+    return ex.select(
+        "id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size("c.toks").cast("bigint").alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.col("c.toks")).alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (iterative tokenizer-vocabulary induction)
+# ---------------------------------------------------------------------------
+
+
+def bpe_adjacent_pairs(sym_col: Column | str) -> Column:
+    """All adjacent symbol pairs of a symbol-array column, as structs
+    (a, b).  Overlapping pairs included — the BPE counting convention."""
+    s = F.col(sym_col) if isinstance(sym_col, str) else sym_col
+    return F.arrays_zip(
+        F.slice(s, 1, F.greatest(F.size(s) - 1, F.lit(0))).alias("a"),
+        F.slice(s, 2, F.greatest(F.size(s) - 1, F.lit(0))).alias("b"),
+    )
+
+
+def bpe_merge_steps(
+    docs: DataFrame,
+    iters: int = 3,
+    text_col: str = "text",
+) -> list[tuple[int, str, str, int, int]]:
+    """Learn ``iters`` BPE merges over whitespace symbols; returns
+    [(iter, pair_a, pair_b, pair_count, vocab_after)].
+
+    Per iteration (the classic Sennrich et al. 2016 loop, distributed):
+      1. count adjacent symbol pairs corpus-wide — one explode + one
+         partial-aggregatable count shuffle keyed on the PAIR (narrow);
+      2. argmax pair with (count desc, a asc, b asc) tiebreak — a
+         driver-side collect of exactly ONE row (s05 discipline: the
+         driver holds the model, never the data);
+      3. merge corpus-wide: left-to-right non-overlapping replacement
+         of ``" a b "`` with ``" a_b "`` over the space-joined symbol
+         string — a single codegen'd literal `replace` per row.
+
+    Merge semantics note: the delimiter-consuming string replace skips
+    a pair that starts immediately after a replaced occurrence
+    ("x y x y" merges once, textbook BPE merges twice).  This variant
+    is deterministic and IDENTICALLY defined in Spark and DuckDB
+    (both scan left-to-right, non-overlapping), which is what makes
+    the whole iterative loop value-checkable by an engine-independent
+    oracle — the trade the checked twins d11/s06 make too.
+
+    The mutable corpus state (the merged symbol string) stays a Spark
+    column; each iteration's lineage grows by one `replace`, so ``iters``
+    stays small (tokenizer vocab induction runs a bounded merge budget).
+    """
+    state = docs.select(
+        F.concat(F.lit(" "), F.concat_ws(" ", tokens(text_col)), F.lit(" ")).alias("s")
+    )
+    out: list[tuple[int, str, str, int, int]] = []
+    for it in range(1, iters + 1):
+        syms = F.filter(F.split(F.trim(F.col("s")), " "), lambda t: t != "")
+        pairs = state.select(F.explode_outer(bpe_adjacent_pairs(syms)).alias("p")).filter(
+            F.col("p").isNotNull()
+        )
+        top = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        state = state.select(
+            F.replace(F.col("s"), F.lit(f" {a} {b} "), F.lit(f" {a}_{b} ")).alias("s")
+        )
+        vocab_after = (
+            state.select(
+                F.explode_outer(F.filter(F.split(F.trim(F.col("s")), " "), lambda t: t != "")).alias(
+                    "t"
+                )
+            )
+            .filter(F.col("t").isNotNull())
+            .agg(F.count_distinct("t").alias("v"))
+            .collect()[0]["v"]
+        )
+        out.append((it, a, b, cnt, int(vocab_after)))
+    return out

@@ -5673,3 +5673,313 @@ def q85_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         (F.col("l_shipdate").cast("long") / 86400).cast("long").alias("ship_day"),
     ).agg(F.count(F.lit(1)).alias("n_lines"))
+
+
+# =========================================================================
+# Round 4: text-pipeline additions (PII, LM scoring, BPE learning, chunking)
+# =========================================================================
+
+@query(
+    "t16_pii_redact",
+    oracle=r"""
+    WITH injected AS (
+      SELECT source,
+             text
+             || CASE WHEN doc_id % 3 != 0
+                     THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.org'
+                     ELSE '' END
+             || CASE WHEN doc_id % 2 = 0
+                     THEN ' hotline +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                          || CAST((doc_id * 7) % 256 AS VARCHAR)
+                     ELSE '' END AS t
+      FROM documents
+    ), red AS (
+      SELECT source, t,
+             len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             len(regexp_extract_all(t, '\+?\d{1,3}-\d{3}-\d{4}')) AS n_phone,
+             len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+?\d{1,3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean
+      FROM injected
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_email) AS BIGINT) AS n_emails,
+           CAST(sum(n_phone) AS BIGINT) AS n_phones,
+           CAST(sum(n_ip) AS BIGINT) AS n_ips,
+           CAST(sum(len(t) - len(clean)) AS BIGINT) AS chars_removed,
+           CAST(sum(('0x' || substr(md5(clean), 1, 12))::BIGINT) AS BIGINT) AS clean_fold
+    FROM red
+    GROUP BY source
+    """,
+)
+def t16_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction scrub (compliance pass every training corpus runs):
+    cascaded regexp_replace for emails → phones → IPv4 (operators/
+    text.redact_pii), all codegen'd — 3 narrow passes over the scan, no
+    shuffle until the per-source rollup.  The synthetic corpus carries
+    no PII, so deterministic contact strings derived from doc_id are
+    INJECTED first (CASE-gated so counts vary per source) and both
+    engines replay injection + redaction identically; the md5-fold sum
+    pins the redacted OUTPUT byte-for-byte, not just the match counts.
+    Patterns stay in the Java∩RE2 regex subset (FIXTURES.md oracle
+    discipline)."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 != 0,
+                F.concat(F.lit(" reach user"), did.cast("string"), F.lit("@example.org")),
+            ).otherwise(""),
+            F.when(
+                did % 2 == 0,
+                F.concat(
+                    F.lit(" hotline +1-555-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit("."),
+                    ((did * 7) % 256).cast("string"),
+                ),
+            ).otherwise(""),
+        ).alias("t"),
+    )
+    counts = text.pii_counts("t")
+    clean = text.redact_pii("t")
+    fold = F.conv(F.substring(F.md5(clean), 1, 12), 16, 10).cast("bigint")
+    return (
+        injected.select(
+            "source",
+            counts["email"].alias("n_email"),
+            counts["phone"].alias("n_phone"),
+            counts["ipv4"].alias("n_ip"),
+            (F.length("t") - F.length(clean)).alias("delta"),
+            fold.alias("fold"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").cast("bigint").alias("n_emails"),
+            F.sum("n_phone").cast("bigint").alias("n_phones"),
+            F.sum("n_ip").cast("bigint").alias("n_ips"),
+            F.sum("delta").cast("bigint").alias("chars_removed"),
+            F.sum("fold").alias("clean_fold"),
+        )
+    )
+
+
+@query(
+    "t17_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+      FROM documents
+    ), doc_term AS (
+      SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2
+    ), freq AS (
+      SELECT term, count(*) AS f FROM toks GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(f) AS DOUBLE) AS n FROM freq
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(sum(c * CAST(floor(1e6 * ln(CAST(f AS DOUBLE) / n)) AS BIGINT))
+                 / CAST(sum(c) AS DOUBLE) / 1e6, 4) AS avg_logprob
+    FROM doc_term JOIN freq USING (term), tot
+    GROUP BY doc_id
+    """,
+)
+def t17_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the cheap perplexity proxy used
+    to rank documents for training-mix curation: avg over tokens of
+    ln(corpus unigram probability).  Token-scale work is two hash aggs
+    (doc-term counts, corpus term counts); the scoring join touches
+    only the VOCABULARY-sized frequency frame (broadcast), never
+    re-shuffling the corpus.  Per-token log-probs are quantized to
+    exact integer micro-nats (floor(1e6·ln p)) before summation, so
+    the aggregation is order-independent and value-checkable — the
+    same exactness trade as q83's basis-point revenue."""
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        docs.select("doc_id", text.tokens("text").alias("__t"))
+        .repartition(par)
+        .select("doc_id", F.explode_outer("__t").alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
+    doc_term = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    total = freq.agg(F.sum("f").cast("double").alias("n"))
+    micro = F.floor(F.lit(1e6) * F.log(F.col("f").cast("double") / F.col("n"))).cast(
+        "bigint"
+    )
+    return (
+        doc_term.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c") * micro) / F.sum("c").cast("double") / F.lit(1e6), 4
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def _t18_oracle() -> str:
+    """Unrolled 3-iteration replay of the BPE merge loop: per iteration
+    count adjacent pairs (index-join, overlap included), argmax with
+    (count desc, pair asc) tiebreak, then the SAME left-to-right
+    non-overlapping delimiter replace both engines implement."""
+    head = """
+    WITH t0 AS (
+      SELECT ' ' || array_to_string(
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''), ' ')
+             || ' ' AS s
+      FROM documents
+    )"""
+    parts = []
+    for i in range(1, 4):
+        prev = f"t{i - 1}"
+        parts.append(f"""
+    , l{i} AS (
+      SELECT list_filter(str_split(trim(s), ' '), x -> x != '') AS l FROM {prev}
+    ), p{i} AS (
+      SELECT l[i] AS a, l[i + 1] AS b, count(*) AS cnt
+      FROM l{i}, LATERAL unnest(range(1, len(l))) AS u(i)
+      GROUP BY 1, 2
+    ), m{i} AS (
+      SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+    ), t{i} AS (
+      SELECT replace(s, ' ' || m.a || ' ' || m.b || ' ',
+                        ' ' || m.a || '_' || m.b || ' ') AS s
+      FROM {prev}, m{i} m
+    ), v{i} AS (
+      SELECT count(DISTINCT u) AS v
+      FROM (SELECT unnest(list_filter(str_split(trim(s), ' '), x -> x != '')) AS u FROM t{i})
+    )""")
+    selects = " UNION ALL ".join(
+        f"""SELECT {i} AS iter, a AS pair_a, b AS pair_b,
+               CAST(cnt AS BIGINT) AS pair_count,
+               (SELECT CAST(v AS BIGINT) FROM v{i}) AS vocab_after
+        FROM m{i}"""
+        for i in range(1, 4)
+    )
+    return head + "".join(parts) + "\n    " + selects
+
+
+@query("t18_bpe_merge_learn", oracle=_t18_oracle())
+def t18_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge learning (tokenizer-vocabulary induction, Sennrich et
+    al. 2016) as a distributed iterative loop: 3 rounds of corpus-wide
+    adjacent-pair counting → driver-side argmax (ONE row per round —
+    the driver holds the model, s05 discipline) → corpus-wide merge as
+    a codegen'd literal replace.  The per-round shuffle is keyed on the
+    PAIR (narrow, partial-aggregatable counts), never the documents;
+    at 100 TB each round is one map-side-combined count shuffle.  The
+    whole loop is value-checked: the oracle unrolls the same three
+    iterations (see _t18_oracle for the shared merge semantics)."""
+    docs = _t(spark, sf_dir, "documents")
+    steps = text.bpe_merge_steps(docs, iters=3)
+    return spark.createDataFrame(
+        steps, "iter int, pair_a string, pair_b string, pair_count bigint, vocab_after bigint"
+    )
+
+
+@query(
+    "t19_doc_chunks",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS l
+      FROM documents
+    ), sized AS (
+      SELECT doc_id, l, len(l) AS n FROM toks WHERE len(l) > 0
+    ), chunks AS (
+      SELECT doc_id, i AS chunk_id,
+             l[(i * 48 + 1):least(i * 48 + 64, n)] AS c
+      FROM sized,
+           LATERAL unnest(range(0, 1 + CAST(ceil(greatest(n - 64, 0) / 48.0) AS INT))) AS t(i)
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(c) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(c, ' ')) AS chunk_md5
+    FROM chunks
+    """,
+)
+def t19_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (64-token windows, stride 48 —
+    16-token overlap): the RAG / long-context preparation step, via
+    operators/text.chunk_documents.  Pure array-side fission — one
+    split, one windowed slice transform, one explode; NO shuffle, so
+    it scales embarrassingly (every chunk row is independent
+    downstream).  chunk_md5 pins each chunk's exact text."""
+    docs = _t(spark, sf_dir, "documents")
+    ch = text.chunk_documents(docs, chunk_tokens=64, stride=48)
+    return ch.select(
+        F.col("id").alias("doc_id"),
+        "chunk_id",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+# =========================================================================
+# Round 4: quantized similarity + relational additions
+# =========================================================================
+
+@query(
+    "s08_quantized_cosine_topk",
+    oracle="""
+    WITH qz AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CASE WHEN s = 0 THEN 0
+                    ELSE CAST(floor(CAST(x AS DOUBLE) / s * 127 + 0.5) AS BIGINT) END) AS q
+      FROM (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+        FROM embeddings
+      )
+    ), pairs AS (
+      SELECT p.vec_id AS query_id, c.vec_id AS match_id,
+             round(list_dot_product(p.q, c.q)
+                   / sqrt(list_dot_product(p.q, p.q) * list_dot_product(c.q, c.q)),
+                   6) AS qcosine
+      FROM qz p JOIN qz c ON p.vec_id < 8 AND c.vec_id != p.vec_id
+    ), ranked AS (
+      SELECT query_id, match_id, qcosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY qcosine DESC, match_id ASC) AS rank
+      FROM pairs
+    )
+    SELECT query_id, match_id, qcosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def s08_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine over int8-style scalar-QUANTIZED embeddings
+    (similarity.quantized_cosine_topk): the memory-bandwidth scale path
+    — a quantized corpus column is 4× narrower than float32, integer
+    SIMD dots, |Δcos| bounded by ~2/levels.  Every arithmetic step
+    (floor-quantization, integer dots, final sqrt ratio) is an exactly-
+    specified IEEE op, so unlike float-kernel ANN the APPROXIMATION
+    ITSELF is value-checked: the oracle replays quantization and
+    scoring bit-for-bit — this is the checked twin discipline (d11/s06)
+    applied to vector quantization."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.quantized_cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)

@@ -610,3 +610,45 @@ def prepare_late_stream_dir(
     with open(done, "w") as f:
         f.write("ok")
     return out
+
+
+def chained_window_aggregate(
+    events: DataFrame,
+    inner: str = "1 hour",
+    outer: str = "6 hours",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """CHAINED stateful ops: tumbling hourly aggregate re-aggregated
+    into 6-hour buckets, both streaming (Spark 3.4+ multiple-stateful-
+    operator support: the outer ``window()`` accepts the inner window
+    STRUCT column, and the watermark propagates so outer windows close
+    once their last inner window is final).
+
+    The hierarchical-rollup topology (minute→hour→day) in ONE streaming
+    query — state per level is bounded by open windows only.  Inner
+    sums ride as exact basis-point integers so the two-level partial
+    summation is order-independent and batch-replayable (q83 trick).
+    """
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", inner).alias("w1"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum(cents).alias("cents"))
+    )
+    return (
+        hourly.groupBy(F.window(F.col("w1"), outer).alias("w2"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_hourly_events"),
+            F.round(F.sum("cents") / 100.0, 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w2.start")).alias("bucket_start"),
+            "event_type",
+            "n_hours",
+            "n_events",
+            "max_hourly_events",
+            "sum_value",
+        )
+    )
