@@ -5983,3 +5983,337 @@ def s08_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied to vector quantization."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.quantized_cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@query(
+    "q91_scd2_dimension",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_type IS NULL OR prev_type != event_type THEN 1 ELSE 0 END AS chg
+      FROM ordered
+    ), islands AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ), grouped AS (
+      SELECT user_id, event_type, island,
+             min(ts) AS valid_from, count(*) AS n_events
+      FROM islands GROUP BY 1, 2, 3
+    ), versioned AS (
+      SELECT user_id, event_type, n_events, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from ASC) AS valid_to
+      FROM grouped
+    )
+    SELECT user_id, event_type,
+           CAST(floor(epoch(valid_from)) AS BIGINT) AS valid_from_s,
+           CAST(floor(epoch(valid_to)) AS BIGINT) AS valid_to_s,
+           CAST(n_events AS BIGINT) AS n_events,
+           (valid_to IS NULL) AS is_current
+    FROM versioned
+    """,
+)
+def q91_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 build from a change stream: each
+    user's event_type history collapses into consecutive-constant
+    versions with [valid_from, valid_to) ranges and an is_current flag
+    — the warehouse dimension-maintenance primitive (gaps-and-islands +
+    lead).  All three passes share ONE partitioning (user_id): Catalyst
+    plans a single shuffle and runs lag → running-sum → lead inside the
+    same sort, which is the property that keeps it one-pass at 100 TB.
+    Ties broken by event_id; epoch-second outputs (FIXTURES.md ts
+    discipline)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    flagged = ev.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    grouped = islands.groupBy("user_id", "event_type", "island").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    wv = Window.partitionBy("user_id").orderBy(F.col("valid_from").asc())
+    versioned = grouped.withColumn("valid_to", F.lead("valid_from").over(wv))
+    return versioned.select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp("valid_from")).cast("bigint").alias("valid_from_s"),
+        F.floor(F.unix_timestamp("valid_to")).cast("bigint").alias("valid_to_s"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+@query(
+    "q92_bloom_prune_join",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+    GROUP BY l_returnflag
+    """,
+)
+def q92_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime BLOOM-FILTER pruned join: a selective dim-side predicate
+    (urgent + high-value orders) feeds Spark's InjectRuntimeFilter rule,
+    which builds a bloom_filter_agg over the surviving join keys and
+    semi-filters the fact scan BEFORE the shuffle — the 100 TB remedy
+    when the filtered dim is too big to broadcast but the fact shuffle
+    would be dominated by never-matching rows.  The filter is planned
+    here with the injection thresholds temporarily lowered (local data
+    is under the production-sized defaults) and the physical plan
+    forced while they hold; results are plan-independent and the oracle
+    checks the plain join.  Plan pinned in test_q92_bloom_filter."""
+    conf = spark.conf
+    saved = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000))
+        .select("o_orderkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag", "l_extendedprice")
+    out = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")).alias("cents"),
+        )
+    )
+    try:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # force logical optimization + physical planning NOW (both are
+        # lazily cached on this Dataset), so the bloom filter is baked
+        # into the plan the caller's action will execute even after the
+        # session confs are restored below
+        out._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    return out
+
+
+@query(
+    "q94_incremental_mv",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 4) AS total_price,
+           round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0
+                 / count(*), 4) AS avg_price,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q94_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a monthly order
+    rollup maintained as MERGEABLE PARTIALS — the base partition
+    (orders before 1997-07) and the delta partition (after) are
+    aggregated independently, then combined by the partial-merge
+    algebra (sum∘sum, min∘min, max∘max; avg derived from merged sum
+    and count at the end).  The oracle is the full recompute: merged
+    partials must be indistinguishable from it, which is exactly the
+    combiner-correctness property the reference's associative reducer
+    contract demands (reference src/Core/MapReduceC.hs reducers must
+    tolerate re-grouping).  At 100 TB this is the nightly-refresh path:
+    only the delta partition is scanned per refresh."""
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-07-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+        return df.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("cents"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("month")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("cents").alias("cents"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    return merged.select(
+        "month",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(F.col("cents") / 100.0, 4).alias("total_price"),
+        F.round(F.col("cents") / 100.0 / F.col("n"), 4).alias("avg_price"),
+        F.round("mn", 2).alias("min_price"),
+        F.round("mx", 2).alias("max_price"),
+    )
+
+
+@query(
+    "q95_price_histogram",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem
+    ), bucketed AS (
+      SELECT CASE WHEN l_extendedprice >= hi THEN 20
+                  ELSE CAST(floor((l_extendedprice - lo) / (hi - lo) * 20) AS INT) + 1
+             END AS bucket,
+             l_extendedprice, lo, hi
+      FROM lineitem, bounds
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           round(min(lo) + (bucket - 1) * (min(hi) - min(lo)) / 20, 4) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 4) AS sum_price
+    FROM bucketed
+    GROUP BY bucket
+    """,
+)
+def q95_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram over data-dependent bounds — the
+    profiling primitive behind range-partition planning and skew
+    detection.  Two passes: a min/max scan (2 scalars to the driver via
+    a broadcast 1-row crossJoin — the scalar-subquery house pattern),
+    then one bucketing pass + narrow count shuffle.  The bucket index
+    uses the explicit floor((x-lo)/(hi-lo)*n) formula (SQL-standard
+    width_bucket semantics, hi-edge folded into the top bucket) rather
+    than each engine's builtin, so both engines compute bit-identical
+    IEEE doubles — the same determinism trade as s08's quantizer."""
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    x = F.col("l_extendedprice")
+    bucket = (
+        F.when(x >= F.col("hi"), F.lit(20))
+        .otherwise(
+            F.floor((x - F.col("lo")) / (F.col("hi") - F.col("lo")) * 20).cast("int") + 1
+        )
+        .cast("int")
+    )
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "l_extendedprice", "lo", "hi")
+        .groupBy("bucket")
+        .agg(
+            F.round(F.min("lo") + (F.col("bucket") - 1) * (F.min("hi") - F.min("lo")) / 20, 4).alias(
+                "bucket_lo"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")) / 100.0, 4
+            ).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q93_xml_source_join",
+    oracle="""
+    SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum(s.s_acctbal), 4) AS sum_acctbal
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q93_xml_source_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML-source dimension join: the supplier dim round-trips through
+    Spark 4's built-in XML reader (explicit schema, no inference scan)
+    and joins the parquet nation dim — the sidecar-export shape q78
+    covers for csv/json, extended to the remaining built-in text
+    format.  Rewritten per run into /tmp (dim-sized, trivial); the
+    oracle reads the original parquet, so the XML writer+reader
+    round-trip itself is what's value-checked."""
+    import os
+    import tempfile
+
+    from mapreducehs_spark.sources.catalog import read_any
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(tempfile.gettempdir(), f"mapreducehs_xml_{tag}")
+    sup = _t(spark, sf_dir, "supplier")
+    sup.write.format("xml").option("rootTag", "suppliers").option("rowTag", "supplier").mode(
+        "overwrite"
+    ).save(base)
+    sup2 = read_any(
+        spark,
+        base,
+        fmt="xml",
+        schema="s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
+        rowTag="supplier",
+    )
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        sup2.join(F.broadcast(nat), nat["n_nationkey"] == sup2["s_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 4).alias("sum_acctbal"),
+        )
+    )
+
+
+@query(
+    "st11_stream_chained_windows",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS h,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT CAST(floor(h / 21600) * 21600 AS BIGINT) AS bucket_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(max(n) AS BIGINT) AS max_hourly_events,
+           round(sum(cents) / 100.0, 4) AS sum_value
+    FROM hourly
+    GROUP BY 1, 2
+    """,
+)
+def st11_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED streaming stateful operators (Spark 3.4+): hourly
+    tumbling aggregate re-windowed into 6-hour buckets inside ONE
+    streaming query (streaming/ops.chained_window_aggregate) — the
+    hierarchical-rollup topology (minute→hour→day) without an
+    intermediate sink.  The watermark propagates through the first
+    aggregate, so outer windows close exactly when their last inner
+    window is final; batch replay over the same events is the oracle."""
+    from mapreducehs_spark import streaming as st
+
+    agg = st.chained_window_aggregate(
+        _replayed_events(spark, sf_dir), inner="1 hour", outer="6 hours",
+        watermark="30 minutes",
+    )
+    out = st.run_to_batch(agg, "st11_sink", output_mode="append")
+    return out.filter(F.col("event_type") != "__flush__")

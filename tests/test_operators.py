@@ -1024,3 +1024,96 @@ def test_python_datasource_sink_round_trip(spark, tmp_path):
     with open(out + "/_MANIFEST") as fh:
         manifest = dict(line.strip().split("=") for line in fh)
     assert manifest == {"files": "4", "rows": str(len(want))}
+
+
+def test_redact_pii_patterns(spark):
+    from mapreducehs_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            ("mail bob.smith+x@sub.example.co.uk now",),
+            ("call +1-555-0199 or 44-555-0000",),
+            ("host 192.168.0.1 up, 999.1.1.1 still matches-shape",),
+            ("clean text with no pii at all",),
+        ],
+        "t string",
+    )
+    out = [r["r"] for r in df.select(redact_pii("t").alias("r")).collect()]
+    assert out[0] == "mail <EMAIL> now"
+    assert out[1] == "call <PHONE> or <PHONE>"
+    assert "<IP>" in out[2] and "192.168" not in out[2]
+    assert out[3] == "clean text with no pii at all"
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from mapreducehs_spark.operators.text import chunk_documents
+
+    toks130 = " ".join(f"w{i}" for i in range(130))
+    toks40 = " ".join(f"v{i}" for i in range(40))
+    df = spark.createDataFrame([(1, toks130), (2, toks40), (3, "   ")], "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=64, stride=48).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    # 130 tokens → chunks at 0..63, 48..111, 96..129 (1+ceil(66/48)=3)
+    assert [r["n_chunk_tokens"] for r in sorted(by_doc[1], key=lambda r: r["chunk_id"])] == [64, 64, 34]
+    # short doc → single short chunk
+    assert [r["n_chunk_tokens"] for r in by_doc[2]] == [40]
+    # whitespace-only doc → no chunks
+    assert 3 not in by_doc
+    # overlap: chunk 1 starts at token 48 (inside chunk 0)
+    c0, c1 = (sorted(by_doc[1], key=lambda r: r["chunk_id"])[i]["chunk_text"] for i in (0, 1))
+    assert c1.split(" ")[0] == "w48" and "w48" in c0.split(" ")
+
+
+def test_bpe_merge_steps_tiny_corpus(spark):
+    from mapreducehs_spark.operators.text import bpe_merge_steps
+
+    # "b c" is the most frequent adjacent pair (3×); after merging,
+    # "a b_c" appears twice and wins round 2
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b c e",), ("x b c y",)], "text string"
+    )
+    steps = bpe_merge_steps(df, iters=2)
+    assert steps[0][:4] == (1, "b", "c", 3)
+    assert steps[1][1:3] == ("a", "b_c")
+    # vocab after round 1: a,b_c,d,e,x,y = 6
+    assert steps[0][4] == 6
+
+
+def test_bpe_merge_skips_overlapping_repeat(spark):
+    # documented divergence from textbook BPE: "x y x y" merges only
+    # the first occurrence per delimiter-consuming replace — in BOTH
+    # engines (the property that makes the loop oracle-checkable)
+    from mapreducehs_spark.operators.text import bpe_merge_steps
+
+    df = spark.createDataFrame([("x y x y",)], "text string")
+    steps = bpe_merge_steps(df, iters=1)
+    assert steps[0][1:4] == (1, "x", "y", 2)[1:] or steps[0][:4] == (1, "x", "y", 2)
+    # 2 pair occurrences counted, but post-merge the doc is "x_y x y":
+    # vocab {x_y, x, y} = 3
+    assert steps[0][4] == 3
+
+
+def test_quantized_cosine_tracks_exact(spark):
+    import numpy as np
+
+    from mapreducehs_spark.operators.similarity import cosine_topk, quantized_cosine_topk
+    from mapreducehs_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter("vec_id < 4")
+    exact = {
+        (r["query_id"], r["rank"]): (r["match_id"], r["cosine"])
+        for r in cosine_topk(emb, probes, k=3).collect()
+    }
+    quant = {
+        (r["query_id"], r["rank"]): (r["match_id"], r["qcosine"])
+        for r in quantized_cosine_topk(emb, probes, k=3).collect()
+    }
+    assert set(exact) == set(quant)
+    # int8 quantization error bound: |Δcos| small; rank-1 neighbor robust
+    for key in exact:
+        assert abs(exact[key][1] - quant[key][1]) < 0.05
+        if key[1] == 1:
+            assert exact[key][0] == quant[key][0]

@@ -369,3 +369,33 @@ def test_m06_decode_is_two_arrow_stages_no_shuffle(q):
     # need no shuffle at all (the only exchange AQE may add is none)
     assert I.exchange_count(df) == 0
     assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") >= 2
+
+
+def test_q92_bloom_filter_injected(q):
+    # the runtime bloom filter must be baked into q92's cached physical
+    # plan (planned while the injection thresholds were lowered): the
+    # fact side is semi-filtered by bloom_filter_agg over the filtered
+    # order keys BEFORE the join shuffle
+    df = q("q92_bloom_prune_join")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan
+    # and planning must have restored the session confs
+    sess = df.sparkSession
+    assert sess.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+
+
+def test_t19_chunking_no_shuffle(q):
+    # chunking is pure fission: split + windowed slice + explode, zero
+    # exchanges — every chunk row independent downstream
+    df = q("t19_doc_chunks")
+    assert I.exchange_count(df) == 0
+
+
+def test_t17_scoring_joins_vocab_not_corpus(q):
+    # the frequency frame joined for scoring is vocabulary-sized and
+    # must broadcast; the corpus-side token rows shuffle only for the
+    # two hash aggregations
+    df = q("t17_unigram_logprob")
+    assert I.broadcast_join_count(df) >= 2  # freq join + total crossJoin
+    assert I.sort_merge_join_count(df) == 0
