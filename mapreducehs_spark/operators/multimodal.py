@@ -244,3 +244,105 @@ def payload_byte_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame
     return df.select("doc_id", payload_col).mapInArrow(
         batches, schema="doc_id long, n_bytes long, head_byte int, byte_sum long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: real WAV (RIFF PCM) encode/decode — pure numpy + struct, no codec
+# libs, so the decode path is exercised for audio exactly like PGM is for
+# images (the env-gated NotImplementedError stays only for formats that
+# genuinely need external codecs).
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int = 8000) -> bytes:
+    """Mono 16-bit PCM WAV: 44-byte RIFF header + little-endian frames."""
+    import struct
+
+    pcm = samples.astype("<i2").tobytes()
+    n = len(pcm)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", n)
+        + pcm
+    )
+
+
+def decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
+    """Parse a mono 16-bit PCM WAV: validate RIFF/WAVE magic, walk the
+    chunk list to fmt/data (no fixed-offset assumptions), return
+    (samples int16 array, sample_rate)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if (audio_format, channels, bits) != (1, 1, 16):
+        raise ValueError(f"unsupported WAV layout {fmt}")
+    return np.frombuffer(data, dtype="<i2"), sample_rate
+
+
+def render_wav_payloads(
+    df: DataFrame, id_col: str = "doc_id", n_samples: int = 256, sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic synthetic audio per row: sample[i] =
+    ((id*13 + i*17) mod 4096) - 2048, as real WAV bytes — the audio
+    twin of render_pgm_payloads (the arithmetic law lets a SQL oracle
+    replay decoded stats without decoding)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(n_samples, dtype=np.int64)
+        for pdf in it:
+            payloads = [
+                encode_wav(((int(i) * 13 + idx * 17) % 4096 - 2048), sample_rate)
+                for i in pdf[id_col]
+            ]
+            yield pd.DataFrame({"id": pdf[id_col].astype("int64"), "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, schema="id long, payload binary")
+
+
+def decoded_audio_stats(
+    df: DataFrame, id_col: str = "id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decode each WAV payload and reduce to exact integer stats:
+    (id, n_samples, sample_rate, amp_sum, sq_sum, amp_min, amp_max).
+    Integer sums (not float RMS) so the oracle check is bit-exact;
+    callers derive rms = sqrt(sq_sum/n) at the edge."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                s, rate = decode_wav(bytes(p))
+                s64 = s.astype(np.int64)
+                rows.append(
+                    (int(i), len(s), rate, int(s64.sum()), int((s64 * s64).sum()),
+                     int(s64.min()), int(s64.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "n_samples", "sample_rate", "amp_sum", "sq_sum",
+                         "amp_min", "amp_max"],
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema=("id long, n_samples long, sample_rate long, amp_sum long, "
+                "sq_sum long, amp_min long, amp_max long"),
+    )

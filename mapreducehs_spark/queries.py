@@ -6317,3 +6317,157 @@ def st11_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = st.run_to_batch(agg, "st11_sink", output_mode="append")
     return out.filter(F.col("event_type") != "__flush__")
+
+
+@query(
+    "m07_audio_decode_stats",
+    oracle="""
+    WITH samples AS (
+      SELECT doc_id, ((doc_id * 13 + i * 17) % 4096) - 2048 AS s
+      FROM documents, LATERAL unnest(range(0, 256)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(sum(s) AS BIGINT) AS amp_sum,
+           CAST(sum(s * s) AS BIGINT) AS sq_sum,
+           CAST(min(s) AS BIGINT) AS amp_min,
+           CAST(max(s) AS BIGINT) AS amp_max
+    FROM samples
+    GROUP BY doc_id
+    """,
+)
+def m07_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode inside the checked inventory (the WAV twin of
+    m06's PGM): every doc gets a synthetic 256-sample 16-bit PCM WAV
+    (sample law ((id*13 + 17i) mod 4096) - 2048,
+    operators/multimodal.render_wav_payloads), and a second Arrow stage
+    parses the actual RIFF bytes — magic check, chunk walk, int16
+    frame decode (multimodal.decode_wav, pure numpy+struct) — reducing
+    to exact integer stats.  The arithmetic sample law lets DuckDB
+    replay the stats without decoding, so the encode→decode round trip
+    itself is value-checked; stats stay integer (amp/square sums) so
+    the check is bit-exact.  Codec-dependent formats (mp3/flac) remain
+    env-gated stubs; this pins the real binary-parsing path."""
+    from mapreducehs_spark.operators.multimodal import (
+        decoded_audio_stats,
+        render_wav_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    payloads = render_wav_payloads(docs, "doc_id", n_samples=256, sample_rate=8000)
+    return decoded_audio_stats(payloads).withColumnRenamed("id", "doc_id")
+
+
+def _q96_oracle(iters: int = 3, damp_num: int = 85, damp_den: int = 100) -> str:
+    """Unrolled integer PageRank replay: micro-unit bigint ranks, each
+    edge contribution (r*85) // (100*outdeg) — integer ops only, so
+    partial-sum order can't drift and the whole iteration is
+    engine-exact."""
+    head = """
+    WITH edges0 AS (
+      SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), edges AS (
+      SELECT src, dst FROM edges0
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges0
+    ), deg AS (
+      SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY 1
+    ), n AS (
+      SELECT count(*) AS n_nodes FROM deg
+    ), r0 AS (
+      SELECT node, outdeg, CAST(1000000000000 // n_nodes AS BIGINT) AS r
+      FROM deg, n
+    )"""
+    body = []
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        body.append(f"""
+    , r{i} AS (
+      SELECT d.node, d.outdeg,
+             CAST((SELECT 150000000000 // n_nodes FROM n)
+                  + coalesce(sum((p.r * {damp_num}) // ({damp_den} * p.outdeg)), 0)
+                  AS BIGINT) AS r
+      FROM deg d
+      LEFT JOIN edges e ON e.dst = d.node
+      LEFT JOIN {prev} p ON p.node = e.src
+      GROUP BY d.node, d.outdeg
+    )""")
+    tail = f"""
+    SELECT node, CAST(node % 2 AS BIGINT) AS is_supplier, r AS rank_micro
+    FROM r{iters}
+    ORDER BY r DESC, node ASC
+    LIMIT 25
+    """
+    return head + "".join(body) + tail
+
+
+@query("q96_pagerank", oracle=_q96_oracle())
+def q96_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank — the canonical iterative MapReduce workload (the
+    algorithm family the reference's multi-stage pipeline chaining
+    exists for; reference src/Core/MapReduceC.hs `(:>)`) — over the
+    customer↔supplier transaction graph (distinct trade pairs,
+    symmetrized so every node has outdegree ≥ 1 and no dangling mass).
+    Three iterations of: contribution = damped rank split over
+    out-edges, shuffled BY DESTINATION (the narrow (dst, contrib)
+    pairs shuffle, never the adjacency), then base + sum.
+
+    Arithmetic is INTEGER fixed-point: micro-unit bigint ranks, each
+    contribution (r*85)//(100*outdeg) — associative/commutative exact
+    sums, so the iterative loop value-checks bit-for-bit against the
+    unrolled oracle regardless of partial-agg order (the q83 trick
+    applied to an iterative algorithm).  At 100 TB the per-iteration
+    cost is one shuffle of edge-count rows keyed on dst; ranks and
+    degrees stay co-partitioned on node across iterations."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
+    try:
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).withColumnRenamed(
+            "src", "node"
+        )
+        n_nodes = deg.count()  # one scalar to the driver (model-sized state)
+        base = 150_000_000_000 // n_nodes
+        ranks = deg.select("node", "outdeg", F.lit(1_000_000_000_000 // n_nodes).alias("r"))
+        for _ in range(3):
+            contrib = (
+                ranks.join(edges, ranks["node"] == edges["src"])
+                .select(
+                    F.col("dst").alias("node"),
+                    # `div`, not `/`: Spark's / on bigints is DOUBLE
+                    # division — rounding before the cast would break
+                    # the exact fixed-point contract the oracle replays
+                    F.expr("(r * 85L) div (100L * outdeg)").alias("c"),
+                )
+            )
+            summed = contrib.groupBy("node").agg(F.sum("c").alias("in_mass"))
+            ranks = (
+                deg.join(summed, "node", "left")
+                .select(
+                    "node",
+                    "outdeg",
+                    (F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0))).alias("r"),
+                )
+            )
+        return (
+            ranks.orderBy(F.col("r").desc(), F.col("node").asc())
+            .limit(25)
+            .select(
+                "node",
+                (F.col("node") % 2).cast("bigint").alias("is_supplier"),
+                F.col("r").alias("rank_micro"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        edges.unpersist(blocking=False)
