@@ -72,6 +72,18 @@ HEADLINE = [
     "q84_decimal_exact_money",
     "d15_near_dedup_checked",
     "m06_image_decode_stats",
+    # round-4 additions: PII scrub, unigram LM scoring, BPE learning,
+    # chunking, quantized ANN, SCD2, bloom-pruned join, PageRank,
+    # audio decode
+    "t16_pii_redact",
+    "t17_unigram_logprob",
+    "t18_bpe_merge_learn",
+    "t19_doc_chunks",
+    "s08_quantized_cosine_topk",
+    "q91_scd2_dimension",
+    "q92_bloom_prune_join",
+    "q96_pagerank",
+    "m07_audio_decode_stats",
 ]
 
 

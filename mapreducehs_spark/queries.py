@@ -6122,8 +6122,11 @@ def q92_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(o_orderdate, '%Y-%m') AS month,
            CAST(count(*) AS BIGINT) AS n_orders,
            round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 4) AS total_price,
-           round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0
-                 / count(*), 4) AS avg_price,
+           -- exact integer micro-division: a rounded double quotient sat
+           -- ON a .xxxx5 boundary at sf0.01 and the engines' round()
+           -- implementations split (the verify-skill bug class #2)
+           CAST((sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) * 10000)
+                // count(*) AS BIGINT) AS avg_price_micents,
            round(min(o_totalprice), 2) AS min_price,
            round(max(o_totalprice), 2) AS max_price
     FROM orders
@@ -6170,7 +6173,11 @@ def q94_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month",
         F.col("n").cast("bigint").alias("n_orders"),
         F.round(F.col("cents") / 100.0, 4).alias("total_price"),
-        F.round(F.col("cents") / 100.0 / F.col("n"), 4).alias("avg_price"),
+        # integer `div`, not a rounded double quotient: one month's avg
+        # landed exactly on a .xxxx5 rounding boundary at sf0.01 and the
+        # two engines' round() split — micro-cent fixed point is exact
+        # under any aggregation order (the q83/q96 discipline)
+        F.expr("(cents * 10000L) div n").alias("avg_price_micents"),
         F.round("mn", 2).alias("min_price"),
         F.round("mx", 2).alias("max_price"),
     )
