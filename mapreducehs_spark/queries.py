@@ -6478,3 +6478,135 @@ def q96_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         edges.unpersist(blocking=False)
+
+
+@query(
+    "d17_sorted_neighborhood",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))) AS dt
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, array_to_string(dt[1:3], '|') AS snm_key, dt FROM toks
+    ), pos AS (
+      SELECT doc_id, dt,
+             row_number() OVER (ORDER BY snm_key ASC, doc_id ASC) AS pos
+      FROM keyed
+    ), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.dt, b.dt)) AS inter,
+             len(a.dt) AS na, len(b.dt) AS nb
+      FROM pos a JOIN pos b ON b.pos - a.pos BETWEEN 1 AND 3
+    )
+    SELECT id_a, id_b,
+           round(inter / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
+    FROM cand
+    WHERE na + nb <= 3 * inter
+    """,
+)
+def d17_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dedup (Hernández-Stolfo SNM) — the
+    third blocking paradigm after hash-banding (d03/d11) and
+    length-banding (d14): sort the corpus on a cluster-prone key (the
+    3 lexicographically-smallest distinct tokens) and compare each doc
+    only to its W=3 successors.  Candidate generation is a distributed
+    RANGE SORT plus W narrow self-equi-joins on position — O(W·n)
+    pairs total, never all-pairs, and no hash randomness, so unlike
+    LSH the WHOLE operator (key, ordering, window, verification) is
+    value-checked.  Positions come from sampling.global_positions
+    (range-repartition + offsets — q89's machinery), not a single-task
+    global window; the duplicate-jaccard filter is the integer-exact
+    form (na+nb ≤ 3·inter ⟺ J ≥ 0.5), so no float boundary exists."""
+    from mapreducehs_spark.operators.sampling import global_positions
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(text.tokens("text"))).alias("dt"),
+    )
+    keyed = toks.select(
+        "doc_id",
+        F.concat_ws("|", F.slice("dt", 1, 3)).alias("snm_key"),
+        F.size("dt").alias("n_dt"),
+    )
+    pos = global_positions(keyed, ["snm_key", "doc_id"]).select("doc_id", "pos")
+    a = pos.select(F.col("doc_id").alias("id_a"), F.col("pos").alias("pos_a"))
+    b = pos.select(F.col("doc_id").alias("id_b"), F.col("pos").alias("pos_b"))
+    offsets = spark.range(1, 4).select(F.col("id").alias("off"))
+    cand = (
+        a.crossJoin(F.broadcast(offsets))
+        .withColumn("pos_b", F.col("pos_a") + F.col("off"))
+        .join(b, "pos_b")
+        .select("id_a", "id_b")
+    )
+    ta = toks.select(F.col("doc_id").alias("id_a"), F.col("dt").alias("da"))
+    tb = toks.select(F.col("doc_id").alias("id_b"), F.col("dt").alias("db"))
+    verified = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("da", "db")).alias("inter"),
+            F.size("da").alias("na"),
+            F.size("db").alias("nb"),
+        )
+        .filter(F.col("na") + F.col("nb") <= 3 * F.col("inter"))
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"), 6
+        ).alias("jaccard"),
+    )
+
+
+@query(
+    "q97_excess_volume_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'ECONOMY'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey
+    ), threshold AS (
+      SELECT sum(qty) * 1.2 / (SELECT count(*) FROM supplier) AS thr FROM shipped
+    )
+    SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM shipped, threshold WHERE qty > thr)
+    """,
+)
+def q97_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN with an aggregate HAVING against a
+    global scalar subquery — suppliers who shipped more than 1.2× the
+    per-supplier average of ECONOMY-part volume in 1996.  Catalyst
+    decorrelates to: one filtered fact aggregation (filters + part dim
+    broadcast pushed to the scan), a 1-row threshold broadcast back
+    over it, and a LEFT-SEMI join into the supplier dim — no correlated
+    re-probe anywhere.  Quantities are integral doubles, so the sums are exact and the 1.2×/N threshold, while inexact in binary,
+    is the identical IEEE expression in both engines."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    sup = _t(spark, sf_dir, "supplier")
+    shipped = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    n_sup = sup.agg(F.count(F.lit(1)).alias("n_sup"))
+    thr = shipped.agg(F.sum("qty").alias("tot")).crossJoin(F.broadcast(n_sup)).select(
+        (F.col("tot") * 1.2 / F.col("n_sup")).alias("thr")
+    )
+    excess = shipped.crossJoin(F.broadcast(thr)).filter(F.col("qty") > F.col("thr"))
+    return sup.join(
+        excess.select(F.col("l_suppkey").alias("s_suppkey")), "s_suppkey", "left_semi"
+    ).select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
