@@ -84,6 +84,11 @@ HEADLINE = [
     "q92_bloom_prune_join",
     "q96_pagerank",
     "m07_audio_decode_stats",
+    "d18_prefix_filter_pairs",
+    "q98_kmv_distinct",
+    "q99_linear_interp",
+    "q100_triangle_count",
+    "t20_data_profile",
 ]
 
 

@@ -6610,3 +6610,523 @@ def q97_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sup.join(
         excess.select(F.col("l_suppkey").alias("s_suppkey")), "s_suppkey", "left_semi"
     ).select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+
+
+@query(
+    "d18_prefix_filter_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i
+      FROM toks
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM pos
+    ), sized AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), freq AS (
+      SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+    ), ranked AS (
+      SELECT shingle, row_number() OVER (ORDER BY df ASC, shingle ASC) AS srank FROM freq
+    ), pref AS (
+      SELECT doc_id, shingle FROM (
+        SELECT s.doc_id, s.shingle, z.n,
+               row_number() OVER (PARTITION BY s.doc_id ORDER BY r.srank ASC) AS rr
+        FROM sh s JOIN ranked r USING (shingle) JOIN sized z USING (doc_id)
+      ) WHERE rr <= n - (n + 1) // 2 + 1
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pref a JOIN pref b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+    ), inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sized sa ON sa.doc_id = id_a
+    JOIN sized sb ON sb.doc_id = id_b
+    WHERE sa.n + sb.n <= 3 * inter
+    """,
+)
+def d18_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtering set-similarity join (Chaudhuri SSJoin /
+    Bayardo AllPairs) — the FOURTH candidate-generation paradigm in the
+    dedup suite after hash-banding (d03/d11), length-banding (d14) and
+    sorted-neighborhood (d17), on d02's 3-gram shingle sets at Jaccard
+    >= 0.5, and like d17 fully deterministic (no hash randomness), so
+    the ENTIRE operator is value-checked.  Principle: rank the shingle
+    vocabulary by ascending document frequency (rarest first) and index
+    only each document's first ``|S| - ceil(0.5*|S|) + 1`` shingles in
+    that order; two sets with J >= 0.5 MUST share an indexed prefix
+    shingle, so candidates come from an equi-join on RARE shingles only
+    — the stop-shingles that make the naive token-join quadratic (and
+    skewed) never enter the index.  At scale: the vocabulary rank is a
+    scalable distributed sort (sampling.global_positions — shingle
+    vocabulary is corpus-sized, NOT broadcast), the prefix index halves
+    the posting list, and the candidate join is skew-free by
+    construction (rare shingles have short postings).  Verification is
+    an exact intersection count on candidates only (na+nb <= 3*inter
+    <=> J >= 0.5); never all-pairs."""
+    from mapreducehs_spark.operators.sampling import global_positions
+
+    docs = _t(spark, sf_dir, "documents")
+    shf = dedup.shingle_frame(docs, "text", "doc_id", 3)
+    rows = (
+        shf.select(
+            F.col("id").alias("doc_id"),
+            F.size("sh").alias("n"),
+            F.explode_outer("sh").alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+    )
+    freq = rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = global_positions(freq, ["df", "shingle"], out_col="srank").select(
+        "shingle", "srank"
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.col("srank").asc())
+    pref = (
+        rows.join(ranked, "shingle")
+        .withColumn("rr", F.row_number().over(wd))
+        .filter(F.col("rr") <= F.expr("n - (n + 1) div 2 + 1"))
+        .select("doc_id", "shingle")
+    )
+    a = pref.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = pref.select(F.col("doc_id").alias("id_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ra = rows.select(F.col("doc_id").alias("id_a"), "shingle")
+    rb = rows.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(ra, "id_a")
+        .join(rb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sized = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sized.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sized.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("na") + F.col("nb") <= 3 * F.col("inter"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "q98_kmv_distinct",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), h AS (
+      SELECT event_type, user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))::BIGINT AS hv
+      FROM du
+    ), topk AS (
+      SELECT * FROM (
+        SELECT event_type, user_id, hv,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY hv ASC, user_id ASC) AS rr
+        FROM h
+      ) WHERE rr <= 8
+    ), kmv AS (
+      SELECT event_type, CAST(504403158265495552 // max(hv) AS BIGINT) AS kmv_est
+      FROM topk GROUP BY event_type HAVING count(*) = 8
+    ), exact AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    ), per_type AS (
+      SELECT e.event_type, n_exact, kmv_est FROM exact e JOIN kmv USING (event_type)
+    ), m8 AS (
+      SELECT hv FROM (SELECT DISTINCT user_id, hv FROM topk)
+      ORDER BY hv ASC LIMIT 8
+    ), g AS (
+      SELECT '__all__' AS event_type,
+             (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS n_exact,
+             CAST(504403158265495552 // max(hv) AS BIGINT) AS kmv_est
+      FROM m8 HAVING count(*) = 8
+    )
+    SELECT * FROM per_type UNION ALL SELECT * FROM g
+    """,
+)
+def q98_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, VALUE-CHECKED —
+    the mergeable-sketch family's (q34 HLL, q41 t-digest, q53 KLL, q71
+    Misra-Gries) only member whose estimate both engines reproduce
+    bit-for-bit, because the "randomness" is the md5-fold draw (d11
+    discipline) and the estimator (k-1)*2^56 div h_k is integer
+    arithmetic.  Per event_type: the 8 smallest distinct user-hashes
+    (row_number <= k lowers to a per-partition WindowGroupLimit top-k
+    BEFORE the shuffle — bounded state, the 100 TB path) with estimate
+    (k-1)/h_k normalized.  The '__all__' row then demonstrates the
+    property that makes KMV a sketch at all: MERGING the five per-group
+    sketches (k smallest of their union) estimates the global distinct
+    count without touching the raw data again — exactly how a
+    1000-executor rollup combines per-shard sketches.  Exact distinct
+    counts ride along as n_exact for accuracy reading."""
+    K = 8
+    est = F.expr(f"{(K - 1) * (1 << 56)}L div h_k").alias("kmv_est")
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    h = du.select(
+        "event_type",
+        "user_id",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 14), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("hv").asc(), F.col("user_id").asc())
+    topk = h.withColumn("rr", F.row_number().over(w)).filter(F.col("rr") <= K)
+    kmv = (
+        topk.groupBy("event_type")
+        .agg(F.max("hv").alias("h_k"), F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") == K)
+        .select("event_type", est)
+    )
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    per_type = exact.join(kmv, "event_type").select("event_type", "n_exact", "kmv_est")
+    merged = (
+        topk.select("user_id", "hv").distinct().orderBy(F.col("hv").asc()).limit(K)
+    )
+    g_est = (
+        merged.agg(F.max("hv").alias("h_k"), F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") == K)
+        .select(F.lit("__all__").alias("event_type"), est)
+    )
+    g_exact = ev.agg(F.countDistinct("user_id").alias("n_exact")).select(
+        F.lit("__all__").alias("event_type"), "n_exact"
+    )
+    g = g_exact.join(g_est, "event_type").select("event_type", "n_exact", "kmv_est")
+    return per_type.unionByName(g)
+
+
+@query(
+    "q99_linear_interp",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, epoch_us(ts) // 1000000 AS t,
+             CASE WHEN event_type != 'error'
+                  THEN CAST(round(value * 1000000, 0) AS BIGINT) END AS vm
+      FROM events
+    ), g AS (
+      SELECT user_id, vm, t,
+        last_value(vm IGNORE NULLS) OVER w_prev AS pv,
+        last_value(CASE WHEN vm IS NOT NULL THEN t END IGNORE NULLS) OVER w_prev AS pt,
+        first_value(vm IGNORE NULLS) OVER w_next AS nv,
+        first_value(CASE WHEN vm IS NOT NULL THEN t END IGNORE NULLS) OVER w_next AS nt
+      FROM base
+      WINDOW
+        w_prev AS (PARTITION BY user_id ORDER BY t ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        w_next AS (PARTITION BY user_id ORDER BY t ASC, event_id ASC
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_err,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_interp,
+           CAST(sum(CASE WHEN pv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lead,
+           CAST(sum(CASE WHEN nv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_trail,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                 CASE WHEN nt = pt THEN pv
+                      ELSE (pv * (nt - t) + nv * (t - pt)) // (nt - pt) END
+               END) AS BIGINT) AS sum_interp_micro
+    FROM g
+    WHERE vm IS NULL
+    GROUP BY user_id
+    """,
+)
+def q99_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill — the time-weighted twin of q77's
+    LOCF: each error event's missing reading is reconstructed from the
+    user's previous and next good readings, weighted by time distance.
+    Two unbounded ROWS frames over ONE partitioning (user_id) carry the
+    four running values (prev/next reading + its timestamp) — a single
+    shuffle, bounded per-key state, same cost profile as LOCF.  The
+    interpolation itself is exact integer fixed point (micro-units x
+    epoch-seconds, truncating div; both products < 2^55, and Spark
+    `div` and DuckDB `//` both truncate toward zero), so no float
+    quotient ever reaches the output — the q94 determinism recipe.
+    Boundary gaps (no prior / no following observation) are counted,
+    not invented."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts) div 1000000").alias("t"),
+        F.when(
+            F.col("event_type") != "error",
+            F.round(F.col("value") * 1e6, 0).cast("bigint"),
+        ).alias("vm"),
+    )
+    order = [F.col("t").asc(), F.col("event_id").asc()]
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    t_obs = F.when(F.col("vm").isNotNull(), F.col("t"))
+    g = base.select(
+        "user_id",
+        "vm",
+        "t",
+        F.last("vm", ignorenulls=True).over(wp).alias("pv"),
+        F.last(t_obs, ignorenulls=True).over(wp).alias("pt"),
+        F.first("vm", ignorenulls=True).over(wn).alias("nv"),
+        F.first(t_obs, ignorenulls=True).over(wn).alias("nt"),
+    )
+    both = F.col("pv").isNotNull() & F.col("nv").isNotNull()
+    interp = F.when(F.col("nt") == F.col("pt"), F.col("pv")).otherwise(
+        F.expr("(pv * (nt - t) + nv * (t - pt)) div (nt - pt)")
+    )
+    return (
+        g.filter(F.col("vm").isNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_err"),
+            F.sum(F.when(both, 1).otherwise(0)).alias("n_interp"),
+            F.sum(F.when(F.col("pv").isNull(), 1).otherwise(0)).alias("n_lead"),
+            F.sum(F.when(F.col("nv").isNull(), 1).otherwise(0)).alias("n_trail"),
+            F.sum(F.when(both, interp)).alias("sum_interp_micro"),
+        )
+    )
+
+
+@query(
+    "q100_triangle_count",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))) AS tok
+      FROM documents
+    ), dfreq AS (
+      SELECT tok, count(*) AS df FROM toks GROUP BY tok
+    ), top AS (
+      SELECT tok FROM dfreq ORDER BY df DESC, tok ASC LIMIT 64
+    ), sel AS (
+      SELECT doc_id, tok FROM toks WHERE tok IN (SELECT tok FROM top)
+    ), co AS (
+      SELECT x.tok AS u, y.tok AS v, count(*) AS c
+      FROM sel x JOIN sel y ON x.doc_id = y.doc_id AND x.tok < y.tok
+      GROUP BY x.tok, y.tok
+    ), nd AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), edges AS (
+      SELECT u, v FROM co, nd WHERE c * 4 >= n_docs
+    ), deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+      ) GROUP BY node
+    ), oriented AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS a,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS b
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ), tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM oriented e1
+      JOIN oriented e2 ON e2.a = e1.b
+      WHERE EXISTS (SELECT 1 FROM oriented e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+    ), per_node AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        SELECT x AS node FROM tri UNION ALL
+        SELECT y AS node FROM tri UNION ALL
+        SELECT z AS node FROM tri
+      ) GROUP BY node
+    )
+    SELECT node, n_tri FROM per_node ORDER BY n_tri DESC, node ASC LIMIT 10
+    """,
+)
+def q100_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented triangle counting — the third graph-analytics
+    member after connected components (d06) and PageRank (q96), on the
+    token co-occurrence graph (top-64 tokens by document frequency;
+    edge iff the pair co-occurs in >= 25%% of documents — a scale-free
+    integer threshold).  The algorithm is the distributed-standard
+    degree orientation (Suri-Vassilvitskii "Counting Triangles and the
+    Curse of the Last Reducer"): orient every edge from its lower-
+    (degree, id) endpoint to the higher, so each triangle is counted
+    exactly once and — the scale point — the join fan-out per node is
+    bounded by its OUT-degree, which orientation caps at O(sqrt(|E|))
+    even for power-law hubs; the wedge self-join then left-semi-probes
+    the oriented edge list.  All co-occurrence counting is equi-join +
+    hash-agg on doc_id; the quadratic explosion per document is bounded
+    by the 64-token vocabulary filter (broadcast)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode_outer(F.array_distinct(text.tokens("text"))).alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    top = dfreq.orderBy(F.col("df").desc(), F.col("tok").asc()).limit(64).select("tok")
+    sel = toks.join(F.broadcast(top), "tok")
+    x = sel.select("doc_id", F.col("tok").alias("u"))
+    y = sel.select("doc_id", F.col("tok").alias("v"))
+    co = (
+        x.join(y, "doc_id")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    edges = co.crossJoin(F.broadcast(nd)).filter(F.col("c") * 4 >= F.col("n_docs"))
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+    )
+    e1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = oriented.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y")
+    tri = wedges.join(
+        oriented.select(F.col("a").alias("x"), F.col("b").alias("z")),
+        ["x", "z"],
+        "left_semi",
+    )
+    per_node = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return per_node.orderBy(F.col("n_tri").desc(), F.col("node").asc()).limit(10)
+
+
+@query(
+    "t20_data_profile",
+    oracle="""
+    WITH a AS (
+      SELECT count(*) AS n,
+             count(o_orderkey) AS c1, count(DISTINCT o_orderkey) AS d1,
+             min(o_orderkey) AS mn1, max(o_orderkey) AS mx1,
+             count(o_custkey) AS c2, count(DISTINCT o_custkey) AS d2,
+             min(o_custkey) AS mn2, max(o_custkey) AS mx2,
+             count(o_totalprice) AS c3, count(DISTINCT o_totalprice) AS d3,
+             min(o_totalprice) AS mn3, max(o_totalprice) AS mx3,
+             count(o_orderstatus) AS c4, count(DISTINCT o_orderstatus) AS d4,
+             min(o_orderstatus) AS mn4, max(o_orderstatus) AS mx4,
+             count(o_orderpriority) AS c5, count(DISTINCT o_orderpriority) AS d5,
+             min(o_orderpriority) AS mn5, max(o_orderpriority) AS mx5,
+             count(o_orderdate) AS c6, count(DISTINCT o_orderdate) AS d6,
+             strftime(min(o_orderdate), '%Y-%m-%d') AS mn6,
+             strftime(max(o_orderdate), '%Y-%m-%d') AS mx6
+      FROM orders
+    )
+    SELECT 'o_orderkey' AS col_name, CAST(n - c1 AS BIGINT) AS n_null,
+           CAST(d1 AS BIGINT) AS n_distinct, CAST(mn1 AS DOUBLE) AS min_num,
+           CAST(mx1 AS DOUBLE) AS max_num, CAST(NULL AS VARCHAR) AS min_str,
+           CAST(NULL AS VARCHAR) AS max_str FROM a
+    UNION ALL
+    SELECT 'o_custkey', CAST(n - c2 AS BIGINT), CAST(d2 AS BIGINT),
+           CAST(mn2 AS DOUBLE), CAST(mx2 AS DOUBLE), NULL, NULL FROM a
+    UNION ALL
+    SELECT 'o_totalprice', CAST(n - c3 AS BIGINT), CAST(d3 AS BIGINT),
+           mn3, mx3, NULL, NULL FROM a
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(n - c4 AS BIGINT), CAST(d4 AS BIGINT),
+           NULL, NULL, mn4, mx4 FROM a
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(n - c5 AS BIGINT), CAST(d5 AS BIGINT),
+           NULL, NULL, mn5, mx5 FROM a
+    UNION ALL
+    SELECT 'o_orderdate', CAST(n - c6 AS BIGINT), CAST(d6 AS BIGINT),
+           NULL, NULL, mn6, mx6 FROM a
+    """,
+)
+def t20_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality profile (the ingestion-gate op every
+    training pipeline runs before accepting a drop): per-column null
+    count, exact distinct count, and min/max — computed in a SINGLE
+    aggregation over one scan (multi count-distinct lowers to one
+    Expand, q08's plan), then reshaped long with stack() — an Expand
+    over the 1-row aggregate, no per-column rescan (at 100 TB a
+    6-column profile costing 6 scans is the difference between minutes
+    and hours).  Numerics profile into min_num/max_num, strings and
+    dates into min_str/max_str (dates formatted, never raw timestamps
+    — oracle discipline)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderkey").alias("c1"),
+        F.countDistinct("o_orderkey").alias("d1"),
+        F.min("o_orderkey").alias("mn1"),
+        F.max("o_orderkey").alias("mx1"),
+        F.count("o_custkey").alias("c2"),
+        F.countDistinct("o_custkey").alias("d2"),
+        F.min("o_custkey").alias("mn2"),
+        F.max("o_custkey").alias("mx2"),
+        F.count("o_totalprice").alias("c3"),
+        F.countDistinct("o_totalprice").alias("d3"),
+        F.min("o_totalprice").alias("mn3"),
+        F.max("o_totalprice").alias("mx3"),
+        F.count("o_orderstatus").alias("c4"),
+        F.countDistinct("o_orderstatus").alias("d4"),
+        F.min("o_orderstatus").alias("mn4"),
+        F.max("o_orderstatus").alias("mx4"),
+        F.count("o_orderpriority").alias("c5"),
+        F.countDistinct("o_orderpriority").alias("d5"),
+        F.min("o_orderpriority").alias("mn5"),
+        F.max("o_orderpriority").alias("mx5"),
+        F.count("o_orderdate").alias("c6"),
+        F.countDistinct("o_orderdate").alias("d6"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("mn6"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("mx6"),
+    )
+    return a.select(
+        F.expr(
+            """
+            stack(6,
+              'o_orderkey',     n - c1, d1, CAST(mn1 AS DOUBLE), CAST(mx1 AS DOUBLE),
+                                CAST(NULL AS STRING), CAST(NULL AS STRING),
+              'o_custkey',      n - c2, d2, CAST(mn2 AS DOUBLE), CAST(mx2 AS DOUBLE),
+                                CAST(NULL AS STRING), CAST(NULL AS STRING),
+              'o_totalprice',   n - c3, d3, mn3, mx3,
+                                CAST(NULL AS STRING), CAST(NULL AS STRING),
+              'o_orderstatus',  n - c4, d4, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                                mn4, mx4,
+              'o_orderpriority', n - c5, d5, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                                mn5, mx5,
+              'o_orderdate',    n - c6, d6, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                                mn6, mx6
+            ) AS (col_name, n_null, n_distinct, min_num, max_num, min_str, max_str)
+            """
+        )
+    )

@@ -399,3 +399,36 @@ def test_t17_scoring_joins_vocab_not_corpus(q):
     df = q("t17_unigram_logprob")
     assert I.broadcast_join_count(df) >= 2  # freq join + total crossJoin
     assert I.sort_merge_join_count(df) == 0
+
+
+def test_d18_prefix_filter_never_all_pairs(q):
+    df = q("d18_prefix_filter_pairs")
+    plan = I.formatted_plan(df)
+    # AllPairs prefix filtering must stay candidates-then-verify:
+    # every join is an equi-join on a shingle or id key
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q98_kmv_topk_pushes_window_group_limit(q):
+    df = q("q98_kmv_distinct")
+    plan = I.formatted_plan(df)
+    # row_number() <= k lowers to a per-partition top-k BEFORE the
+    # shuffle — the bounded-state property that makes KMV a sketch
+    assert "WindowGroupLimit" in plan
+
+
+def test_t20_profile_is_single_scan(q):
+    df = q("t20_data_profile")
+    # one-pass profile: the 6-column stack must not re-scan per column —
+    # exactly one parquet scan (of orders) feeds the whole Expand+agg
+    schemas = I.read_schemas(df)
+    assert list(schemas) == ["orders"]
+    plan = I.formatted_plan(df)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_q100_triangles_no_cartesian(q):
+    df = q("q100_triangle_count")
+    plan = I.formatted_plan(df)
+    assert "CartesianProduct" not in plan
