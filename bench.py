@@ -89,6 +89,8 @@ HEADLINE = [
     "q99_linear_interp",
     "q100_triangle_count",
     "t20_data_profile",
+    "q101_association_rules",
+    "q102_mad_outliers",
 ]
 
 

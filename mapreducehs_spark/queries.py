@@ -7130,3 +7130,164 @@ def t20_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         )
     )
+
+
+@query(
+    "q101_association_rules",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT count(DISTINCT l_orderkey) AS n_orders FROM b
+    ), item AS (
+      SELECT l_partkey, count(*) AS sup FROM b GROUP BY 1
+    ), pair AS (
+      SELECT a.l_partkey AS id_a, c.l_partkey AS id_b, count(*) AS sup_ab
+      FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                       AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT id_a, id_b, CAST(sup_ab AS BIGINT) AS sup_ab,
+           CAST(sup_ab * 1000000 // ia.sup AS BIGINT) AS conf_micro,
+           CAST(sup_ab * n_orders * 1000000 // (ia.sup * ib.sup) AS BIGINT) AS lift_micro
+    FROM pair
+    JOIN item ia ON ia.l_partkey = id_a
+    JOIN item ib ON ib.l_partkey = id_b
+    CROSS JOIN n
+    ORDER BY sup_ab DESC, id_a ASC, id_b ASC
+    LIMIT 20
+    """,
+)
+def q101_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (frequent-itemset mining, the
+    classic MapReduce-era workload): part pairs co-ordered in >= 2
+    baskets, with confidence(a->b) and lift in exact integer micro
+    fixed point (the q94/q96 determinism recipe — `div`, never a float
+    quotient).  Scale shape: baskets self-join on l_orderkey only —
+    fan-out per order is (items/order choose 2), a per-BASKET constant,
+    never corpus-quadratic; pair support is one hash-agg shuffle keyed
+    by the pair; item supports and the basket count broadcast back
+    over the pair frame.  Top-20 by (support, pair) is a
+    TakeOrderedAndProject — per-partition heaps, no global sort.  At
+    petabyte row counts the lift numerator sup_ab*N*1e6 needs
+    DECIMAL(38,0) widening; bigint holds to N ~ 1e9 baskets."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    n = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("sup"))
+    a = b.select("l_orderkey", F.col("l_partkey").alias("id_a"))
+    c = b.select("l_orderkey", F.col("l_partkey").alias("id_b"))
+    pair = (
+        a.join(c, "l_orderkey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("sup_ab"))
+        .filter(F.col("sup_ab") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("id_a"), F.col("sup").alias("sup_a"))
+    ib = item.select(F.col("l_partkey").alias("id_b"), F.col("sup").alias("sup_b"))
+    rules = (
+        pair.join(ia, "id_a")
+        .join(ib, "id_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "id_a",
+            "id_b",
+            "sup_ab",
+            F.expr("sup_ab * 1000000L div sup_a").alias("conf_micro"),
+            F.expr("sup_ab * n_orders * 1000000L div (sup_a * sup_b)").alias("lift_micro"),
+        )
+    )
+    return rules.orderBy(
+        F.col("sup_ab").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    ).limit(20)
+
+
+@query(
+    "q102_mad_outliers",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS grp, o_orderkey,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ), r AS (
+      SELECT grp, o_orderkey, cents,
+             row_number() OVER (PARTITION BY grp ORDER BY cents ASC, o_orderkey ASC) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM o
+    ), med AS (
+      SELECT grp, cents AS med_cents FROM r WHERE rn = (n + 1) // 2
+    ), dev AS (
+      SELECT o.grp, o.o_orderkey, abs(o.cents - m.med_cents) AS d, m.med_cents
+      FROM o JOIN med m ON m.grp = o.grp
+    ), rd AS (
+      SELECT grp, d, med_cents,
+             row_number() OVER (PARTITION BY grp ORDER BY d ASC, o_orderkey ASC) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM dev
+    ), mad AS (
+      SELECT grp, med_cents, d AS mad_cents FROM rd WHERE rn = (n + 1) // 2
+    )
+    SELECT v.grp, CAST(m.med_cents AS BIGINT) AS med_cents,
+           CAST(m.mad_cents AS BIGINT) AS mad_cents,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN v.d > 3 * m.mad_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev v JOIN mad m ON m.grp = v.grp
+    GROUP BY v.grp, m.med_cents, m.mad_cents
+    """,
+)
+def q102_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by median/MAD — the data-quality
+    anomaly gate that, unlike z-scores (q26's moments), a few extreme
+    rows cannot poison.  Everything is exact integer cents: the
+    "median" is the LOWER median selected by row_number = (n+1) div 2
+    (a rank selection, not quantile interpolation — no float boundary
+    can ever disagree between engines), the MAD is the lower median of
+    absolute deviations, and the outlier test d > 3*MAD is integer
+    compare.  Cost shape: two window passes over the SAME partitioning
+    key (grp) plus group-local joins of one-row-per-group frames — two
+    shuffles of the fact, both on the group key; the per-group medians
+    broadcast back.  The holistic-aggregate caveat of q25 applies: at
+    100 TB prefer the q41/q53 sketch contract; this is the exact tier."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    w1 = Window.partitionBy("grp").orderBy(F.col("cents").asc(), F.col("o_orderkey").asc())
+    wg = Window.partitionBy("grp")
+    r = o.select(
+        "grp",
+        "cents",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(wg).alias("n"),
+    )
+    med = r.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "grp", F.col("cents").alias("med_cents")
+    )
+    dev = o.join(F.broadcast(med), "grp").select(
+        "grp", "o_orderkey", F.abs(F.col("cents") - F.col("med_cents")).alias("d")
+    )
+    w2 = Window.partitionBy("grp").orderBy(F.col("d").asc(), F.col("o_orderkey").asc())
+    rd = dev.select(
+        "grp",
+        "d",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(wg).alias("n"),
+    )
+    mad = rd.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "grp", F.col("d").alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(med), "grp")
+        .join(F.broadcast(mad), "grp")
+        .groupBy("grp", "med_cents", "mad_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("d") > 3 * F.col("mad_cents"), 1).otherwise(0)).alias(
+                "n_outliers"
+            ),
+        )
+        .select("grp", "med_cents", "mad_cents", "n_orders", "n_outliers")
+    )

@@ -432,3 +432,19 @@ def test_q100_triangles_no_cartesian(q):
     df = q("q100_triangle_count")
     plan = I.formatted_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_q101_rules_topk_no_global_sort(q):
+    df = q("q101_association_rules")
+    plan = I.formatted_plan(df)
+    # top-20 rules must be per-partition heaps, not a full sort
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q102_medians_broadcast_back(q):
+    df = q("q102_mad_outliers")
+    # the one-row-per-group median/MAD frames broadcast back onto the
+    # fact — the fact itself never joins shuffled
+    assert I.broadcast_join_count(df) >= 3
+    assert "CartesianProduct" not in I.formatted_plan(df)
