@@ -1113,8 +1113,9 @@ def t04_top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t05_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content fingerprint (md5; the rolling-hash variant is covered by
-    tests — its hex→int fold isn't expressible in DuckDB SQL)."""
+    """Content fingerprint (md5). The POSITIONAL rolling variant is
+    t21's value-checked winnowing; a faster xxhash64 rolling variant is
+    covered by tests only (xxhash64 has no DuckDB replay)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", F.md5("text").alias("content_md5"))
 
@@ -7290,4 +7291,93 @@ def q102_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("grp", "med_cents", "mad_cents", "n_orders", "n_outliers")
+    )
+
+
+@query(
+    "t21_winnowing_fingerprints",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i
+      FROM toks
+    ), kg AS (
+      SELECT doc_id, i,
+             ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 12))::BIGINT AS h
+      FROM pos
+    ), wmin AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i ASC
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM kg
+    ), fp AS (
+      SELECT doc_id, count(DISTINCT fp) AS n_fp FROM wmin GROUP BY doc_id
+    ), nk AS (
+      SELECT doc_id, count(*) AS n_kgrams FROM kg GROUP BY doc_id
+    )
+    SELECT nk.doc_id, CAST(n_kgrams AS BIGINT) AS n_kgrams,
+           CAST(n_fp AS BIGINT) AS n_fp,
+           CAST(n_fp * 1000000 // n_kgrams AS BIGINT) AS density_micro
+    FROM nk JOIN fp ON fp.doc_id = nk.doc_id
+    """,
+)
+def t21_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken, the
+    MOSS algorithm) — POSITIONAL rolling fingerprints, upgrading t05's
+    whole-document md5: hash every token 3-gram (md5-fold, the d11
+    engine-portable discipline), slide a w=4 window over the hash
+    sequence and keep each window's minimum — guaranteeing any shared
+    run of >= w+k-1 tokens between two documents shares a fingerprint,
+    with only ~2/(w+1) of the k-gram hashes retained.  Everything is
+    deterministic integer arithmetic, so unlike classic random-seed
+    winnowing the selected fingerprints value-check bit-for-bit.
+    Shape: ONE shuffle on doc_id feeds both the sliding-window min
+    (ROWS frame) and the two per-doc aggregates; fingerprint density is
+    the integer-micro quotient (q94 recipe).  The k-gram hash sequence
+    is built once as a projection (array staged per the shingles_of
+    HOF discipline), never re-evaluated in a filter."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", text.tokens("text").alias("t"))
+    # Spark's sequence(1, 0) DESCENDS instead of returning empty, so
+    # short documents are filtered up front (the oracle's range() is
+    # empty for them — both engines drop docs with < 3 tokens)
+    pos = (
+        toks.filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            "t",
+            F.explode_outer(F.sequence(F.lit(1), F.size("t") - 2)).alias("i"),
+        )
+        .filter(F.col("i").isNotNull())
+    )
+    kg = pos.select(
+        "doc_id",
+        "i",
+        F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice("t", F.col("i"), 3))), 1, 12),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("i").asc())
+        .rowsBetween(Window.currentRow, 3)
+    )
+    wmin = kg.select("doc_id", F.min("h").over(w).alias("fp"))
+    fp = wmin.groupBy("doc_id").agg(F.countDistinct("fp").alias("n_fp"))
+    nk = kg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_kgrams"))
+    return (
+        nk.join(fp, "doc_id")
+        .select(
+            "doc_id",
+            "n_kgrams",
+            "n_fp",
+            F.expr("n_fp * 1000000L div n_kgrams").alias("density_micro"),
+        )
     )
