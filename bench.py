@@ -91,6 +91,7 @@ HEADLINE = [
     "t20_data_profile",
     "q101_association_rules",
     "q102_mad_outliers",
+    "t21_winnowing_fingerprints",
 ]
 
 
