@@ -6628,15 +6628,16 @@ def q97_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pos
     ), sized AS (
       SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
-    ), freq AS (
-      SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
-    ), ranked AS (
-      SELECT shingle, row_number() OVER (ORDER BY df ASC, shingle ASC) AS srank FROM freq
+    ), dfw AS (
+      SELECT doc_id, shingle,
+             count(*) OVER (PARTITION BY shingle) AS df
+      FROM sh
     ), pref AS (
       SELECT doc_id, shingle FROM (
-        SELECT s.doc_id, s.shingle, z.n,
-               row_number() OVER (PARTITION BY s.doc_id ORDER BY r.srank ASC) AS rr
-        FROM sh s JOIN ranked r USING (shingle) JOIN sized z USING (doc_id)
+        SELECT d.doc_id, d.shingle, z.n,
+               row_number() OVER (PARTITION BY d.doc_id
+                                  ORDER BY d.df ASC, d.shingle ASC) AS rr
+        FROM dfw d JOIN sized z USING (doc_id)
       ) WHERE rr <= n - (n + 1) // 2 + 1
     ), cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -6676,10 +6677,11 @@ def d18_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (rare shingles have short postings).  Verification is
     an exact intersection count on candidates only (na+nb <= 3*inter
     <=> J >= 0.5); never all-pairs."""
-    from mapreducehs_spark.operators.sampling import global_positions
-
     docs = _t(spark, sf_dir, "documents")
     shf = dedup.shingle_frame(docs, "text", "doc_id", 3)
+    # four plan subtrees (prefix, both verify sides, set sizes) read the
+    # shingle rows — persist so tokenize+shingle runs once, unpersisted
+    # after the checkpointed result materializes (d13 discipline)
     rows = (
         shf.select(
             F.col("id").alias("doc_id"),
@@ -6687,14 +6689,17 @@ def d18_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode_outer("sh").alias("shingle"),
         )
         .filter(F.col("shingle").isNotNull())
+        .persist()
     )
-    freq = rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = global_positions(freq, ["df", "shingle"], out_col="srank").select(
-        "shingle", "srank"
-    )
-    wd = Window.partitionBy("doc_id").orderBy(F.col("srank").asc())
+    # document frequency as a window over the shingle partitioning, and
+    # the prefix rank as a window over the doc partitioning ordered by
+    # (df, shingle) — same selection as a global df-rank join, minus the
+    # vocabulary sort and its join (two shuffles total, both corpus-wide
+    # but narrow)
+    wf = Window.partitionBy("shingle")
+    wd = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
     pref = (
-        rows.join(ranked, "shingle")
+        rows.withColumn("df", F.count(F.lit(1)).over(wf))
         .withColumn("rr", F.row_number().over(wd))
         .filter(F.col("rr") <= F.expr("n - (n + 1) div 2 + 1"))
         .select("doc_id", "shingle")
@@ -6718,19 +6723,24 @@ def d18_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sized.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     sb = sized.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(F.col("na") + F.col("nb") <= 3 * F.col("inter"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
-                6,
-            ).alias("jaccard"),
+    try:
+        return (
+            inter.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter(F.col("na") + F.col("nb") <= 3 * F.col("inter"))
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    F.col("inter")
+                    / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                    6,
+                ).alias("jaccard"),
+            )
+            .localCheckpoint()
         )
-    )
+    finally:
+        rows.unpersist(blocking=False)
 
 
 @query(
