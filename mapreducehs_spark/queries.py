@@ -6439,10 +6439,21 @@ def q96_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
+    # persist the adjacency HASH-PARTITIONED on the join key: every
+    # iteration's rank⋈edges join then reuses the layout and only the
+    # node-sized rank frame shuffles — without this the 2|E| frame
+    # re-exchanged once per iteration (measured ~30% of the query)
+    edges = (
+        e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition("src")
+        .persist()
+    )
     try:
-        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).withColumnRenamed(
-            "src", "node"
+        deg = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("outdeg"))
+            .withColumnRenamed("src", "node")
+            .persist()  # node-sized; read by every iteration + the seed
         )
         n_nodes = deg.count()  # one scalar to the driver (model-sized state)
         base = 150_000_000_000 // n_nodes
@@ -6479,6 +6490,7 @@ def q96_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         edges.unpersist(blocking=False)
+        deg.unpersist(blocking=False)
 
 
 @query(
