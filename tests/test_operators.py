@@ -1151,3 +1151,108 @@ def test_pagerank_mass_and_determinism(spark):
     # ranks are positive and sorted desc with node-asc tiebreak
     ranks = [r[2] for r in a]
     assert ranks == sorted(ranks, reverse=True) and ranks[-1] > 0
+
+
+def test_prefix_filter_completeness_vs_shared_shingle_join(spark):
+    """AllPairs prefix filtering must lose NOTHING: d18's candidate
+    pruning (index only the rarest half of each shingle set) yields
+    exactly the pairs the complete shared-shingle equi-join finds at
+    the same threshold — the reference's differential-test discipline
+    applied to the pruning step."""
+    from mapreducehs_spark.operators.dedup import ngram_jaccard_pairs
+    from mapreducehs_spark.queries import QUERIES
+    from mapreducehs_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in QUERIES["d18_prefix_filter_pairs"](spark, sf).collect()
+    }
+    docs = load_table(spark, sf, "documents")
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.5, max_shingle_df=None
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_triangle_count_vs_bruteforce(spark):
+    """Degree orientation must count every triangle exactly once: the
+    per-node totals from q100 equal a brute-force itertools count over
+    the same (deterministic) edge set."""
+    from itertools import combinations
+
+    from mapreducehs_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r.node, r.n_tri) for r in QUERIES["q100_triangle_count"](spark, sf).collect()}
+
+    # rebuild the edge set exactly as the query defines it
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+
+    from mapreducehs_spark.operators import text
+    from mapreducehs_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(text.tokens("text"))).alias("tok")
+    ).collect()
+    df = Counter(r.tok for r in toks)
+    top = {t for t, _ in sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:64]}
+    per_doc = {}
+    for r in toks:
+        if r.tok in top:
+            per_doc.setdefault(r.doc_id, set()).add(r.tok)
+    co = Counter()
+    for s in per_doc.values():
+        for a, b in combinations(sorted(s), 2):
+            co[(a, b)] += 1
+    n_docs = docs.count()
+    edges = {p for p, c in co.items() if c * 4 >= n_docs}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    per_node = Counter()
+    seen = set()
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            t = tuple(sorted((a, b, c)))
+            if t not in seen:
+                seen.add(t)
+                for n in t:
+                    per_node[n] += 1
+    want = set(
+        sorted(per_node.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    )
+    assert got == want and got
+
+
+def test_mad_outliers_vs_numpy(spark):
+    """q102's rank-selected lower medians equal numpy's independent
+    computation (sort + index), and the outlier counts follow."""
+    import numpy as np
+
+    from mapreducehs_spark.queries import QUERIES
+    from mapreducehs_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.grp: (r.med_cents, r.mad_cents, r.n_orders, r.n_outliers)
+           for r in QUERIES["q102_mad_outliers"](spark, sf).collect()}
+    rows = load_table(spark, sf, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.o_orderpriority, []).append(round(r.o_totalprice * 100))
+    for grp, cents in by.items():
+        a = np.sort(np.array(cents, dtype=np.int64))
+        med = int(a[(len(a) + 1) // 2 - 1])
+        d = np.sort(np.abs(np.array(cents, dtype=np.int64) - med))
+        mad = int(d[(len(d) + 1) // 2 - 1])
+        n_out = int((np.abs(np.array(cents, dtype=np.int64) - med) > 3 * mad).sum())
+        assert got[grp] == (med, mad, len(cents), n_out), grp
