@@ -92,6 +92,9 @@ HEADLINE = [
     "q101_association_rules",
     "q102_mad_outliers",
     "t21_winnowing_fingerprints",
+    "s09_gram_matrix",
+    "q103_cohort_retention",
+    "q104_table_diff",
 ]
 
 

@@ -607,3 +607,56 @@ def quantized_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "match_id", "qcosine", "rank")
     )
+
+
+def gram_matrix(
+    vecs: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Distributed integer Gram matrix G = Qᵀ·Q over the whole corpus.
+
+    The primitive behind covariance/PCA/whitening of an embedding
+    corpus: G[i][j] = Σ_rows q_i·q_j where q = floor(scale·x) per
+    component.  Each Arrow batch computes its dim×dim partial with ONE
+    numpy int64 matmul and emits only the upper triangle — so the
+    shuffle is O(#batches × dim²/2) rows of 3 BIGINTs, never the
+    vectors themselves, and the final hash-agg merges partials
+    associatively.  At 100 TB the reduction tree is exactly a
+    tree-aggregate: dim=64 → 2 080 rows per batch regardless of corpus
+    size, and the driver never sees a vector.
+
+    Integer quantization makes the result ORDER-FREE (int sums commute
+    exactly), which is what lets an engine-independent oracle replay it
+    bit-for-bit; float Gram matrices are only reproducible up to
+    summation order.  1-based (i, j), j ≥ i.
+    """
+    import pyarrow as pa
+
+    def partial_grams(batches):
+        for batch in batches:
+            col = batch.column(0)
+            mat = np.array(col.to_pylist(), dtype=np.float64)
+            if mat.size == 0:
+                continue
+            q = np.floor(mat * scale).astype(np.int64)
+            g = q.T @ q
+            dim = g.shape[0]
+            iu, ju = np.triu_indices(dim)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array((iu + 1).astype(np.int64)),
+                    pa.array((ju + 1).astype(np.int64)),
+                    pa.array(g[iu, ju]),
+                ],
+                names=["i", "j", "partial"],
+            )
+
+    partials = vecs.select(F.col(vec_col)).mapInArrow(
+        partial_grams, "i long, j long, partial long"
+    )
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum("partial").alias("g"))
+        .select("i", "j", "g")
+    )

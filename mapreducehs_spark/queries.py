@@ -7415,3 +7415,238 @@ def t21_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_fp * 1000000L div n_kgrams").alias("density_micro"),
         )
     )
+
+
+@query(
+    "s09_gram_matrix",
+    oracle="""
+    WITH q AS (
+      SELECT [CAST(floor(x * 1000) AS BIGINT) FOR x IN embedding] AS qv
+      FROM embeddings
+    )
+    SELECT i.i AS i, j.j AS j,
+           CAST(sum(qv[i.i] * qv[j.j]) AS BIGINT) AS g
+    FROM q,
+         LATERAL unnest(range(1, len(qv) + 1)) AS i(i),
+         LATERAL unnest(range(1, len(qv) + 1)) AS j(j)
+    WHERE j.j >= i.i
+    GROUP BY 1, 2
+    """,
+)
+def s09_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed integer Gram matrix Qᵀ·Q over the embedding corpus —
+    the covariance/PCA/whitening primitive (similarity.gram_matrix).
+    Each Arrow batch reduces to one dim×dim int64 matmul and ships only
+    the 2 080-row upper triangle; the final hash-agg merges partials
+    associatively (a tree-aggregate at 100 TB — shuffle volume is
+    O(#batches·dim²), independent of corpus size).  Integer
+    floor-quantization makes the sums order-free, so DuckDB replays the
+    exact values by exploding index pairs — the oracle pays the O(n·dim²)
+    pair explosion the Spark side's matmul avoids."""
+    return similarity.gram_matrix(
+        _t(spark, sf_dir, "embeddings"), vec_col="embedding", scale=1000
+    )
+
+
+@query(
+    "q103_cohort_retention",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+      FROM events
+    ), first AS (
+      SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           ev.week - f.cohort_week AS weeks_since,
+           count(DISTINCT ev.user_id) AS n_active
+    FROM ev JOIN first f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q103_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics report behind
+    every "week-N retention" chart: users are cohorted by their first
+    active week, then each (cohort, weeks-since-cohort) cell counts the
+    distinct users still active.  Shape: one user-keyed min-aggregate
+    (far smaller than the fact), joined back on user_id so both sides
+    shuffle-partition on the SAME key, then a two-phase
+    count-distinct whose partial dedup happens map-side.  Weeks are
+    integer epoch-week indexes (floor-of-floor composition is exact),
+    so no timestamp representation ever reaches the output."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 604800).cast("bigint").alias("week"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .select("cohort_week", "weeks_since", "n_active")
+    )
+
+
+@query(
+    "q104_table_diff",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ), v1 AS (
+      SELECT * FROM base WHERE o_orderkey % 101 != 0
+    ), v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN cents + 1 ELSE cents END AS cents
+      FROM base WHERE o_orderkey % 103 != 0
+    ), diff AS (
+      SELECT CASE
+               WHEN v1.o_orderkey IS NULL THEN 'added'
+               WHEN v2.o_orderkey IS NULL THEN 'removed'
+               WHEN v1.cents != v2.cents THEN 'changed'
+               ELSE 'unchanged'
+             END AS status,
+             coalesce(v1.o_orderkey, v2.o_orderkey) AS key,
+             coalesce(v2.cents, 0) - coalesce(v1.cents, 0) AS delta
+      FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    )
+    SELECT status,
+           count(*) AS n_rows,
+           CAST(sum(key) AS BIGINT) AS key_checksum,
+           CAST(sum(delta) AS BIGINT) AS cents_delta
+    FROM diff GROUP BY status
+    """,
+)
+def q104_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version reconciliation (the anti-entropy / snapshot-diff
+    op behind data-quality gates and CDC backfills): two synthetic
+    versions of ``orders`` — v2 deletes every 101st key, re-adds every
+    103rd missing from v1, and bumps every 97th price by a cent — are
+    FULL-OUTER joined on the key and every row classified
+    added/removed/changed/unchanged in one pass.  Both sides are
+    projections of the same scan, shuffle on the join key once, and
+    only the 4-row summary (counts + integer checksums) leaves the
+    executors — at 100 TB this is one co-partitioned SMJ, no second
+    scan, no driver materialization."""
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    v1 = base.filter(F.col("o_orderkey") % 101 != 0)
+    v2 = base.filter(F.col("o_orderkey") % 103 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.col("cents") + 1)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    diff = j.select(
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(F.col("a.cents") != F.col("b.cents"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("key"),
+        (
+            F.coalesce(F.col("b.cents"), F.lit(0))
+            - F.coalesce(F.col("a.cents"), F.lit(0))
+        ).alias("delta"),
+    )
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("key").alias("key_checksum"),
+        F.sum("delta").alias("cents_delta"),
+    )
+
+
+@query(
+    "q105_compaction_plan",
+    oracle="""
+    WITH files AS (
+      SELECT o_orderkey // 40 AS file_id,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS bytes
+      FROM orders GROUP BY 1
+    ), planned AS (
+      SELECT file_id, n_rows, bytes,
+             CAST((sum(bytes) OVER (ORDER BY file_id ASC
+                                    ROWS UNBOUNDED PRECEDING) - bytes)
+                  // 2000000000 AS BIGINT) AS bin
+      FROM files
+    )
+    SELECT bin,
+           count(*) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+           min(file_id) AS first_file,
+           max(file_id) AS last_file
+    FROM planned GROUP BY bin
+    """,
+)
+def q105_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION planning — the maintenance op every
+    long-lived 100 TB table needs: a synthetic file manifest (40-key
+    ranges of orders standing in for data files, byte sizes derived
+    from the rows) is packed into ~20 MB rewrite bins by
+    start-offset-of-running-total division, the streaming bin-packing
+    that preserves key order so compaction never destroys clustering
+    (operators/layout.py is the read side of the same contract).  The
+    global running total orders by file_id in a single window pass —
+    legitimate here and at scale because the input is the file
+    MANIFEST (metadata, ~1 row per file), not the data; the plan
+    output is what a rewrite job would fan back out over.  All sizes
+    are integer sums, so both engines agree bit-for-bit."""
+    files = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.expr("o_orderkey div 40").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("bytes"),
+        )
+    )
+    w = Window.orderBy(F.col("file_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    planned = files.select(
+        "file_id",
+        "n_rows",
+        "bytes",
+        F.expr("(sum(bytes) over (order by file_id asc rows unbounded preceding) - bytes) div 2000000000").alias("bin"),
+    )
+    return planned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("bin_bytes"),
+        F.min("file_id").alias("first_file"),
+        F.max("file_id").alias("last_file"),
+    )
+
+
+@query(
+    "st12_stream_dedup_watermarked",
+    oracle="""
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    """,
+)
+def st12_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-STATE streaming dedup via Spark 3.5+'s
+    ``dropDuplicatesWithinWatermark`` (streaming/ops.
+    stream_distinct_within_watermark) — the API st04's docstring points
+    unbounded ingests at: state for a key is evicted once the watermark
+    passes its event time + delay, so the state store holds the
+    at-least-once redelivery horizon instead of every key ever seen.
+    The replay span fits inside the delay, so the emitted set equals
+    SELECT DISTINCT and the bounded-state operator is value-checked,
+    not just smoke-tested."""
+    from mapreducehs_spark import streaming as st
+
+    deduped = st.stream_distinct_within_watermark(
+        _replayed_events(spark, sf_dir), keys=["user_id", "event_type"]
+    )
+    return st.run_to_batch(deduped, "st12_sink", output_mode="append")

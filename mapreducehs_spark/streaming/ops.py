@@ -397,6 +397,30 @@ def stream_distinct(events: DataFrame, keys: list[str]) -> DataFrame:
     return events.filter(F.col("event_type") != FLUSH_TYPE).select(*keys).dropDuplicates(keys)
 
 
+def stream_distinct_within_watermark(
+    events: DataFrame, keys: list[str], delay: str = "480 hours"
+) -> DataFrame:
+    """Bounded-state streaming dedup via ``dropDuplicatesWithinWatermark``.
+
+    The 100 TB counterpart of ``stream_distinct``: state for a key is
+    EVICTED once the watermark passes its event time + ``delay``, so the
+    state store holds only the redelivery horizon instead of every key
+    ever seen.  Dedup is guaranteed only for duplicates arriving within
+    ``delay`` of the first copy — exactly the at-least-once redelivery
+    contract of a queue ingest.  Here ``delay`` is chosen to cover the
+    whole replay span, so the emitted set equals SELECT DISTINCT and the
+    operator is oracle-checkable while still exercising the bounded-state
+    API (Spark 3.5+).
+    """
+    return (
+        events.filter(F.col("event_type") != FLUSH_TYPE)
+        .select("ts", *keys)
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(keys)
+        .select(*keys)
+    )
+
+
 def clicks_then_purchases(
     events: DataFrame, within: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:

@@ -1256,3 +1256,49 @@ def test_mad_outliers_vs_numpy(spark):
         mad = int(d[(len(d) + 1) // 2 - 1])
         n_out = int((np.abs(np.array(cents, dtype=np.int64) - med) > 3 * mad).sum())
         assert got[grp] == (med, mad, len(cents), n_out), grp
+
+
+def test_gram_matrix_matches_numpy(spark):
+    """similarity.gram_matrix == the direct dense Qᵀ·Q on the same
+    quantized vectors, and the upper triangle is complete (dim·(dim+1)/2
+    entries, 1-based indices)."""
+    from mapreducehs_spark.operators import similarity
+
+    rng = np.random.default_rng(19)
+    dim, n = 12, 57
+    mat = rng.normal(size=(n, dim)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(mat)], "vec_id long, embedding array<float>"
+    )
+    out = similarity.gram_matrix(df, scale=1000).collect()
+    q = np.floor(mat.astype(np.float64) * 1000).astype(np.int64)
+    expect = q.T @ q
+    assert len(out) == dim * (dim + 1) // 2
+    for r in out:
+        assert 1 <= r["i"] <= r["j"] <= dim
+        assert r["g"] == expect[r["i"] - 1, r["j"] - 1]
+
+
+def test_table_diff_classification(spark):
+    """q104's classifier: a hand-built pair of versions produces exactly
+    the expected added/removed/changed/unchanged partition."""
+    from mapreducehs_spark.queries import QUERIES
+
+    rows = QUERIES["q104_table_diff"](spark, "/root/testdata/sf0.001").collect()
+    by = {r["status"]: r for r in rows}
+    # v1 drops %101 keys, v2 drops %103 keys: the intersection-complement
+    # sizes must add back up to the base table row count
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/orders.parquet'"
+    ).fetchone()[0]
+    total = sum(r["n_rows"] for r in rows)
+    both_dropped = con.execute(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/orders.parquet' "
+        "WHERE o_orderkey % 101 = 0 AND o_orderkey % 103 = 0"
+    ).fetchone()[0]
+    assert total == n - both_dropped
+    assert by["changed"]["cents_delta"] == by["changed"]["n_rows"]  # +1 cent each
+    assert by["unchanged"]["cents_delta"] == 0
