@@ -195,6 +195,53 @@ def decoded_image_stats(df: DataFrame, id_col: str = "id", payload_col: str = "p
     )
 
 
+def resize_image(img: "np.ndarray", fy: int = 2, fx: int = 2) -> "np.ndarray":
+    """Nearest-neighbor downsample by integer stride — the resize
+    kernel of the decode→resize→featurize template.  Stride slicing is
+    a numpy VIEW (zero copy) and bit-deterministic (no interpolation
+    arithmetic), which is what lets a resized image's stats be
+    value-checked by an oracle replaying the pixel law on the sampled
+    grid."""
+    return img[::fy, ::fx]
+
+
+def resized_image_stats(
+    df: DataFrame,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    fy: int = 2,
+    fx: int = 2,
+) -> DataFrame:
+    """Decode + RESIZE each payload, then reduce to stats over the
+    resized raster — the real thumbnail/preprocess shape (decode and
+    resize fused in ONE Arrow stage so full-resolution pixels never
+    leave the batch, let alone the executor)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                img = resize_image(decode_image(bytes(p)), fy, fx)
+                rows.append(
+                    (
+                        int(i),
+                        img.shape[1],
+                        img.shape[0],
+                        int(img.astype(np.int64).sum()),
+                        int(img.min()),
+                        int(img.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["id", "width", "height", "px_sum", "px_min", "px_max"]
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema="id long, width long, height long, px_sum long, px_min long, px_max long",
+    )
+
+
 def payload_byte_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Per-row payload byte statistics via ``mapInArrow`` — the
     zero-copy variant of the mapInPandas path: batches arrive as

@@ -6690,19 +6690,16 @@ def d18_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact intersection count on candidates only (na+nb <= 3*inter
     <=> J >= 0.5); never all-pairs."""
     docs = _t(spark, sf_dir, "documents")
-    shf = dedup.shingle_frame(docs, "text", "doc_id", 3)
-    # four plan subtrees (prefix, both verify sides, set sizes) read the
-    # shingle rows — persist so tokenize+shingle runs once, unpersisted
-    # after the checkpointed result materializes (d13 discipline)
-    rows = (
-        shf.select(
-            F.col("id").alias("doc_id"),
-            F.size("sh").alias("n"),
-            F.explode_outer("sh").alias("shingle"),
-        )
-        .filter(F.col("shingle").isNotNull())
-        .persist()
-    )
+    # three plan subtrees (prefix index, both verify sides) read the
+    # shingle ARRAYS — persist the doc-count-sized array frame so
+    # tokenize+shingle runs once, unpersisted after the checkpointed
+    # result materializes (d13 discipline)
+    shf = dedup.shingle_frame(docs, "text", "doc_id", 3).persist()
+    rows = shf.select(
+        F.col("id").alias("doc_id"),
+        F.size("sh").alias("n"),
+        F.explode_outer("sh").alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
     # document frequency as a window over the shingle partitioning, and
     # the prefix rank as a window over the doc partitioning ordered by
     # (df, shingle) — same selection as a global df-rank join, minus the
@@ -6724,21 +6721,22 @@ def d18_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    ra = rows.select(F.col("doc_id").alias("id_a"), "shingle")
-    rb = rows.select(F.col("doc_id").alias("id_b"), "shingle")
-    inter = (
-        cand.join(ra, "id_a")
-        .join(rb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # verify on the candidate pairs only, intersecting the shingle
+    # ARRAYS in-place (array_intersect is a codegen'd set intersection
+    # over the two ~100-element arrays) — two narrow id-keyed joins
+    # replace the explode-join + groupBy count of the postings
+    # formulation: no shingle-row shuffle, no pair-count aggregation
+    sa = shf.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.size("sh").alias("na")
     )
-    sized = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sized.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
-    sb = sized.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    sb = shf.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.size("sh").alias("nb")
+    )
     try:
         return (
-            inter.join(sa, "id_a")
+            cand.join(sa, "id_a")
             .join(sb, "id_b")
+            .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
             .filter(F.col("na") + F.col("nb") <= 3 * F.col("inter"))
             .select(
                 "id_a",
@@ -6752,7 +6750,7 @@ def d18_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     finally:
-        rows.unpersist(blocking=False)
+        shf.unpersist(blocking=False)
 
 
 @query(
@@ -7650,3 +7648,40 @@ def st12_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
         _replayed_events(spark, sf_dir), keys=["user_id", "event_type"]
     )
     return st.run_to_batch(deduped, "st12_sink", output_mode="append")
+
+
+@query(
+    "m08_image_resize_stats",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, (doc_id * 31 + i * 7) % 256 AS p
+      FROM documents, unnest(range(0, 512)) AS u(i)
+      WHERE (i // 32) % 2 = 0 AND (i % 32) % 2 = 0
+    )
+    SELECT doc_id,
+           16::BIGINT AS width,
+           8::BIGINT AS height,
+           CAST(sum(p) AS BIGINT) AS px_sum,
+           CAST(min(p) AS BIGINT) AS px_min,
+           CAST(max(p) AS BIGINT) AS px_max
+    FROM px GROUP BY doc_id
+    """,
+)
+def m08_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image RESIZE on the decode path (the m-series template's
+    third verb after decode and feature-extract): each synthetic 32x16
+    PGM payload is decoded from bytes and nearest-neighbor downsampled
+    2x2 by stride slicing (multimodal.resize_image — a zero-copy numpy
+    view, no interpolation arithmetic), fused with decode in ONE Arrow
+    stage so full-resolution rasters never leave the batch.  Stride
+    sampling is bit-deterministic, so DuckDB value-checks the resized
+    stats by replaying the pixel law on the sampled (even-row,
+    even-col) grid — the resize kernel itself is what is checked."""
+    from mapreducehs_spark.operators.multimodal import (
+        render_pgm_payloads,
+        resized_image_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    payloads = render_pgm_payloads(docs, "doc_id", width=32, height=16)
+    return resized_image_stats(payloads).withColumnRenamed("id", "doc_id")
