@@ -95,6 +95,7 @@ HEADLINE = [
     "s09_gram_matrix",
     "q103_cohort_retention",
     "q104_table_diff",
+    "d19_duplicate_spans",
 ]
 
 

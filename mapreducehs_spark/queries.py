@@ -7685,3 +7685,97 @@ def m08_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     payloads = render_pgm_payloads(docs, "doc_id", width=32, height=16)
     return resized_image_stats(payloads).withColumnRenamed("id", "doc_id")
+
+
+@query(
+    "d19_duplicate_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, t, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS i
+      FROM toks
+    ), kg AS (
+      SELECT doc_id, i,
+             ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 12))::BIGINT AS h
+      FROM pos
+    ), cnt AS (
+      SELECT h, count(*) AS nh FROM kg GROUP BY h
+    ), dup AS (
+      SELECT doc_id, i FROM kg JOIN cnt USING (h) WHERE nh >= 2
+    ), brk AS (
+      SELECT doc_id, i,
+             CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 5
+                  THEN 0 ELSE 1 END AS b
+      FROM dup
+    ), grp AS (
+      SELECT doc_id, i,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS UNBOUNDED PRECEDING) AS g
+      FROM brk
+    ), spans AS (
+      SELECT doc_id, g, min(i) AS s, max(i) AS e FROM grp GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           count(*) AS n_dup_spans,
+           CAST(sum(e - s + 5) AS BIGINT) AS dup_tokens
+    FROM spans GROUP BY doc_id
+    """,
+)
+def d19_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicated-passage detection — the ExactSubstr flavor of
+    training-data dedup (Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better") at k-gram granularity: every 5-token
+    window whose hash occurs >= 2 times ANYWHERE in the corpus
+    (cross-document or internal repetition alike) marks its positions
+    duplicated, and per document the marked positions merge into
+    maximal spans (gap <= k keeps the token-coverage union exact), the
+    report a dedup pass uses to cut repeated passages rather than whole
+    documents.  Replaces the suffix array of the paper with the
+    MR-friendly equivalent: a token-scale k-gram count shuffle +
+    co-partitioned join back (never pairwise, never a global sort),
+    then ONE doc_id shuffle for the gaps-and-islands span merge —
+    d10/t21's scalability class.  md5-fold hashes keep it
+    engine-portable, so the whole operator value-checks."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", text.tokens("text").alias("t"))
+    pos = (
+        toks.filter(F.size("t") >= 5)
+        .select(
+            "doc_id",
+            "t",
+            F.explode_outer(F.sequence(F.lit(1), F.size("t") - 4)).alias("i"),
+        )
+        .filter(F.col("i").isNotNull())
+    )
+    kg = pos.select(
+        "doc_id",
+        "i",
+        F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice("t", F.col("i"), 5))), 1, 12),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    cnt = kg.groupBy("h").agg(F.count(F.lit(1)).alias("nh"))
+    dup = kg.join(cnt, "h").filter(F.col("nh") >= 2).select("doc_id", "i")
+    wl = Window.partitionBy("doc_id").orderBy(F.col("i").asc())
+    brk = dup.select(
+        "doc_id",
+        "i",
+        F.when(F.col("i") - F.lag("i").over(wl) <= 5, 0).otherwise(1).alias("b"),
+    )
+    grp = brk.select(
+        "doc_id",
+        "i",
+        F.sum("b").over(wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("g"),
+    )
+    spans = grp.groupBy("doc_id", "g").agg(F.min("i").alias("s"), F.max("i").alias("e"))
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 5).alias("dup_tokens"),
+    )
