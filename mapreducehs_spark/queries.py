@@ -7779,3 +7779,74 @@ def d19_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.sum(F.col("e") - F.col("s") + 5).alias("dup_tokens"),
     )
+
+
+def _t22_oracle() -> str:
+    """t18's unrolled 3-merge replay, carrying ``lang`` through the
+    corpus state, ending in the per-language ENCODE report instead of
+    the merge table."""
+    head = """
+    WITH t0 AS (
+      SELECT lang, ' ' || array_to_string(
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''), ' ')
+             || ' ' AS s
+      FROM documents
+    )"""
+    parts = []
+    for i in range(1, 4):
+        prev = f"t{i - 1}"
+        parts.append(f"""
+    , l{i} AS (
+      SELECT list_filter(str_split(trim(s), ' '), x -> x != '') AS l FROM {prev}
+    ), p{i} AS (
+      SELECT l[i] AS a, l[i + 1] AS b, count(*) AS cnt
+      FROM l{i}, LATERAL unnest(range(1, len(l))) AS u(i)
+      GROUP BY 1, 2
+    ), m{i} AS (
+      SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+    ), t{i} AS (
+      SELECT lang, replace(s, ' ' || m.a || ' ' || m.b || ' ',
+                              ' ' || m.a || '_' || m.b || ' ') AS s
+      FROM {prev}, m{i} m
+    )""")
+    tail = """
+    , enc AS (
+      SELECT lang,
+             list_filter(str_split(trim(s), ' '), x -> x != '') AS syms
+      FROM t3
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(syms)) AS BIGINT) AS n_symbols,
+           CAST(sum(len(list_filter(syms, x -> contains(x, '_')))) AS BIGINT) AS n_merged
+    FROM enc GROUP BY lang"""
+    return head + "".join(parts) + tail
+
+
+@query("t22_bpe_apply", oracle=_t22_oracle())
+def t22_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY — the encode half t18's learner exists for: the
+    3 learned merges (the model — a driver-held list, s05 discipline)
+    are applied corpus-wide as a chain of codegen'd literal replaces,
+    and the encoded corpus reduces to the per-language token-budget
+    report (symbol count after merges, merged-symbol occurrences) a
+    training pipeline emits before materializing token ids.  At 100 TB
+    the encode pass is pure scan-shaped projection work — the merge
+    table broadcasts as literals, documents never shuffle until the
+    language rollup (a 5-row aggregate).  Value-checked end to end:
+    the oracle replays learning AND encoding (t18's unrolled loop
+    carried through to the final report)."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = [(a, b) for _, a, b, _, _ in text.bpe_merge_steps(docs, iters=3)]
+    s = F.concat(F.lit(" "), F.concat_ws(" ", text.tokens("text")), F.lit(" "))
+    for a, b in merges:
+        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}_{b} "))
+    syms = F.filter(F.split(F.trim(s), " "), lambda t: t != "")
+    enc = docs.select("lang", syms.alias("syms"))
+    return enc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("syms")).alias("n_symbols"),
+        F.sum(F.size(F.filter(F.col("syms"), lambda t: t.contains("_")))).alias(
+            "n_merged"
+        ),
+    )
