@@ -7850,3 +7850,66 @@ def t22_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_merged"
         ),
     )
+
+
+@query(
+    "s10_negative_samples",
+    oracle="""
+    WITH n AS (
+      SELECT count(*) AS n_vecs FROM embeddings
+    ), draws AS (
+      SELECT e.vec_id, s.slot,
+             ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || ':' || CAST(s.slot AS VARCHAR)), 1, 12))::BIGINT
+             % n.n_vecs AS neg_id
+      FROM embeddings e, n, LATERAL unnest(range(1, 5)) AS s(slot)
+    ), kept AS (
+      SELECT vec_id, slot, neg_id FROM draws WHERE neg_id != vec_id
+    )
+    SELECT k.vec_id, CAST(k.slot AS BIGINT) AS slot, k.neg_id,
+           CAST(e.label AS BIGINT) AS neg_label
+    FROM kept k JOIN embeddings e ON k.neg_id = e.vec_id
+    """,
+)
+def s10_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NEGATIVE SAMPLING for contrastive/metric training
+    (the word2vec / InfoNCE data-prep step): each anchor draws 4
+    negatives by content-hash modulo corpus size — a pure per-row
+    arithmetic draw (md5-fold, d11 discipline), zero shuffle, and
+    reproducible under re-sharding exactly like q37's splits (the
+    training-data property that matters: re-running the export yields
+    the same pairs).  Self-draws are dropped rather than re-drawn —
+    deterministic in both engines, and at 4 draws/anchor the loss is
+    ~4/n.  The only shuffle is the label-attachment join keyed on
+    neg_id (at 100 TB: the anchor stream probes the corpus id→label
+    index, co-partitioned).  Corpus size enters as a broadcast 1-row
+    aggregate, never a driver constant."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    n = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
+    draws = (
+        emb.select("vec_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(1), F.lit(4))).alias("slot"),
+            "n_vecs",
+        )
+        .select(
+            "vec_id",
+            F.col("slot").cast("bigint").alias("slot"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col("vec_id"), F.col("slot"))), 1, 12
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("n_vecs")
+            ).alias("neg_id"),
+        )
+        .filter(F.col("neg_id") != F.col("vec_id"))
+    )
+    labels = emb.select(
+        F.col("vec_id").alias("neg_id"), F.col("label").cast("bigint").alias("neg_label")
+    )
+    return draws.join(labels, "neg_id").select("vec_id", "slot", "neg_id", "neg_label")
