@@ -7913,3 +7913,61 @@ def s10_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neg_id"), F.col("label").cast("bigint").alias("neg_label")
     )
     return draws.join(labels, "neg_id").select("vec_id", "slot", "neg_id", "neg_label")
+
+
+@query(
+    "q106_dynamic_partition_pruning",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS sum_value
+    FROM events
+    WHERE date_part('day', CAST(ts AS DATE)) % 3 = 0
+    GROUP BY event_type
+    """,
+)
+def q106_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — q82's static twin made runtime: the
+    fact side is the same date-partitioned events layout, but the
+    pruning dates come from a DIMENSION frame (the distinct dates whose
+    day-of-month is divisible by 3) that only exists after evaluation,
+    so Catalyst injects a DynamicPruningExpression subquery into the
+    fact scan's PartitionFilters — at 100 TB the scan skips ~2/3 of the
+    partition directories at RUNTIME, the mechanism star-schema date
+    filters rely on (plan-pinned in tests/test_plans.py).  The dim
+    broadcasts; the fact never shuffles before the aggregate."""
+    import os
+    import tempfile
+
+    from mapreducehs_spark.sources.catalog import source_fingerprint
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fp = source_fingerprint(sf_dir, "events")
+    base = os.path.join(tempfile.gettempdir(), f"mapreducehs_events_bydate_{tag}_{fp}")
+    done = os.path.join(base, "_DONE")
+    ev = _t(spark, sf_dir, "events")
+    if not os.path.exists(done):
+        (
+            ev.withColumn("event_date", F.col("ts").cast("date"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(base)
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+
+    fact = spark.read.parquet(base)
+    dim = (
+        ev.select(F.col("ts").cast("date").alias("event_date"))
+        .distinct()
+        .filter(F.dayofmonth("event_date") % 3 == 0)
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    return (
+        fact.join(F.broadcast(dim), "event_date")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(cents) / 100.0, 4).alias("sum_value"),
+        )
+    )

@@ -455,3 +455,13 @@ def test_q102_medians_broadcast_back(q):
     # fact — the fact itself never joins shuffled
     assert I.broadcast_join_count(df) >= 3
     assert "CartesianProduct" not in I.formatted_plan(df)
+
+
+def test_q106_dynamic_partition_pruning_in_scan(q):
+    df = q("q106_dynamic_partition_pruning")
+    plan = I.formatted_plan(df)
+    # the dim-derived date set must prune the partitioned fact scan at
+    # RUNTIME: a dynamicpruning subquery inside PartitionFilters
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]")[0]
+    assert "dynamicpruning" in pf
