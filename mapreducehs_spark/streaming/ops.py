@@ -398,7 +398,7 @@ def stream_distinct(events: DataFrame, keys: list[str]) -> DataFrame:
 
 
 def stream_distinct_within_watermark(
-    events: DataFrame, keys: list[str], delay: str = "480 hours"
+    events: DataFrame, keys: list[str], delay: str = "2000 hours"
 ) -> DataFrame:
     """Bounded-state streaming dedup via ``dropDuplicatesWithinWatermark``.
 
@@ -407,10 +407,12 @@ def stream_distinct_within_watermark(
     state store holds only the redelivery horizon instead of every key
     ever seen.  Dedup is guaranteed only for duplicates arriving within
     ``delay`` of the first copy — exactly the at-least-once redelivery
-    contract of a queue ingest.  Here ``delay`` is chosen to cover the
-    whole replay span, so the emitted set equals SELECT DISTINCT and the
-    operator is oracle-checkable while still exercising the bounded-state
-    API (Spark 3.5+).
+    contract of a queue ingest.  Here ``delay`` is chosen so no state
+    evicts during the replay (eviction needs event_time < max_ts -
+    2*``delay``, so any delay >= span/2 suffices; 2000 h covers a
+    ~166-day replay), making the emitted set equal SELECT DISTINCT and
+    the operator oracle-checkable while still exercising the
+    bounded-state API (Spark 3.5+).
     """
     return (
         events.filter(F.col("event_type") != FLUSH_TYPE)
