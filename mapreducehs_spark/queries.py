@@ -7971,3 +7971,409 @@ def q106_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sum(cents) / 100.0, 4).alias("sum_value"),
         )
     )
+
+
+# =========================================================================
+# Round-4 second half: sketches, graph traversal, attribution, bigram LMs
+# =========================================================================
+
+@query(
+    "q107_countmin_sketch",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+      FROM documents
+    ), freq AS (
+      SELECT term, count(*) AS c FROM toks GROUP BY 1
+    ), cells AS (
+      SELECT r,
+             ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || term), 1, 12))::BIGINT % 256 AS col,
+             sum(c) AS v
+      FROM freq, LATERAL unnest(range(0, 4)) AS t(r)
+      GROUP BY 1, 2
+    ), probe AS (
+      SELECT term, c FROM freq ORDER BY c DESC, term ASC LIMIT 10
+    ), pr AS (
+      SELECT term, c, r,
+             ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || term), 1, 12))::BIGINT % 256 AS col
+      FROM probe, LATERAL unnest(range(0, 4)) AS t(r)
+    )
+    SELECT term,
+           CAST(max(c) AS BIGINT) AS true_count,
+           CAST(min(v) AS BIGINT) AS cms_est
+    FROM pr JOIN cells USING (r, col)
+    GROUP BY term
+    """,
+)
+def q107_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) — the mergeable
+    point-query frequency sketch completing the sketch family (q34 HLL,
+    q41 approx-percentile, q53 KLL, q54 theta, q71 Misra-Gries, q98
+    KMV).  Depth d=4 × width w=256, row hashes md5-salted by row index
+    (the [[hex-fold determinism recipe]]: 12 hex digits → BIGINT, so
+    DuckDB replays every cell).  The token-scale work is ONE hash agg
+    (term frequencies); the 4×-row expansion happens on the
+    VOCABULARY-sized frame, and cell counters are partial-aggregatable
+    sums — at 100 TB the sketch build is a map-side-combined shuffle of
+    at most d·w = 1024 cells per partition, the textbook mergeable-
+    sketch contract (reference fold/merge discipline,
+    src/Core/MapReduceC.hs reducer laws).  Probing the 10 true heavy
+    hitters pins the CMS overestimate guarantee (est >= true) by value.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(text.tokens("text").alias("__t"))
+        .select(F.explode_outer("__t").alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    rows = spark.range(4).select(F.col("id").cast("int").alias("r"))
+    cell_col = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("r"), F.col("term"))), 1, 12),
+            16,
+            10,
+        ).cast("bigint")
+        % 256
+    )
+    cells = (
+        freq.crossJoin(F.broadcast(rows))
+        .select("r", cell_col.alias("col"), "c")
+        .groupBy("r", "col")
+        .agg(F.sum("c").alias("v"))
+    )
+    probe = freq.orderBy(F.col("c").desc(), F.col("term").asc()).limit(10)
+    pr = probe.crossJoin(F.broadcast(rows)).select(
+        "term", "c", "r", cell_col.alias("col")
+    )
+    return (
+        cells.join(F.broadcast(pr), ["r", "col"])
+        .groupBy("term")
+        .agg(
+            F.max("c").cast("bigint").alias("true_count"),
+            F.min("v").cast("bigint").alias("cms_est"),
+        )
+    )
+
+
+def _q108_oracle(hops: int = 3) -> str:
+    """Unrolled BFS frontier replay: per level, the reachable set is the
+    previous set plus one edge expansion, with min-hop per node — all
+    integer, so the level histogram is engine-exact."""
+    head = """
+    WITH edges0 AS (
+      SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), edges AS (
+      SELECT src, dst FROM edges0
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges0
+    ), d0 AS (
+      SELECT (SELECT min(src) FROM edges) AS node, 0 AS d
+    )"""
+    parts = []
+    for i in range(1, hops + 1):
+        prev = f"d{i - 1}"
+        parts.append(f"""
+    , d{i} AS (
+      SELECT node, min(d) AS d FROM (
+        SELECT node, d FROM {prev}
+        UNION ALL
+        SELECT e.dst AS node, {i} AS d
+        FROM {prev} p JOIN edges e ON e.src = p.node WHERE p.d = {i - 1}
+      ) GROUP BY node
+    )""")
+    tail = f"""
+    SELECT d AS hops, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM d{hops}
+    GROUP BY d
+    """
+    return head + "".join(parts) + tail
+
+
+@query("q108_bfs_hops", oracle=_q108_oracle())
+def q108_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first shortest hops — frontier-expansion graph traversal
+    (the second iterative-graph workload next to q96 PageRank; the
+    reference's multi-stage chain ``(:>)`` is exactly this shape) over
+    the same symmetrized customer↔supplier trade graph.  Each level
+    expands ONLY the new frontier (p.d = level-1) against the
+    hash-partitioned adjacency and folds with an associative min — the
+    frontier rows shuffle, never the edge list.  At 100 TB: per level
+    one narrow (node, hop) shuffle; the adjacency stays put, persisted
+    partitioned on src (q96 discipline).  Distances are integers, so
+    the level histogram value-checks bit-for-bit against the unrolled
+    oracle."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = (
+        e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition("src")
+        .persist()
+    )
+    try:
+        start = edges.agg(F.min("src")).collect()[0][0]  # one scalar to the driver
+        dist = spark.createDataFrame([(start, 0)], "node long, d int")
+        for level in range(1, 4):
+            frontier = dist.filter(F.col("d") == level - 1)
+            expanded = (
+                frontier.join(edges, frontier["node"] == edges["src"])
+                .select(F.col("dst").alias("node"), F.lit(level).alias("d"))
+            )
+            dist = (
+                dist.unionByName(expanded)
+                .groupBy("node")
+                .agg(F.min("d").alias("d"))
+                # checkpoint the per-level result: keeps the lineage flat
+                # (O(1) plan depth per level, not O(level))
+                .localCheckpoint(eager=False)
+            )
+        return (
+            dist.groupBy(F.col("d").alias("hops"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        )
+    finally:
+        edges.unpersist(blocking=False)
+
+
+@query(
+    "q109_event_attribution",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, value, ts,
+             last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch,
+             first_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch
+      FROM events
+    )
+    SELECT coalesce(last_touch, 'none') AS last_touch,
+           coalesce(first_touch, 'none') AS first_touch,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(CAST(floor(value * 100) AS BIGINT)) / 100.0, 4) AS attributed_value
+    FROM seq
+    WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+)
+def q109_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-touch attribution — the sessionized analytics pattern
+    (first-touch / last-touch) every event pipeline ships: for each
+    purchase, the most recent and the earliest preceding engagement
+    touch (click/view) of the same user, via IGNORE NULLS
+    first/last_value over a (user, time) window.  ONE shuffle
+    partitioned by user_id serves both window passes (same window
+    spec), then a vocabulary-sized group-by — at 100 TB this is the
+    q13/q52 per-entity ordered-scan shape, embarrassingly parallel
+    across users.  Revenue is attributed in exact integer cents
+    (floor(value·100)) so sums are order-independent; the (ts,
+    event_id) tiebreak makes the window total-ordered."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type").isin("click", "view"), F.col("event_type"))
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+    )
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("last_touch"), F.lit("none")).alias("last_touch"),
+            F.coalesce(F.col("first_touch"), F.lit("none")).alias("first_touch"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.round(F.sum(cents) / 100.0, 4).alias("attributed_value"),
+        )
+    )
+
+
+_T23_PAIRS_CTE = """
+    WITH lists AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS l
+      FROM documents
+    ), pairs AS (
+      SELECT doc_id, l[i] AS a, l[i + 1] AS b
+      FROM lists, LATERAL unnest(range(1, len(l))) AS u(i)
+    ), dp AS (
+      SELECT doc_id, a, b, count(*) AS m FROM pairs GROUP BY 1, 2, 3
+    ), big AS (
+      SELECT a, b, CAST(sum(m) AS BIGINT) AS cab FROM dp GROUP BY 1, 2
+    ), uni AS (
+      SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM big GROUP BY 1
+    )"""
+
+
+@query(
+    "t23_bigram_logprob",
+    oracle=_T23_PAIRS_CTE
+    + """
+    , vocab AS (
+      SELECT count(DISTINCT u) AS vv
+      FROM (SELECT unnest(l) AS u FROM lists)
+    )
+    SELECT doc_id,
+           CAST(sum(m) AS BIGINT) AS n_pairs,
+           round(sum(m * CAST(floor(1e6 * ln((cab + 1.0) / CAST(ca + vv AS DOUBLE)))
+                              AS BIGINT))
+                 / CAST(sum(m) AS DOUBLE) / 1e6, 4) AS avg_logprob
+    FROM dp JOIN big USING (a, b) JOIN uni USING (a), vocab
+    GROUP BY doc_id
+    """,
+)
+def t23_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-one smoothing — t17's
+    unigram perplexity proxy upgraded one order: per doc, the mean over
+    adjacent token pairs of ln((c(a,b)+1)/(c(a)+V)).  The ONLY
+    token-scale pass is the per-doc pair count (dp); the corpus bigram
+    table (big) and its start-marginal (uni) both derive from dp by
+    further partial-aggregatable sums, so the model build re-shuffles
+    the vocabulary²-sized frame, never the corpus.  dp is persisted
+    once and unpersisted after the scoring join (d13 discipline).
+    Per-pair log-probs quantize to integer micro-nats (floor(1e6·ln p),
+    the t17/s08 recipe) so the doc aggregation is order-independent
+    and the whole model value-checks."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", text.tokens("text").alias("__t"))
+    # size >= 2 guard BEFORE sequence(): Spark's sequence(1, 0) DESCENDS
+    # instead of returning empty (verify-skill recipe, t21)
+    pairs = (
+        toked.filter(F.size("__t") >= 2)
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 1),"
+                    " i -> struct(__t[i - 1] AS a, __t[i] AS b))"
+                )
+            ).alias("__p"),
+        )
+        .filter(F.col("__p").isNotNull())
+        .select("doc_id", F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+    )
+    dp = pairs.groupBy("doc_id", "a", "b").agg(F.count(F.lit(1)).alias("m")).persist()
+    try:
+        big = dp.groupBy("a", "b").agg(F.sum("m").cast("bigint").alias("cab"))
+        uni = big.groupBy("a").agg(F.sum("cab").cast("bigint").alias("ca"))
+        vocab = (
+            docs.select(F.explode_outer(text.tokens("text")).alias("u"))
+            .filter(F.col("u").isNotNull())
+            .agg(F.countDistinct("u").alias("vv"))
+        )
+        micro = F.floor(
+            F.lit(1e6)
+            * F.log(
+                (F.col("cab") + 1).cast("double")
+                / (F.col("ca") + F.col("vv")).cast("double")
+            )
+        ).cast("bigint")
+        return (
+            dp.join(big, ["a", "b"])
+            .join(F.broadcast(uni), "a")
+            .crossJoin(F.broadcast(vocab))
+            .groupBy("doc_id")
+            .agg(
+                F.sum("m").cast("bigint").alias("n_pairs"),
+                F.round(
+                    F.sum(F.col("m") * micro) / F.sum("m").cast("double") / F.lit(1e6),
+                    4,
+                ).alias("avg_logprob"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    finally:
+        dp.unpersist(blocking=False)
+
+
+@query(
+    "t24_pmi_collocations",
+    oracle=_T23_PAIRS_CTE
+    + """
+    , unib AS (
+      SELECT b, CAST(sum(cab) AS BIGINT) AS cb FROM big GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(cab) AS BIGINT) AS n FROM big
+    )
+    SELECT a, b, cab,
+           CAST(floor(1e6 * ln((CAST(n AS DOUBLE) * CAST(cab AS DOUBLE))
+                               / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))))
+                AS BIGINT) AS pmi_micro
+    FROM big JOIN uni USING (a) JOIN unib USING (b), tot
+    WHERE cab >= 5
+    ORDER BY pmi_micro DESC, a ASC, b ASC
+    LIMIT 25
+    """,
+)
+def t24_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information — the corpus-
+    statistics twin of t04's tf-idf: PMI(a,b) = ln(N·c(a,b) /
+    (c(a)·c(b))) over adjacent-pair counts, min support 5, top-25 with
+    a total (pmi, a, b) order.  Shares t23's single token-scale pass
+    shape: pair counts shuffle once keyed on the pair; the start/end
+    marginals and the grand total are derived, broadcast-sized frames.
+    PMI is emitted as integer micro-nats (floor quantization — exact in
+    both engines, never a round() tie) so the ranking and the values
+    are bit-stable.  At 100 TB: one map-side-combined pair-count
+    shuffle + a TakeOrdered(25), no corpus re-shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", text.tokens("text").alias("__t"))
+    pairs = (
+        toked.filter(F.size("__t") >= 2)
+        .select(
+            F.explode_outer(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 1),"
+                    " i -> struct(__t[i - 1] AS a, __t[i] AS b))"
+                )
+            ).alias("__p")
+        )
+        .filter(F.col("__p").isNotNull())
+        .select(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+    )
+    big = (
+        pairs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
+        .persist()
+    )
+    try:
+        uni = big.groupBy("a").agg(F.sum("cab").cast("bigint").alias("ca"))
+        unib = big.groupBy("b").agg(F.sum("cab").cast("bigint").alias("cb"))
+        tot = big.agg(F.sum("cab").cast("bigint").alias("n"))
+        pmi = F.floor(
+            F.lit(1e6)
+            * F.log(
+                (F.col("n").cast("double") * F.col("cab").cast("double"))
+                / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+            )
+        ).cast("bigint")
+        return (
+            big.filter(F.col("cab") >= 5)
+            .join(F.broadcast(uni), "a")
+            .join(F.broadcast(unib), "b")
+            .crossJoin(F.broadcast(tot))
+            .select("a", "b", "cab", pmi.alias("pmi_micro"))
+            .orderBy(F.col("pmi_micro").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(25)
+            .localCheckpoint(eager=False)
+        )
+    finally:
+        big.unpersist(blocking=False)
