@@ -96,6 +96,16 @@ HEADLINE = [
     "q103_cohort_retention",
     "q104_table_diff",
     "d19_duplicate_spans",
+    # round-4 second half: BPE apply, negative sampling, runtime DPP,
+    # count-min sketch, BFS traversal, attribution, bigram LM, PMI
+    "t22_bpe_apply",
+    "s10_negative_samples",
+    "q106_dynamic_partition_pruning",
+    "q107_countmin_sketch",
+    "q108_bfs_hops",
+    "q109_event_attribution",
+    "t23_bigram_logprob",
+    "t24_pmi_collocations",
 ]
 
 

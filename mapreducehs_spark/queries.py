@@ -8020,13 +8020,26 @@ def q107_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     src/Core/MapReduceC.hs reducer laws).  Probing the 10 true heavy
     hitters pins the CMS overestimate guarantee (est >= true) by value.
     """
+    plan, freq = _q107_cms_build(spark, sf_dir)
+    try:
+        # materialize the 10-row result while freq is cached
+        return plan.localCheckpoint()
+    finally:
+        freq.unpersist(blocking=False)
+
+
+def _q107_cms_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """q107's pre-checkpoint plan + the persisted vocab frame (returned
+    so callers — the query and the plan-pin test — control unpersist)."""
     docs = _t(spark, sf_dir, "documents")
     toks = (
         docs.select(text.tokens("text").alias("__t"))
         .select(F.explode_outer("__t").alias("term"))
         .filter(F.col("term").isNotNull())
     )
-    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    # vocab-sized; read twice (cell build + probe selection) — persist so
+    # the token-scale tokenize+count pass runs ONCE
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c")).persist()
     rows = spark.range(4).select(F.col("id").cast("int").alias("r"))
     cell_col = (
         F.conv(
@@ -8046,7 +8059,7 @@ def q107_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = probe.crossJoin(F.broadcast(rows)).select(
         "term", "c", "r", cell_col.alias("col")
     )
-    return (
+    plan = (
         cells.join(F.broadcast(pr), ["r", "col"])
         .groupBy("term")
         .agg(
@@ -8054,6 +8067,7 @@ def q107_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("v").cast("bigint").alias("cms_est"),
         )
     )
+    return plan, freq
 
 
 def _q108_oracle(hops: int = 3) -> str:
@@ -8139,6 +8153,7 @@ def q108_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             dist.groupBy(F.col("d").alias("hops"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+            .localCheckpoint()  # materialize while the adjacency is cached
         )
     finally:
         edges.unpersist(blocking=False)
@@ -8299,7 +8314,7 @@ def t23_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                     4,
                 ).alias("avg_logprob"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint()  # materialize the doc-level scores while dp is cached
         )
     finally:
         dp.unpersist(blocking=False)
@@ -8373,7 +8388,7 @@ def t24_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("a", "b", "cab", pmi.alias("pmi_micro"))
             .orderBy(F.col("pmi_micro").desc(), F.col("a").asc(), F.col("b").asc())
             .limit(25)
-            .localCheckpoint(eager=False)
+            .localCheckpoint()  # materialize the 25-row result while big is cached
         )
     finally:
         big.unpersist(blocking=False)

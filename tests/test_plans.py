@@ -465,3 +465,30 @@ def test_q106_dynamic_partition_pruning_in_scan(q):
     assert "PartitionFilters: [" in plan
     pf = plan.split("PartitionFilters: [", 1)[1].split("]")[0]
     assert "dynamicpruning" in pf
+
+
+def test_q109_one_window_pass_serves_both_touches(q):
+    # first_touch and last_touch share one window spec → ONE
+    # Exchange+Sort+Window serves both; the only other shuffle is the
+    # final vocabulary-sized group-by
+    df = q("q109_event_attribution")
+    plan = I.formatted_plan(df)
+    assert plan.count("(") and I.exchange_count(df) == 2
+    import re
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+
+
+def test_q107_cms_probe_broadcasts(spark):
+    # the sketch probe (10 terms × 4 rows) must broadcast against the
+    # cell counters; the token-scale work is hash-aggregated (partial
+    # + final), never sort-aggregated.  (Inspect the PRE-checkpoint
+    # plan — the query itself returns a checkpointed 10-row result.)
+    from mapreducehs_spark.queries import _q107_cms_build
+
+    df, freq = _q107_cms_build(spark, SF)
+    try:
+        plan = I.formatted_plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "SortAggregate" not in plan
+    finally:
+        freq.unpersist(blocking=False)
