@@ -106,6 +106,8 @@ HEADLINE = [
     "q109_event_attribution",
     "t23_bigram_logprob",
     "t24_pmi_collocations",
+    "s11_power_iteration",
+    "d20_quality_canonical",
 ]
 
 

@@ -8392,3 +8392,157 @@ def t24_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         big.unpersist(blocking=False)
+
+
+def _s11_oracle(iters: int = 3) -> str:
+    """Unrolled integer power-iteration replay on the symmetrized Gram
+    matrix: int64 matvec + truncating integer renormalization — both
+    engines truncate BIGINT division identically (Spark `div`, DuckDB
+    `//`: -7/3 → -2 in both), so every iterate is engine-exact."""
+    head = """
+    WITH q AS (
+      SELECT [CAST(floor(x * 1000) AS BIGINT) FOR x IN embedding] AS qv
+      FROM embeddings
+    ), gU AS (
+      SELECT i.i AS i, j.j AS j, CAST(sum(qv[i.i] * qv[j.j]) AS BIGINT) AS g
+      FROM q,
+           LATERAL unnest(range(1, len(qv) + 1)) AS i(i),
+           LATERAL unnest(range(1, len(qv) + 1)) AS j(j)
+      WHERE j.j >= i.i
+      GROUP BY 1, 2
+    ), g AS (
+      SELECT i, j, g FROM gU
+      UNION ALL
+      SELECT j AS i, i AS j, g FROM gU WHERE j > i
+    ), v0 AS (
+      SELECT DISTINCT i AS j, CAST(1024 AS BIGINT) AS v FROM g
+    )"""
+    parts = []
+    for k in range(1, iters + 1):
+        prev = f"v{k - 1}"
+        parts.append(f"""
+    , w{k} AS (
+      SELECT g.i AS i, CAST(sum(g.g * p.v) AS BIGINT) AS w
+      FROM g JOIN {prev} p ON p.j = g.j
+      GROUP BY 1
+    ), m{k} AS (
+      SELECT max(abs(w)) AS m FROM w{k}
+    ), v{k} AS (
+      SELECT i AS j, CAST((w * 1024) // m AS BIGINT) AS v FROM w{k}, m{k}
+    )""")
+    tail = f"""
+    SELECT j AS i, v FROM v{iters}
+    """
+    return head + "".join(parts) + tail
+
+
+@query("s11_power_iteration", oracle=_s11_oracle())
+def s11_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-eigenvector extraction by power iteration — the spectral
+    building block behind PCA whitening, spectral clustering seeds, and
+    embedding-drift diagnostics.  The CORPUS-side work is the s09
+    distributed integer Gram matrix (one Arrow-matmul pass, tree-
+    aggregated upper triangle — shuffle O(#batches·dim²), independent
+    of corpus size); the iteration itself runs on driver-held dim×dim
+    int64 state (model-sized, the s05/t18 discipline: the driver never
+    sees a vector row, only the 2 080-entry matrix).
+
+    Determinism: int64 matvec is exact; renormalization divides by
+    max|w| with TRUNCATING integer division, which Spark `div`, DuckDB
+    `//` and the numpy sign/abs-floor identity below all implement
+    identically — so all three iterates value-check bit-for-bit
+    against the unrolled oracle (q96's fixed-point discipline applied
+    to linear algebra)."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = similarity.gram_matrix(emb, vec_col="embedding", scale=1000).collect()
+    dim = max(r["j"] for r in rows)
+    G = np.zeros((dim, dim), dtype=np.int64)
+    for r in rows:
+        G[r["i"] - 1, r["j"] - 1] = r["g"]
+        G[r["j"] - 1, r["i"] - 1] = r["g"]
+    v = np.full(dim, 1024, dtype=np.int64)
+    for _ in range(3):
+        w = G @ v
+        scaled = w * 1024
+        m = np.abs(w).max()
+        # TRUNCATING div (numpy // floors): sign * (abs // m)
+        v = np.sign(scaled) * (np.abs(scaled) // m)
+    return spark.createDataFrame(
+        [(int(i + 1), int(v[i])) for i in range(dim)], "i long, v long"
+    )
+
+
+def _d20_oracle() -> str:
+    ctes, agree, np_ = _minhash_checked_ctes()
+    return f"""
+    WITH {ctes}
+    , pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b
+      WHERE ({agree}) / {float(np_)} >= 0.25
+    ), meta AS (
+      SELECT doc_id, source, n_chars FROM documents
+    ), losers AS (
+      SELECT DISTINCT CASE
+               WHEN ma.n_chars < mb.n_chars THEN p.id_a
+               WHEN ma.n_chars > mb.n_chars THEN p.id_b
+               ELSE greatest(p.id_a, p.id_b)
+             END AS doc_id
+      FROM pairs p
+      JOIN meta ma ON ma.doc_id = p.id_a
+      JOIN meta mb ON mb.doc_id = p.id_b
+    )
+    SELECT m.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(l.doc_id) AS BIGINT) AS n_dropped,
+           CAST(count(*) - count(l.doc_id) AS BIGINT) AS n_kept
+    FROM meta m LEFT JOIN losers l ON l.doc_id = m.doc_id
+    GROUP BY m.source
+    """
+
+
+@query("d20_quality_canonical", oracle=_d20_oracle())
+def d20_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection — near-dedup that keeps the
+    BEST version instead of an arbitrary one: d11's fully value-checked
+    MinHash-LSH candidates, each pair dropping its lower-quality member
+    (shorter n_chars; ties → higher doc_id), the "keep the longest
+    variant" heuristic real training pipelines apply to near-dup
+    clusters.  Candidates come from banded LSH (never all-pairs, d11's
+    scale shape); the quality lookup joins the candidate-pair frame
+    (≪ corpus) against the narrow (doc_id, n_chars) projection; the
+    final rollup is a per-source LEFT anti-style count.  Unlike d07's
+    cluster resolution (transitive closure, min-id survivor), this is
+    the greedy pairwise-dominance drop — both are offered because both
+    exist in production dedup stacks; composition with d06 resolution
+    is a one-line change."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs_checked(docs, est_threshold=0.25).select(
+        "id_a", "id_b"
+    )
+    meta = docs.select("doc_id", "source", "n_chars")
+    ma = meta.select(F.col("doc_id").alias("id_a"), F.col("n_chars").alias("ca"))
+    mb = meta.select(F.col("doc_id").alias("id_b"), F.col("n_chars").alias("cb"))
+    losers = (
+        pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.when(F.col("ca") < F.col("cb"), F.col("id_a"))
+            .when(F.col("ca") > F.col("cb"), F.col("id_b"))
+            .otherwise(F.greatest(F.col("id_a"), F.col("id_b")))
+            .alias("doc_id")
+        )
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return (
+        meta.join(losers, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count("__dropped").cast("bigint").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("__dropped")).cast("bigint").alias("n_kept"),
+        )
+    )
