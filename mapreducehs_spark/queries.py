@@ -8546,3 +8546,32 @@ def d20_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.count("__dropped")).cast("bigint").alias("n_kept"),
         )
     )
+
+
+@query(
+    "st13_stream_heavy_hitters",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS est_total
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def st13_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters via a SHARDED stateful Misra-Gries
+    sketch (streaming/ops.stateful_mg_sketch) — the always-on
+    "trending items" topology: micro-batch rows pre-aggregate
+    vectorized, fold into bounded per-shard sketch state with the
+    PODS'12 merge rule, and the serving read merges the latest
+    per-shard sketches by summation.  Capacity (8) ≥ distinct event
+    types (5), so the sketch runs in its exact regime and the whole
+    streaming pipeline value-checks against the batch GROUP BY — the
+    q71 accuracy-contract discipline applied to streaming state.
+    At 100 TB/day the state is shards × capacity entries, independent
+    of stream length."""
+    from mapreducehs_spark import streaming as st
+
+    updates = st.stateful_mg_sketch(
+        _replayed_events(spark, sf_dir), shards=16, capacity=8
+    )
+    log = st.run_to_batch(updates, "st13_sink", output_mode="append")
+    return st.merge_mg_sketch_log(log)

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -677,4 +678,109 @@ def chained_window_aggregate(
             "max_hourly_events",
             "sum_value",
         )
+    )
+
+
+_MG_SKETCH_OUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("update_seq", LongType()),
+        StructField("terms", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+_MG_SKETCH_STATE = StructType(
+    [
+        StructField("terms", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("seq", LongType()),
+    ]
+)
+
+
+def stateful_mg_sketch(
+    events: DataFrame, shards: int = 16, capacity: int = 8
+) -> DataFrame:
+    """Streaming Misra-Gries heavy-hitter sketch, sharded.
+
+    The streaming analogue of q71's two-level plan: each micro-batch's
+    rows pre-aggregate VECTORIZED (pandas value_counts — the map-side
+    combine), then fold into the per-shard sketch state with the
+    PODS'12 merge rule (``operators/sketches._mg_merge``), so state per
+    shard is bounded by ``capacity`` regardless of stream length — the
+    always-on "trending items" topology.  Each update emits the whole
+    sketch as one row (arrays of terms/counts); the serving read takes
+    the LATEST update per shard and merges shards by summation —
+    with ``capacity ≥ distinct keys`` the sketch never decrements, so
+    the merged result is EXACT and the whole streaming topology
+    value-checks against the batch count (st13).  The reference has no
+    streaming at all (batch-only, src/Core/Std.hs:49-50)."""
+    from mapreducehs_spark.operators.sketches import _mg_merge
+
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (shard,) = key
+        if state.exists:
+            terms, counts, seq = state.get
+            parts = [pd.DataFrame({"term": list(terms), "est": list(counts)})]
+        else:
+            parts, seq = [], 0
+        for pdf in batches:
+            vc = pdf["event_type"].value_counts()
+            parts.append(
+                pd.DataFrame({"term": vc.index.to_list(), "est": vc.to_list()})
+            )
+        merged = _mg_merge(
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame({"term": [], "est": []}),
+            capacity,
+        )
+        seq += 1
+        state.update((list(merged.keys()), [int(v) for v in merged.values()], seq))
+        yield pd.DataFrame(
+            {
+                "shard": [shard],
+                "update_seq": [seq],
+                "terms": [list(merged.keys())],
+                "counts": [[int(v) for v in merged.values()]],
+            }
+        )
+
+    return (
+        events.filter(F.col("event_type") != FLUSH_TYPE)
+        .withColumn("shard", F.col("user_id") % shards)
+        .groupBy("shard")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_MG_SKETCH_OUT,
+            stateStructType=_MG_SKETCH_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def merge_mg_sketch_log(log: DataFrame) -> DataFrame:
+    """Serving read for ``stateful_mg_sketch``: latest update per shard
+    (update_seq argmax), then the cross-shard PODS merge — summation of
+    entry counts (exact when capacity ≥ distinct keys).  Arrays explode
+    to (term, est) rows; integer sums are order-free."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(F.col("update_seq").desc())
+    latest = (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        latest.select(
+            F.explode_outer(F.arrays_zip("terms", "counts")).alias("e")
+        )
+        .filter(F.col("e").isNotNull())
+        .groupBy(F.col("e.terms").alias("event_type"))
+        .agg(F.sum("e.counts").cast("bigint").alias("est_total"))
     )
