@@ -108,6 +108,9 @@ HEADLINE = [
     "t24_pmi_collocations",
     "s11_power_iteration",
     "d20_quality_canonical",
+    "q110_nested_struct_pruning",
+    "q111_markov_transitions",
+    "t25_novelty_scores",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the

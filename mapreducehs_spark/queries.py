@@ -8575,3 +8575,184 @@ def st13_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     log = st.run_to_batch(updates, "st13_sink", output_mode="append")
     return st.merge_mg_sketch_log(log)
+
+
+@query(
+    "q110_nested_struct_pruning",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE user_id % 7 = 0
+    GROUP BY event_type
+    """,
+)
+def q110_nested_struct_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED-column pruning — the 100 TB concern behind struct-typed
+    event payloads: the fixture re-writes events as
+    ``payload: struct<kind, metrics: struct<who, amount>>`` parquet, and
+    the query touches only ``payload.kind`` + ``payload.metrics.who``.
+    Catalyst's schema pruning must narrow the parquet ReadSchema to
+    exactly those two LEAVES (plan-pinned) — reading the full struct for
+    a two-leaf projection multiplies scan IO by the payload width at
+    scale.  The filter on the nested leaf also reaches the scan.
+    The oracle replays from the FLAT events table (same rows by
+    construction), so the nested round trip itself is value-checked."""
+    import os
+    import tempfile
+
+    from mapreducehs_spark.sources.catalog import source_fingerprint
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fp = source_fingerprint(sf_dir, "events")
+    base = os.path.join(tempfile.gettempdir(), f"mapreducehs_events_nested_{tag}_{fp}")
+    done = os.path.join(base, "_DONE")
+    ev = _t(spark, sf_dir, "events")
+    if not os.path.exists(done):
+        (
+            ev.select(
+                "event_id",
+                F.struct(
+                    F.col("event_type").alias("kind"),
+                    F.struct(
+                        F.col("user_id").alias("who"),
+                        F.col("value").alias("amount"),
+                    ).alias("metrics"),
+                    F.col("props").alias("raw"),
+                ).alias("payload"),
+            )
+            .write.mode("overwrite")
+            .parquet(base)
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+
+    nested = spark.read.parquet(base)
+    return (
+        nested.filter(F.col("payload.metrics.who") % 7 == 0)
+        .groupBy(F.col("payload.kind").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("payload.metrics.who").cast("bigint").alias("n_users"),
+        )
+    )
+
+
+@query(
+    "q111_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS to_type
+      FROM events
+    ), pairs AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY 1, 2
+    ), marg AS (
+      SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM pairs GROUP BY 1
+    )
+    SELECT p.from_type, p.to_type,
+           CAST(p.n AS BIGINT) AS n,
+           CAST((p.n * 1000000) // m.n_from AS BIGINT) AS p_micro
+    FROM pairs p JOIN marg m USING (from_type)
+    """,
+)
+def q111_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (first-order Markov) — the
+    user-journey analytics behind funnel discovery: per-user
+    time-ordered ``lead`` (one window pass, one user-keyed shuffle —
+    q13's embarrassingly-parallel per-entity scan), then transition
+    counts and row-normalized probabilities.  Probabilities are exact
+    integer micro-units ((n·1e6) div n_from — truncating div, identical
+    in both engines), so the whole matrix value-checks; the marginal is
+    a DERIVED (#types²-sized) frame, broadcast back.  (ts, event_id)
+    makes the ordering total."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    pairs = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    marg = pairs.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("n_from"))
+    return (
+        pairs.join(F.broadcast(marg), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("(n * 1000000L) div n_from").cast("bigint").alias("p_micro"),
+        )
+    )
+
+
+@query(
+    "t25_novelty_scores",
+    oracle="""
+    WITH lists AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS l
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g
+      FROM lists, LATERAL unnest(range(1, greatest(len(l) - 2, 0) + 1)) AS u(i)
+    ), df AS (
+      SELECT g, count(*) AS docs FROM grams GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
+           CAST((sum(CASE WHEN docs = 1 THEN 1 ELSE 0 END) * 1000000) // count(*)
+                AS BIGINT) AS novelty_micro
+    FROM grams JOIN df USING (g)
+    GROUP BY doc_id
+    """,
+)
+def t25_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty — the memorization/contamination-risk metric
+    dual to t13's boilerplate mining: the fraction of a document's
+    DISTINCT 3-gram shingles that appear in NO other document (document
+    frequency 1).  One token-scale pass emits per-doc distinct shingles;
+    the df table derives from it by a further partial-aggregatable
+    count; the scoring join is shingle-keyed and co-partitioned with
+    the emit shuffle.  The ratio is exact integer micro-units
+    ((novel·1e6) div n — no float boundary; a round()ed ratio of small
+    integers WILL eventually hit a .xxxx5 tie, the q94 lesson)."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", text.tokens("text").alias("__t"))
+    grams = (
+        toked.filter(F.size("__t") >= 3)
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 2),"
+                    " i -> concat_ws(' ', __t[i - 1], __t[i], __t[i + 1]))"
+                )
+            ).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+        .distinct()
+    )
+    df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("docs"))
+    return (
+        grams.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("docs") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("novel_grams"),
+            F.expr(
+                "cast((sum(CASE WHEN docs = 1 THEN 1 ELSE 0 END) * 1000000L)"
+                " div count(1) as bigint)"
+            ).alias("novelty_micro"),
+        )
+    )

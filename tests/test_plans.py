@@ -492,3 +492,16 @@ def test_q107_cms_probe_broadcasts(spark):
         assert "SortAggregate" not in plan
     finally:
         freq.unpersist(blocking=False)
+
+
+def test_q110_nested_schema_pruning(q):
+    # the two-leaf projection must prune the parquet ReadSchema to
+    # exactly payload.kind + payload.metrics.who — amount and raw never
+    # leave the scan, and the nested-leaf null filter is pushed down
+    df = q("q110_nested_struct_pruning")
+    plan = I.formatted_plan(df)
+    assert (
+        "ReadSchema: struct<payload:struct<kind:string,metrics:struct<who:bigint>>>"
+        in plan
+    )
+    assert "IsNotNull(payload.metrics.who)" in plan
