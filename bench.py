@@ -111,6 +111,8 @@ HEADLINE = [
     "q110_nested_struct_pruning",
     "q111_markov_transitions",
     "t25_novelty_scores",
+    "t26_hashed_linear_score",
+    "s12_mmr_diverse_topk",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the

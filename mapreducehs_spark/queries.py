@@ -8756,3 +8756,184 @@ def t25_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_micro"),
         )
     )
+
+
+@query(
+    "t26_hashed_linear_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+      FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(term), 1, 12))::BIGINT % 4096 AS bucket
+      FROM toks
+    ), weights AS (
+      SELECT b.b AS bucket, (b.b * 2654435761) % 1000 - 500 AS w
+      FROM (SELECT unnest(range(0, 4096)) AS b) b
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_feats,
+           CAST(sum(w) AS BIGINT) AS score,
+           sum(w) > 0 AS keep
+    FROM feats JOIN weights USING (bucket)
+    GROUP BY doc_id
+    """,
+)
+def t26_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the fasttext-style linear
+    classifier pass every pretraining mix runs, with the FEATURE
+    HASHING trick (Weinberger et al. 2009): tokens hash into 4 096
+    buckets (md5-fold — the [[hex-fold determinism recipe]]), the
+    model is a 4 096-row weight vector BROADCAST-joined onto the
+    feature stream, and each doc folds to one integer margin score +
+    keep flag.  This is exactly how real model inference scales: the
+    MODEL broadcasts (parameters ≪ data), the corpus stays scan-shaped,
+    and the per-doc reduction is a partial-aggregatable sum — no Python
+    in the loop at all, the entire inference is codegen'd expressions.
+    (Here the weights are a deterministic law so the oracle can replay
+    them; a trained model would broadcast a real coefficient table —
+    same plan.)  Integer weights/scores make the check bit-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = (
+        docs.select("doc_id", F.explode_outer(text.tokens("text")).alias("term"))
+        .filter(F.col("term").isNotNull())
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("term"), 1, 12), 16, 10).cast("bigint") % 4096
+            ).alias("bucket"),
+        )
+    )
+    weights = spark.range(4096).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * F.lit(2654435761)) % 1000 - 500).alias("w"),
+    )
+    return (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("w").cast("bigint").alias("score"),
+            (F.sum("w") > 0).alias("keep"),
+        )
+    )
+
+
+def _s12_oracle(k: int = 5) -> str:
+    """Unrolled greedy MMR replay: per round, margin = relevance −
+    max-sim-to-selected (all integer quantized dots), argmax with a
+    (margin, vec_id) total order — engine-exact at every step."""
+    head = """
+    WITH e AS (
+      SELECT vec_id, [CAST(floor(x * 1000) AS BIGINT) FOR x IN embedding] AS qv
+      FROM embeddings
+    ), q AS (
+      SELECT qv FROM e WHERE vec_id = 0
+    ), c AS (
+      SELECT e.vec_id, e.qv,
+             CAST(list_sum([e.qv[i] * q.qv[i] FOR i IN range(1, len(e.qv) + 1)])
+                  AS BIGINT) AS sq
+      FROM e, q WHERE e.vec_id <> 0
+    ), s1 AS (
+      SELECT vec_id, sq, CAST(0 AS BIGINT) AS mx
+      FROM c ORDER BY sq DESC, vec_id LIMIT 1
+    )"""
+    parts = []
+    for j in range(2, k + 1):
+        selset = " UNION ALL ".join(f"SELECT vec_id FROM s{i}" for i in range(1, j))
+        parts.append(f"""
+    , sel{j} AS (
+      SELECT e.vec_id, e.qv FROM e JOIN ({selset}) u USING (vec_id)
+    ), m{j} AS (
+      SELECT c.vec_id, c.sq,
+             max(CAST(list_sum([c.qv[i] * se.qv[i]
+                                FOR i IN range(1, len(c.qv) + 1)]) AS BIGINT)) AS mx
+      FROM c, sel{j} se
+      WHERE c.vec_id NOT IN ({selset})
+      GROUP BY c.vec_id, c.sq
+    ), s{j} AS (
+      SELECT vec_id, sq, mx FROM m{j} ORDER BY sq - mx DESC, vec_id LIMIT 1
+    )""")
+    selects = " UNION ALL ".join(
+        f"""SELECT CAST({j} AS BIGINT) AS rank, vec_id,
+               sq AS relevance, mx AS max_prev, sq - mx AS margin FROM s{j}"""
+        for j in range(1, k + 1)
+    )
+    return head + "".join(parts) + "\n    " + selects
+
+
+@query("s12_mmr_diverse_topk", oracle=_s12_oracle())
+def s12_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
+    diversity-aware retrieval selector used to de-redundify RAG contexts
+    and training-data picks: greedily select k=5 vectors maximizing
+    relevance-to-query MINUS max-similarity-to-already-selected (equal
+    weighting).  Per round: ONE scan-shaped Arrow pass updates the
+    running max-sim against the single newly selected vector (broadcast
+    — model-sized driver state, the s05/s11 discipline) and a
+    TakeOrdered(1) picks the next; the corpus never pairwise-joins
+    itself — k·O(corpus) work, not O(corpus²).  All scores are
+    quantized integer dots (floor(1000·x), the s08/s09 recipe), so the
+    greedy trajectory value-checks bit-for-bit against the unrolled
+    oracle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qz = F.expr("transform(embedding, x -> cast(floor(x * 1000) as bigint))")
+    base = emb.select("vec_id", qz.alias("qv"))
+    qvec = np.array(
+        base.filter(F.col("vec_id") == 0).select("qv").collect()[0][0], dtype=np.int64
+    )
+
+    def dot_udf(vec: np.ndarray):
+        @pandas_udf("long")
+        def _dot(qv: pd.Series) -> pd.Series:
+            mat = np.array(qv.to_list(), dtype=np.int64)
+            return pd.Series(mat @ vec)
+
+        return _dot
+
+    cur = (
+        base.filter(F.col("vec_id") != 0)
+        .withColumn("sq", dot_udf(qvec)(F.col("qv")))
+        .withColumn("mx", F.lit(0).cast("bigint"))
+        .persist()
+    )
+    try:
+        picks = []
+        for rank in range(1, 6):
+            top = (
+                cur.orderBy((F.col("sq") - F.col("mx")).desc(), F.col("vec_id").asc())
+                .limit(1)
+                .collect()[0]
+            )
+            picks.append(
+                (rank, top["vec_id"], int(top["sq"]), int(top["mx"]),
+                 int(top["sq"]) - int(top["mx"]))
+            )
+            if rank == 5:
+                break
+            svec = np.array(top["qv"], dtype=np.int64)
+            # first update REPLACES the 0 placeholder (the true max over
+            # the selected set can be negative — clamping at 0 diverges)
+            upd = (
+                dot_udf(svec)(F.col("qv"))
+                if rank == 1
+                else F.greatest(F.col("mx"), dot_udf(svec)(F.col("qv")))
+            )
+            nxt = (
+                cur.filter(F.col("vec_id") != top["vec_id"])
+                .withColumn("mx", upd)
+                .localCheckpoint()  # flatten per-round lineage
+            )
+            cur.unpersist(blocking=False)
+            cur = nxt
+        return spark.createDataFrame(
+            picks, "rank long, vec_id long, relevance long, max_prev long, margin long"
+        )
+    finally:
+        cur.unpersist(blocking=False)
