@@ -113,6 +113,7 @@ HEADLINE = [
     "t25_novelty_scores",
     "t26_hashed_linear_score",
     "s12_mmr_diverse_topk",
+    "m09_video_frame_stats",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the

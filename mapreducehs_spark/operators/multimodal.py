@@ -393,3 +393,113 @@ def decoded_audio_stats(
         schema=("id long, n_samples long, sample_rate long, amp_sum long, "
                 "sq_sum long, amp_min long, amp_max long"),
     )
+
+
+def encode_mrv(frames: "list[np.ndarray]") -> bytes:
+    """Encode a list of (h, w) uint8 frames as an MRV container — a
+    minimal video-ish format (magic + frame count + length-prefixed PGM
+    frames) implementable with no codec lib, so the container-walk +
+    per-frame-decode path is REAL in this container.  Real deployments
+    swap this for mp4/mkv demuxing; the Spark-side plumbing (binary
+    column → demux → frame-sample → decode → stats) is identical."""
+    import struct
+
+    out = [b"MRV1", struct.pack("<I", len(frames))]
+    for fr in frames:
+        pgm = encode_pgm(fr)
+        out.append(struct.pack("<I", len(pgm)))
+        out.append(pgm)
+    return b"".join(out)
+
+
+def decode_mrv_frames(
+    payload: bytes, every_n: int = 1
+) -> "list[tuple[int, np.ndarray]]":
+    """Demux an MRV container and decode every ``every_n``-th frame
+    (frame indices 0, n, 2n, …) — the frame-SAMPLING decode that makes
+    video tractable: the demux walk touches only length prefixes, so
+    skipped frames are never decoded (at 100 TB of video, sampling
+    1-in-10 cuts decode CPU 10×; IO still reads the payload, which is
+    why real stores chunk frames into separately-fetchable ranges).
+    Returns [(frame_idx, (h, w) uint8 array), ...]."""
+    import struct
+
+    if payload[:4] != b"MRV1":
+        raise NotImplementedError("only MRV1 demuxes without a codec lib")
+    (n_frames,) = struct.unpack_from("<I", payload, 4)
+    pos = 8
+    out = []
+    for f in range(n_frames):
+        (ln,) = struct.unpack_from("<I", payload, pos)
+        pos += 4
+        if f % every_n == 0:
+            out.append((f, decode_image(payload[pos : pos + ln])))
+        pos += ln
+    return out
+
+
+def render_mrv_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_frames: int = 8,
+    width: int = 16,
+    height: int = 8,
+) -> DataFrame:
+    """Deterministic synthetic clip per row: frame f pixel i =
+    (id*31 + f*101 + i*7) mod 256 — the m06 pixel-law discipline
+    extended with a frame term, so a SQL oracle replays sampled-frame
+    stats without demuxing anything.  Emits (id, payload binary)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(width * height, dtype=np.int64)
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                frames = [
+                    (((int(i) * 31 + f * 101 + idx * 7) % 256).astype(np.uint8)).reshape(
+                        height, width
+                    )
+                    for f in range(n_frames)
+                ]
+                payloads.append(encode_mrv(frames))
+            yield pd.DataFrame({"id": pdf[id_col].astype("int64"), "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, schema="id long, payload binary")
+
+
+def sampled_frame_stats(
+    df: DataFrame, every_n: int = 3, id_col: str = "id", payload_col: str = "payload"
+) -> DataFrame:
+    """Demux + frame-sample + decode + reduce in ONE Arrow stage:
+    (id, n_frames, n_sampled, px_sum, px_min, px_max) over the sampled
+    frames only — full-resolution rasters never leave the batch (m08's
+    fusion discipline applied to the video template)."""
+    import struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(p)
+                (n_frames,) = struct.unpack_from("<I", payload, 4)
+                frames = decode_mrv_frames(payload, every_n=every_n)
+                stack = np.stack([fr for _, fr in frames]).astype(np.int64)
+                rows.append(
+                    (
+                        int(i),
+                        int(n_frames),
+                        len(frames),
+                        int(stack.sum()),
+                        int(stack.min()),
+                        int(stack.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "n_frames", "n_sampled", "px_sum", "px_min", "px_max"],
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema="id long, n_frames long, n_sampled long, px_sum long, px_min long, px_max long",
+    )

@@ -8937,3 +8937,46 @@ def s12_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         cur.unpersist(blocking=False)
+
+
+@query(
+    "m09_video_frame_stats",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, ((doc_id * 31 + f.f * 101 + i.i * 7) % 256) AS v
+      FROM documents,
+           LATERAL unnest([0, 3, 6]) AS f(f),
+           LATERAL unnest(range(0, 128)) AS i(i)
+    )
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS n_frames,
+           CAST(3 AS BIGINT) AS n_sampled,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(min(v) AS BIGINT) AS px_min,
+           CAST(max(v) AS BIGINT) AS px_max
+    FROM px
+    GROUP BY doc_id
+    """,
+)
+def m09_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-template decode: every doc gets an 8-frame MRV clip
+    (a minimal length-prefixed-PGM container,
+    operators/multimodal.encode_mrv), and a second Arrow stage demuxes
+    the actual bytes, SAMPLES every 3rd frame (frames 0, 3, 6 — skipped
+    frames are never decoded; the demux walk reads only length
+    prefixes), decodes the sampled PGMs, and reduces to integer pixel
+    stats fused in one stage.  This makes m03's frame-sampling plumbing
+    a real decoding path — the m06/m07 checked-codec discipline applied
+    to the video container template.  The arithmetic pixel law
+    (id·31 + frame·101 + 7i mod 256) lets DuckDB replay the stats
+    without demuxing, so encode→demux→sample→decode is value-checked
+    end to end.  Codec formats (h264/vp9) remain env-gated; the
+    Spark-side shape is the production one."""
+    from mapreducehs_spark.operators.multimodal import (
+        render_mrv_payloads,
+        sampled_frame_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    payloads = render_mrv_payloads(docs, "doc_id", n_frames=8, width=16, height=8)
+    return sampled_frame_stats(payloads, every_n=3).withColumnRenamed("id", "doc_id")

@@ -1302,3 +1302,22 @@ def test_table_diff_classification(spark):
     assert total == n - both_dropped
     assert by["changed"]["cents_delta"] == by["changed"]["n_rows"]  # +1 cent each
     assert by["unchanged"]["cents_delta"] == 0
+
+
+def test_mrv_encode_decode_roundtrip():
+    """The MRV container demux must recover exactly the sampled frames
+    (indices 0, n, 2n, …) bit-for-bit, and skip the rest."""
+    import numpy as np
+
+    from mapreducehs_spark.operators.multimodal import decode_mrv_frames, encode_mrv
+
+    rng = [(f * 11 + np.arange(24, dtype=np.int64) * 3) % 256 for f in range(5)]
+    frames = [r.astype(np.uint8).reshape(4, 6) for r in rng]
+    payload = encode_mrv(frames)
+    out = decode_mrv_frames(payload, every_n=2)
+    assert [f for f, _ in out] == [0, 2, 4]
+    for f, img in out:
+        assert img.shape == (4, 6)
+        assert (img == frames[f]).all()
+    # full decode
+    assert len(decode_mrv_frames(payload, every_n=1)) == 5
