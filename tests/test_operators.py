@@ -1321,3 +1321,35 @@ def test_mrv_encode_decode_roundtrip():
         assert (img == frames[f]).all()
     # full decode
     assert len(decode_mrv_frames(payload, every_n=1)) == 5
+
+
+def test_observe_metrics_single_pass(spark):
+    """`df.observe` — production pipeline observability: row counts and
+    integer checksums accumulate DURING the query (Spark's
+    CollectMetrics operator), not via a second scan.  At 100 TB a
+    separate count() doubles the IO; observe() is free.  The metrics
+    must agree with independently computed values."""
+    from pyspark.sql import Observation
+    import pyspark.sql.functions as F
+
+    from mapreducehs_spark.sources.catalog import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    obs = Observation("scan_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("l_quantity") * 100).cast("bigint")).alias("qty_cents"),
+    )
+    out = (
+        observed.filter(F.col("l_discount") > 0.05)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out.collect()  # one pass drives both the query and the metrics
+    expected_rows = li.count()
+    expected_qty = li.agg(
+        F.sum((F.col("l_quantity") * 100).cast("bigint"))
+    ).collect()[0][0]
+    assert obs.get["n_rows"] == expected_rows
+    assert obs.get["qty_cents"] == expected_qty
