@@ -114,6 +114,8 @@ HEADLINE = [
     "t26_hashed_linear_score",
     "s12_mmr_diverse_topk",
     "m09_video_frame_stats",
+    "t27_token_budget_report",
+    "m10_tolerant_decode",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the

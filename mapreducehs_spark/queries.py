@@ -8980,3 +8980,166 @@ def m09_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     payloads = render_mrv_payloads(docs, "doc_id", n_frames=8, width=16, height=8)
     return sampled_frame_stats(payloads, every_n=3).withColumnRenamed("id", "doc_id")
+
+
+def _t27_oracle() -> str:
+    ctes, agree, np_ = _minhash_checked_ctes()
+    return f"""
+    WITH {ctes}
+    , pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b
+      WHERE ({agree}) / {float(np_)} >= 0.25
+    ), meta AS (
+      SELECT doc_id, source, n_chars FROM documents
+    ), losers AS (
+      SELECT DISTINCT CASE
+               WHEN ma.n_chars < mb.n_chars THEN p.id_a
+               WHEN ma.n_chars > mb.n_chars THEN p.id_b
+               ELSE greatest(p.id_a, p.id_b)
+             END AS doc_id
+      FROM pairs p
+      JOIN meta ma ON ma.doc_id = p.id_a
+      JOIN meta mb ON mb.doc_id = p.id_b
+    ), tok AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT m.source,
+           CAST(sum(t.n_tokens) AS BIGINT) AS tokens_raw,
+           CAST(sum(CASE WHEN l.doc_id IS NULL THEN t.n_tokens ELSE 0 END)
+                AS BIGINT) AS tokens_kept,
+           CAST((sum(CASE WHEN l.doc_id IS NULL THEN t.n_tokens ELSE 0 END) * 1000000)
+                // sum(t.n_tokens) AS BIGINT) AS kept_micro
+    FROM meta m
+    JOIN tok t USING (doc_id)
+    LEFT JOIN losers l ON l.doc_id = m.doc_id
+    GROUP BY m.source
+    """
+
+
+@query("t27_token_budget_report", oracle=_t27_oracle())
+def t27_token_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-dedup training-token budget — the report every pretraining
+    run starts from: per source, raw tokens vs tokens SURVIVING d20's
+    quality-aware drop list, with the retention ratio in integer
+    micro-units.  A pure COMPOSITION witness: d20's value-checked LSH
+    candidate → dominance-drop pipeline feeds a token-count pass (ONE
+    codegen size() per row — no token explosion needed for counting),
+    joined on doc_id.  At 100 TB: the drop list is candidates-sized
+    (≪ corpus) and left-joins the narrow per-doc token counts; nothing
+    about composing operators changes their individual scale shapes."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs_checked(docs, est_threshold=0.25).select(
+        "id_a", "id_b"
+    )
+    meta = docs.select("doc_id", "source", "n_chars")
+    ma = meta.select(F.col("doc_id").alias("id_a"), F.col("n_chars").alias("ca"))
+    mb = meta.select(F.col("doc_id").alias("id_b"), F.col("n_chars").alias("cb"))
+    losers = (
+        pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.when(F.col("ca") < F.col("cb"), F.col("id_a"))
+            .when(F.col("ca") > F.col("cb"), F.col("id_b"))
+            .otherwise(F.greatest(F.col("id_a"), F.col("id_b")))
+            .alias("doc_id")
+        )
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    tok = docs.select(
+        "doc_id", "source", F.size(text.tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    kept_tokens = F.sum(
+        F.when(F.col("__dropped").isNull(), F.col("n_tokens")).otherwise(0)
+    )
+    return (
+        tok.join(losers, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").cast("bigint").alias("tokens_raw"),
+            kept_tokens.cast("bigint").alias("tokens_kept"),
+            F.expr(
+                "cast((sum(CASE WHEN __dropped IS NULL THEN n_tokens ELSE 0 END)"
+                " * 1000000L) div sum(n_tokens) as bigint)"
+            ).alias("kept_micro"),
+        )
+    )
+
+
+@query(
+    "m10_tolerant_decode",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, ((doc_id * 31 + i.i * 7) % 256) AS v
+      FROM documents, LATERAL unnest(range(0, 512)) AS i(i)
+      WHERE doc_id % 13 <> 0
+    ), good AS (
+      SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum FROM px GROUP BY doc_id
+    )
+    SELECT CASE WHEN d.doc_id % 13 = 0 THEN 'corrupt_truncated' ELSE 'ok' END
+             AS decode_status,
+           CAST(count(*) AS BIGINT) AS n_payloads,
+           CAST(coalesce(sum(g.px_sum), 0) AS BIGINT) AS px_sum_total
+    FROM documents d LEFT JOIN good g USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def m10_tolerant_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERROR-TOLERANT media decode — the production requirement m06/m09
+    skip: at 100 TB some payloads ARE corrupt, and a decode kernel that
+    throws kills the whole task (and with retries, the job).  Here every
+    13th payload is truncated mid-raster (deterministic corruption law),
+    and the Arrow decode stage classifies per row — 'ok' rows reduce to
+    pixel stats, corrupt rows land in a quarantine status with ZERO
+    exceptions escaping the kernel — the badRecords/DLQ pattern as a
+    column, so the pipeline's error budget is itself a queryable,
+    value-checked result."""
+    import struct  # noqa: F401  (kept parallel with the other decode stages)
+
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    from mapreducehs_spark.operators.multimodal import decode_image, encode_pgm
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def render(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        idx = np.arange(512, dtype=np.int64)
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                img = (((int(i) * 31 + idx * 7) % 256).astype(np.uint8)).reshape(16, 32)
+                p = encode_pgm(img)
+                if int(i) % 13 == 0:
+                    p = p[: len(p) // 2]  # truncate mid-raster
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads})
+
+    def decode(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                try:
+                    img = decode_image(b)
+                    if img.size != 512:
+                        raise ValueError("short raster")
+                    rows.append((int(i), "ok", int(img.astype(np.int64).sum())))
+                except Exception:
+                    rows.append((int(i), "corrupt_truncated", 0))
+            yield pd.DataFrame(rows, columns=["doc_id", "decode_status", "px_sum"])
+
+    decoded = (
+        docs.select("doc_id")
+        .mapInPandas(render, schema="doc_id long, payload binary")
+        .mapInPandas(decode, schema="doc_id long, decode_status string, px_sum long")
+    )
+    return decoded.groupBy("decode_status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_payloads"),
+        F.sum("px_sum").cast("bigint").alias("px_sum_total"),
+    )
