@@ -1353,3 +1353,46 @@ def test_observe_metrics_single_pass(spark):
     ).collect()[0][0]
     assert obs.get["n_rows"] == expected_rows
     assert obs.get["qty_cents"] == expected_qty
+
+
+def test_cms_overestimate_property(spark):
+    """Count-min guarantee: for EVERY term (not just q107's 10 probes),
+    the sketch estimate is >= the true count — min over d row-wise
+    overestimates can never underestimate."""
+    import pyspark.sql.functions as F
+
+    from mapreducehs_spark.queries import _q107_cms_build, _t
+    from mapreducehs_spark.operators import text
+
+    sf = "/root/testdata/sf0.001"
+    plan, freq = _q107_cms_build(spark, sf)
+    try:
+        plan.collect()  # materialize cells while freq is cached
+        docs = _t(spark, sf, "documents")
+        rows = spark.range(4).select(F.col("id").cast("int").alias("r"))
+        cell_col = (
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", F.col("r"), F.col("term"))), 1, 12),
+                16,
+                10,
+            ).cast("bigint")
+            % 256
+        )
+        cells = (
+            freq.crossJoin(F.broadcast(rows))
+            .select("r", cell_col.alias("col"), "c")
+            .groupBy("r", "col")
+            .agg(F.sum("c").alias("v"))
+        )
+        pr = freq.crossJoin(F.broadcast(rows)).select(
+            "term", "c", "r", cell_col.alias("col")
+        )
+        est = (
+            cells.join(pr, ["r", "col"])
+            .groupBy("term")
+            .agg(F.max("c").alias("true_c"), F.min("v").alias("est"))
+        )
+        bad = est.filter(F.col("est") < F.col("true_c")).count()
+        assert bad == 0
+    finally:
+        freq.unpersist(blocking=False)
