@@ -116,6 +116,7 @@ HEADLINE = [
     "m09_video_frame_stats",
     "t27_token_budget_report",
     "m10_tolerant_decode",
+    "q112_ab_experiment",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the

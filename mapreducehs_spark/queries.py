@@ -9143,3 +9143,78 @@ def m10_tolerant_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_payloads"),
         F.sum("px_sum").cast("bigint").alias("px_sum_total"),
     )
+
+
+@query(
+    "q112_ab_experiment",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id,
+             ('0x' || substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT % 2
+               AS variant
+      FROM (SELECT DISTINCT user_id FROM events)
+    ), metrics AS (
+      SELECT e.user_id,
+             max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+             CAST(sum(CASE WHEN e.event_type = 'purchase'
+                           THEN CAST(floor(e.value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS rev_cents
+      FROM events e
+      GROUP BY e.user_id
+    )
+    SELECT a.variant,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(m.converted) AS BIGINT) AS n_converters,
+           CAST((sum(m.converted) * 1000000) // count(*) AS BIGINT) AS conv_micro,
+           CAST(sum(m.rev_cents) AS BIGINT) AS rev_cents
+    FROM assigned a JOIN metrics m USING (user_id)
+    GROUP BY a.variant
+    """,
+)
+def q112_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with DETERMINISTIC hash assignment — the
+    experimentation-platform pattern: variant = md5-fold(salt:user) % 2
+    (stable across reruns and re-sharding, q37's split discipline —
+    never a random() that unrepeatably reassigns), then per-variant
+    users / converters / conversion rate / revenue.  One user-keyed
+    aggregate computes per-user metrics; the assignment is a per-row
+    expression on the user-sized frame; conversion rate in integer
+    micro-units and revenue in exact cents, so the readout
+    value-checks.  At 100 TB the only event-scale work is the per-user
+    metric fold (map-side combinable); everything after is user-scale."""
+    ev = _t(spark, sf_dir, "events")
+    metrics = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        ),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100).cast("bigint"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("rev_cents"),
+    )
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    return (
+        metrics.withColumn("variant", variant)
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converters"),
+            F.expr("cast((sum(converted) * 1000000L) div count(1) as bigint)").alias(
+                "conv_micro"
+            ),
+            F.sum("rev_cents").cast("bigint").alias("rev_cents"),
+        )
+    )
