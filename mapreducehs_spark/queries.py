@@ -8721,8 +8721,10 @@ def t25_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT 3-gram shingles that appear in NO other document (document
     frequency 1).  One token-scale pass emits per-doc distinct shingles;
     the df table derives from it by a further partial-aggregatable
-    count; the scoring join is shingle-keyed and co-partitioned with
-    the emit shuffle.  The ratio is exact integer micro-units
+    count; the scoring join then re-keys the deduplicated shingle frame
+    on the shingle (a second token-scale shuffle — the 3-gram
+    vocabulary is too wide to broadcast, unlike t17's unigram table).
+    The ratio is exact integer micro-units
     ((novel·1e6) div n — no float boundary; a round()ed ratio of small
     integers WILL eventually hit a .xxxx5 tie, the q94 lesson)."""
     docs = _t(spark, sf_dir, "documents")
