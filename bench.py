@@ -117,6 +117,7 @@ HEADLINE = [
     "t27_token_budget_report",
     "m10_tolerant_decode",
     "q112_ab_experiment",
+    "s13_ann_recall_report",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the

@@ -9220,3 +9220,107 @@ def q112_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev_cents").cast("bigint").alias("rev_cents"),
         )
     )
+
+
+@query(
+    "s13_ann_recall_report",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16
+    ), corpus AS (
+      SELECT * FROM e WHERE vec_id >= 8
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8
+    ), assign AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT corpus.vec_id, corpus.v, c.cid,
+               row_number() OVER (
+                 PARTITION BY corpus.vec_id
+                 ORDER BY list_cosine_similarity(corpus.v, c.cv) DESC, c.cid ASC
+               ) AS rn
+        FROM corpus CROSS JOIN c
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid ASC
+               ) AS rn
+        FROM q CROSS JOIN c
+      ) WHERE rn <= 4
+    ), a_scored AS (
+      SELECT p.query_id, a.vec_id AS match_id,
+             round(list_cosine_similarity(p.qv, a.v), 6) AS cosine
+      FROM probes p JOIN assign a ON a.cid = p.cid
+      WHERE p.query_id != a.vec_id
+    ), approx AS (
+      SELECT query_id, match_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, match_id ASC
+        ) AS rank FROM a_scored
+      ) WHERE rank <= 5
+    ), x_scored AS (
+      SELECT q.query_id, c2.vec_id AS match_id,
+             round(list_cosine_similarity(q.qv, c2.v), 6) AS cosine
+      FROM q CROSS JOIN corpus c2 WHERE q.query_id != c2.vec_id
+    ), exact AS (
+      SELECT query_id, match_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, match_id ASC
+        ) AS rank FROM x_scored
+      ) WHERE rank <= 5
+    )
+    SELECT x.query_id,
+           CAST(5 AS BIGINT) AS k,
+           CAST(count(a.match_id) AS BIGINT) AS n_hit,
+           CAST((count(a.match_id) * 1000000) // 5 AS BIGINT) AS recall_micro
+    FROM exact x LEFT JOIN approx a USING (query_id, match_id)
+    GROUP BY x.query_id
+    """,
+)
+def s13_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality EVALUATION as a first-class query: recall@5 of the
+    value-checked IVF path (s06's data-seeded codebook) against the
+    exact broadcast-probe ground truth (s01's kernel), per query — the
+    report an embedding-platform team runs after every index rebuild.
+    Because BOTH paths are deterministic (seeded centroids, total
+    tie-break orders), recall itself is a value-checkable quantity —
+    integer micro-units, never a rounded float — which is exactly why
+    the checked-twin discipline matters: it turns "recall pinned in a
+    unit test" into a queryable, oracle-verified metric.  At 100 TB the
+    exact arm runs on a SAMPLE of queries (here all 8) — evaluation
+    cost is queries×corpus, controlled by the query-set size, while the
+    IVF arm stays candidates-only."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    approx = similarity.ivf_topk(
+        corpus, queries_df, k=5, n_cells=16, n_probe=4, centroids=cents
+    ).select("query_id", "match_id", F.lit(1).alias("__hit"))
+    exact = similarity.cosine_topk(corpus, queries_df, k=5).select(
+        "query_id", "match_id"
+    )
+    return (
+        exact.join(F.broadcast(approx), ["query_id", "match_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.lit(5).cast("bigint").alias("k"),
+            F.count("__hit").cast("bigint").alias("n_hit"),
+            F.expr("cast((count(__hit) * 1000000L) div 5 as bigint)").alias(
+                "recall_micro"
+            ),
+        )
+    )
