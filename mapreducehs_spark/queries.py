@@ -8676,21 +8676,30 @@ def q111_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("from_type"),
         F.lead("event_type").over(w).alias("to_type"),
     )
+    # pairs is #types²-sized but referenced twice (marginal + join) —
+    # persist so the event-scale window pass runs ONCE, not per branch
     pairs = (
         seq.filter(F.col("to_type").isNotNull())
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
     )
-    marg = pairs.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("n_from"))
-    return (
-        pairs.join(F.broadcast(marg), "from_type")
-        .select(
-            "from_type",
-            "to_type",
-            F.col("n").cast("bigint").alias("n"),
-            F.expr("(n * 1000000L) div n_from").cast("bigint").alias("p_micro"),
+    try:
+        marg = pairs.groupBy("from_type").agg(
+            F.sum("n").cast("bigint").alias("n_from")
         )
-    )
+        return (
+            pairs.join(F.broadcast(marg), "from_type")
+            .select(
+                "from_type",
+                "to_type",
+                F.col("n").cast("bigint").alias("n"),
+                F.expr("(n * 1000000L) div n_from").cast("bigint").alias("p_micro"),
+            )
+            .localCheckpoint()  # materialize the matrix while pairs is cached
+        )
+    finally:
+        pairs.unpersist(blocking=False)
 
 
 @query(

@@ -505,3 +505,12 @@ def test_q110_nested_schema_pruning(q):
         in plan
     )
     assert "IsNotNull(payload.metrics.who)" in plan
+
+
+def test_t26_model_broadcasts_single_shuffle(q):
+    # inference shape: the 4 096-row weight vector broadcasts; the only
+    # shuffle is the per-doc margin aggregation — zero Python, no SMJ
+    df = q("t26_hashed_linear_score")
+    assert I.broadcast_join_count(df) >= 1
+    assert I.sort_merge_join_count(df) == 0
+    assert I.exchange_count(df) == 1
