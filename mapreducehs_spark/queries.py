@@ -5475,20 +5475,21 @@ def m05_pointer_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from mapreducehs_spark.operators.multimodal import read_binary_dir
-    from mapreducehs_spark.sources.catalog import source_fingerprint
+    from mapreducehs_spark.sources.catalog import build_fixture_once, source_fingerprint
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     fp = source_fingerprint(sf_dir, "documents")
-    base = os.path.join(tempfile.gettempdir(), f"mapreducehs_media_{tag}_{fp}")
-    done = os.path.join(base, "_DONE")
-    if not os.path.exists(done):
-        os.makedirs(base, exist_ok=True)
-        for r in _t(spark, sf_dir, "documents").select("doc_id", "text").collect():
-            with open(os.path.join(base, f"doc_{r['doc_id']}.bin"), "wb") as f:
-                f.write(r["text"].encode("utf-8"))
-        with open(done, "w") as f:
-            f.write("ok")
 
+    def _write_media(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        for r in _t(spark, sf_dir, "documents").select("doc_id", "text").collect():
+            with open(os.path.join(tmp, f"doc_{r['doc_id']}.bin"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+
+    base = build_fixture_once(
+        os.path.join(tempfile.gettempdir(), f"mapreducehs_media_{tag}_{fp}"),
+        _write_media,
+    )
     bins = read_binary_dir(spark, os.path.join(base, "*.bin"))
     return bins.select(
         F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
@@ -5521,22 +5522,18 @@ def q82_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from mapreducehs_spark.sources.catalog import source_fingerprint
+    from mapreducehs_spark.sources.catalog import build_fixture_once, source_fingerprint
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     fp = source_fingerprint(sf_dir, "events")
-    base = os.path.join(tempfile.gettempdir(), f"mapreducehs_events_bydate_{tag}_{fp}")
-    done = os.path.join(base, "_DONE")
     ev = _t(spark, sf_dir, "events")
-    if not os.path.exists(done):
-        (
-            ev.withColumn("event_date", F.col("ts").cast("date"))
-            .write.mode("overwrite")
-            .partitionBy("event_date")
-            .parquet(base)
-        )
-        with open(done, "w") as f:
-            f.write("ok")
+    base = build_fixture_once(
+        os.path.join(tempfile.gettempdir(), f"mapreducehs_events_bydate_{tag}_{fp}"),
+        lambda tmp: ev.withColumn("event_date", F.col("ts").cast("date"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(tmp),
+    )
 
     d0 = ev.agg(F.min(F.col("ts").cast("date"))).collect()[0][0]
     target = d0 + __import__("datetime").timedelta(days=5)
@@ -7939,22 +7936,18 @@ def q106_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     import os
     import tempfile
 
-    from mapreducehs_spark.sources.catalog import source_fingerprint
+    from mapreducehs_spark.sources.catalog import build_fixture_once, source_fingerprint
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     fp = source_fingerprint(sf_dir, "events")
-    base = os.path.join(tempfile.gettempdir(), f"mapreducehs_events_bydate_{tag}_{fp}")
-    done = os.path.join(base, "_DONE")
     ev = _t(spark, sf_dir, "events")
-    if not os.path.exists(done):
-        (
-            ev.withColumn("event_date", F.col("ts").cast("date"))
-            .write.mode("overwrite")
-            .partitionBy("event_date")
-            .parquet(base)
-        )
-        with open(done, "w") as f:
-            f.write("ok")
+    base = build_fixture_once(
+        os.path.join(tempfile.gettempdir(), f"mapreducehs_events_bydate_{tag}_{fp}"),
+        lambda tmp: ev.withColumn("event_date", F.col("ts").cast("date"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(tmp),
+    )
 
     fact = spark.read.parquet(base)
     dim = (
@@ -8028,6 +8021,30 @@ def q107_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         freq.unpersist(blocking=False)
 
 
+def _q107_cell_col():
+    """The CMS cell law (row-salted md5 hex-fold mod width) — the ONE
+    definition both the production sketch and the overestimate property
+    test hash with, so the test cannot drift from the query."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("r"), F.col("term"))), 1, 12),
+            16,
+            10,
+        ).cast("bigint")
+        % 256
+    )
+
+
+def _q107_cells(freq: DataFrame, rows: DataFrame) -> DataFrame:
+    """CMS cell counters from a (term, c) frequency frame."""
+    return (
+        freq.crossJoin(F.broadcast(rows))
+        .select("r", _q107_cell_col().alias("col"), "c")
+        .groupBy("r", "col")
+        .agg(F.sum("c").alias("v"))
+    )
+
+
 def _q107_cms_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """q107's pre-checkpoint plan + the persisted vocab frame (returned
     so callers — the query and the plan-pin test — control unpersist)."""
@@ -8041,23 +8058,10 @@ def _q107_cms_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     # the token-scale tokenize+count pass runs ONCE
     freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c")).persist()
     rows = spark.range(4).select(F.col("id").cast("int").alias("r"))
-    cell_col = (
-        F.conv(
-            F.substring(F.md5(F.concat_ws(":", F.col("r"), F.col("term"))), 1, 12),
-            16,
-            10,
-        ).cast("bigint")
-        % 256
-    )
-    cells = (
-        freq.crossJoin(F.broadcast(rows))
-        .select("r", cell_col.alias("col"), "c")
-        .groupBy("r", "col")
-        .agg(F.sum("c").alias("v"))
-    )
+    cells = _q107_cells(freq, rows)
     probe = freq.orderBy(F.col("c").desc(), F.col("term").asc()).limit(10)
     pr = probe.crossJoin(F.broadcast(rows)).select(
-        "term", "c", "r", cell_col.alias("col")
+        "term", "c", "r", _q107_cell_col().alias("col")
     )
     plan = (
         cells.join(F.broadcast(pr), ["r", "col"])
@@ -8133,6 +8137,7 @@ def q108_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("src")
         .persist()
     )
+    levels = []  # per-level checkpointed frames, released in finally
     try:
         start = edges.agg(F.min("src")).collect()[0][0]  # one scalar to the driver
         dist = spark.createDataFrame([(start, 0)], "node long, d int")
@@ -8150,6 +8155,7 @@ def q108_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # (O(1) plan depth per level, not O(level))
                 .localCheckpoint(eager=False)
             )
+            levels.append(dist)
         return (
             dist.groupBy(F.col("d").alias("hops"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
@@ -8157,6 +8163,8 @@ def q108_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         edges.unpersist(blocking=False)
+        for lv in levels:  # drop the reached-set-sized checkpoint blocks
+            lv.unpersist(blocking=False)
 
 
 @query(
@@ -8222,6 +8230,30 @@ def q109_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigram_pairs(toked: DataFrame, include_doc: bool = True) -> DataFrame:
+    """Adjacent-token pairs from a (doc_id, __t tokens-array) frame —
+    the ONE Spark twin of the shared _T23_PAIRS_CTE oracle fragment
+    (used by t23 and t24, so the size>=2 guard and the sequence
+    off-by-one recipe cannot fork).  size >= 2 guard BEFORE sequence():
+    Spark's sequence(1, 0) DESCENDS instead of returning empty
+    (verify-skill recipe, t21)."""
+    cols = ["doc_id"] if include_doc else []
+    return (
+        toked.filter(F.size("__t") >= 2)
+        .select(
+            *cols,
+            F.explode_outer(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 1),"
+                    " i -> struct(__t[i - 1] AS a, __t[i] AS b))"
+                )
+            ).alias("__p"),
+        )
+        .filter(F.col("__p").isNotNull())
+        .select(*cols, F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+    )
+
+
 _T23_PAIRS_CTE = """
     WITH lists AS (
       SELECT doc_id,
@@ -8259,39 +8291,29 @@ _T23_PAIRS_CTE = """
 def t23_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram language-model scoring with add-one smoothing — t17's
     unigram perplexity proxy upgraded one order: per doc, the mean over
-    adjacent token pairs of ln((c(a,b)+1)/(c(a)+V)).  The ONLY
-    token-scale pass is the per-doc pair count (dp); the corpus bigram
-    table (big) and its start-marginal (uni) both derive from dp by
-    further partial-aggregatable sums, so the model build re-shuffles
-    the vocabulary²-sized frame, never the corpus.  dp is persisted
-    once and unpersisted after the scoring join (d13 discipline).
-    Per-pair log-probs quantize to integer micro-nats (floor(1e6·ln p),
-    the t17/s08 recipe) so the doc aggregation is order-independent
-    and the whole model value-checks."""
+    adjacent token pairs of ln((c(a,b)+1)/(c(a)+V)).  The corpus is
+    tokenized ONCE (toked persisted — measured 1.8x vs re-tokenizing
+    for the vocab pass at sf0.1) and feeds both the per-doc pair count
+    (dp, also persisted) and the vocabulary size; the corpus bigram
+    table (big) and its start-marginal (uni) derive from dp by further
+    partial-aggregatable sums, so the model build re-shuffles the
+    vocabulary²-sized frame, never the corpus.  Per-pair log-probs
+    quantize to integer micro-nats (floor(1e6·ln p), the t17/s08
+    recipe) so the doc aggregation is order-independent and the whole
+    model value-checks."""
     docs = _t(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", text.tokens("text").alias("__t"))
-    # size >= 2 guard BEFORE sequence(): Spark's sequence(1, 0) DESCENDS
-    # instead of returning empty (verify-skill recipe, t21)
-    pairs = (
-        toked.filter(F.size("__t") >= 2)
-        .select(
-            "doc_id",
-            F.explode_outer(
-                F.expr(
-                    "transform(sequence(1, size(__t) - 1),"
-                    " i -> struct(__t[i - 1] AS a, __t[i] AS b))"
-                )
-            ).alias("__p"),
-        )
-        .filter(F.col("__p").isNotNull())
-        .select("doc_id", F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+    toked = docs.select("doc_id", text.tokens("text").alias("__t")).persist()
+    dp = (
+        _bigram_pairs(toked)
+        .groupBy("doc_id", "a", "b")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .persist()
     )
-    dp = pairs.groupBy("doc_id", "a", "b").agg(F.count(F.lit(1)).alias("m")).persist()
     try:
         big = dp.groupBy("a", "b").agg(F.sum("m").cast("bigint").alias("cab"))
         uni = big.groupBy("a").agg(F.sum("cab").cast("bigint").alias("ca"))
         vocab = (
-            docs.select(F.explode_outer(text.tokens("text")).alias("u"))
+            toked.select(F.explode_outer("__t").alias("u"))
             .filter(F.col("u").isNotNull())
             .agg(F.countDistinct("u").alias("vv"))
         )
@@ -8314,9 +8336,10 @@ def t23_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                     4,
                 ).alias("avg_logprob"),
             )
-            .localCheckpoint()  # materialize the doc-level scores while dp is cached
+            .localCheckpoint()  # materialize the doc-level scores while caches live
         )
     finally:
+        toked.unpersist(blocking=False)
         dp.unpersist(blocking=False)
 
 
@@ -8352,19 +8375,7 @@ def t24_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle + a TakeOrdered(25), no corpus re-shuffle."""
     docs = _t(spark, sf_dir, "documents")
     toked = docs.select("doc_id", text.tokens("text").alias("__t"))
-    pairs = (
-        toked.filter(F.size("__t") >= 2)
-        .select(
-            F.explode_outer(
-                F.expr(
-                    "transform(sequence(1, size(__t) - 1),"
-                    " i -> struct(__t[i - 1] AS a, __t[i] AS b))"
-                )
-            ).alias("__p")
-        )
-        .filter(F.col("__p").isNotNull())
-        .select(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
-    )
+    pairs = _bigram_pairs(toked, include_doc=False)
     big = (
         pairs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
         .persist()
@@ -8474,14 +8485,22 @@ def s11_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _d20_oracle() -> str:
+#: d20/t27's shared quality-dominance rule: the SINGLE definition of
+#: "which member of a near-dup pair is dropped" (shorter n_chars; ties →
+#: higher doc_id) — threshold, tiebreak, and rule live here once.
+_QUALITY_DROP_THRESHOLD = 0.25
+
+
+def _quality_losers_ctes() -> str:
+    """Oracle CTE chain: d11 checked candidates → dominance losers.
+    Emits CTEs `pairs`, `meta`, `losers` (plus d11's own); used by both
+    _d20_oracle and _t27_oracle so the drop rule cannot fork."""
     ctes, agree, np_ = _minhash_checked_ctes()
-    return f"""
-    WITH {ctes}
+    return f"""{ctes}
     , pairs AS (
       SELECT c.id_a, c.id_b
       FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b
-      WHERE ({agree}) / {float(np_)} >= 0.25
+      WHERE ({agree}) / {float(np_)} >= {_QUALITY_DROP_THRESHOLD}
     ), meta AS (
       SELECT doc_id, source, n_chars FROM documents
     ), losers AS (
@@ -8493,7 +8512,37 @@ def _d20_oracle() -> str:
       FROM pairs p
       JOIN meta ma ON ma.doc_id = p.id_a
       JOIN meta mb ON mb.doc_id = p.id_b
+    )"""
+
+
+def _quality_losers(docs: DataFrame) -> DataFrame:
+    """Spark twin of _quality_losers_ctes: (doc_id, __dropped=1) rows
+    for every pair-dominated document.  Candidates come from d11's
+    banded LSH (never all-pairs); the quality lookup joins the
+    candidate frame (≪ corpus) against the narrow (doc_id, n_chars)
+    projection."""
+    pairs = dedup.minhash_lsh_pairs_checked(
+        docs, est_threshold=_QUALITY_DROP_THRESHOLD
+    ).select("id_a", "id_b")
+    ma = docs.select(F.col("doc_id").alias("id_a"), F.col("n_chars").alias("ca"))
+    mb = docs.select(F.col("doc_id").alias("id_b"), F.col("n_chars").alias("cb"))
+    return (
+        pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.when(F.col("ca") < F.col("cb"), F.col("id_a"))
+            .when(F.col("ca") > F.col("cb"), F.col("id_b"))
+            .otherwise(F.greatest(F.col("id_a"), F.col("id_b")))
+            .alias("doc_id")
+        )
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
     )
+
+
+def _d20_oracle() -> str:
+    return f"""
+    WITH {_quality_losers_ctes()}
     SELECT m.source,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(count(l.doc_id) AS BIGINT) AS n_dropped,
@@ -8519,24 +8568,8 @@ def d20_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     exist in production dedup stacks; composition with d06 resolution
     is a one-line change."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs_checked(docs, est_threshold=0.25).select(
-        "id_a", "id_b"
-    )
     meta = docs.select("doc_id", "source", "n_chars")
-    ma = meta.select(F.col("doc_id").alias("id_a"), F.col("n_chars").alias("ca"))
-    mb = meta.select(F.col("doc_id").alias("id_b"), F.col("n_chars").alias("cb"))
-    losers = (
-        pairs.join(ma, "id_a")
-        .join(mb, "id_b")
-        .select(
-            F.when(F.col("ca") < F.col("cb"), F.col("id_a"))
-            .when(F.col("ca") > F.col("cb"), F.col("id_b"))
-            .otherwise(F.greatest(F.col("id_a"), F.col("id_b")))
-            .alias("doc_id")
-        )
-        .distinct()
-        .withColumn("__dropped", F.lit(1))
-    )
+    losers = _quality_losers(docs)
     return (
         meta.join(losers, "doc_id", "left")
         .groupBy("source")
@@ -8602,32 +8635,27 @@ def q110_nested_struct_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from mapreducehs_spark.sources.catalog import source_fingerprint
+    from mapreducehs_spark.sources.catalog import build_fixture_once, source_fingerprint
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     fp = source_fingerprint(sf_dir, "events")
-    base = os.path.join(tempfile.gettempdir(), f"mapreducehs_events_nested_{tag}_{fp}")
-    done = os.path.join(base, "_DONE")
     ev = _t(spark, sf_dir, "events")
-    if not os.path.exists(done):
-        (
-            ev.select(
-                "event_id",
+    base = build_fixture_once(
+        os.path.join(tempfile.gettempdir(), f"mapreducehs_events_nested_{tag}_{fp}"),
+        lambda tmp: ev.select(
+            "event_id",
+            F.struct(
+                F.col("event_type").alias("kind"),
                 F.struct(
-                    F.col("event_type").alias("kind"),
-                    F.struct(
-                        F.col("user_id").alias("who"),
-                        F.col("value").alias("amount"),
-                    ).alias("metrics"),
-                    F.col("props").alias("raw"),
-                ).alias("payload"),
-            )
-            .write.mode("overwrite")
-            .parquet(base)
+                    F.col("user_id").alias("who"),
+                    F.col("value").alias("amount"),
+                ).alias("metrics"),
+                F.col("props").alias("raw"),
+            ).alias("payload"),
         )
-        with open(done, "w") as f:
-            f.write("ok")
-
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
     nested = spark.read.parquet(base)
     return (
         nested.filter(F.col("payload.metrics.who") % 7 == 0)
@@ -8994,25 +9022,9 @@ def m09_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _t27_oracle() -> str:
-    ctes, agree, np_ = _minhash_checked_ctes()
     return f"""
-    WITH {ctes}
-    , pairs AS (
-      SELECT c.id_a, c.id_b
-      FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b
-      WHERE ({agree}) / {float(np_)} >= 0.25
-    ), meta AS (
-      SELECT doc_id, source, n_chars FROM documents
-    ), losers AS (
-      SELECT DISTINCT CASE
-               WHEN ma.n_chars < mb.n_chars THEN p.id_a
-               WHEN ma.n_chars > mb.n_chars THEN p.id_b
-               ELSE greatest(p.id_a, p.id_b)
-             END AS doc_id
-      FROM pairs p
-      JOIN meta ma ON ma.doc_id = p.id_a
-      JOIN meta mb ON mb.doc_id = p.id_b
-    ), tok AS (
+    WITH {_quality_losers_ctes()}
+    , tok AS (
       SELECT doc_id,
              CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
                   AS BIGINT) AS n_tokens
@@ -9043,24 +9055,7 @@ def t27_token_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≪ corpus) and left-joins the narrow per-doc token counts; nothing
     about composing operators changes their individual scale shapes."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs_checked(docs, est_threshold=0.25).select(
-        "id_a", "id_b"
-    )
-    meta = docs.select("doc_id", "source", "n_chars")
-    ma = meta.select(F.col("doc_id").alias("id_a"), F.col("n_chars").alias("ca"))
-    mb = meta.select(F.col("doc_id").alias("id_b"), F.col("n_chars").alias("cb"))
-    losers = (
-        pairs.join(ma, "id_a")
-        .join(mb, "id_b")
-        .select(
-            F.when(F.col("ca") < F.col("cb"), F.col("id_a"))
-            .when(F.col("ca") > F.col("cb"), F.col("id_b"))
-            .otherwise(F.greatest(F.col("id_a"), F.col("id_b")))
-            .alias("doc_id")
-        )
-        .distinct()
-        .withColumn("__dropped", F.lit(1))
-    )
+    losers = _quality_losers(docs)  # the ONE drop rule, shared with d20
     tok = docs.select(
         "doc_id", "source", F.size(text.tokens("text")).cast("bigint").alias("n_tokens")
     )

@@ -149,3 +149,37 @@ def write_any(
     if options:
         writer = writer.options(**options)
     writer.save(path)
+
+
+def build_fixture_once(base: str, build) -> str:
+    """Build a derived fixture directory exactly once, safely under
+    CONCURRENT builders (bench + pytest on one box): build into a
+    process-private sibling dir, stamp ``_DONE``, then atomically
+    rename into place; a loser's rename fails and its build is
+    discarded.  The check-then-act ``if not exists(_DONE): write(base)``
+    pattern this replaces let two processes overwrite each other's
+    half-written fixture."""
+    import shutil
+
+    done = os.path.join(base, "_DONE")
+    if os.path.exists(done):
+        return base
+    tmp = f"{base}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build(tmp)
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, base)
+    except OSError:
+        if os.path.exists(done):
+            # another builder won with a complete fixture — use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            # a legacy half-built dir blocks the rename: replace it
+            shutil.rmtree(base, ignore_errors=True)
+            try:
+                os.rename(tmp, base)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+    return base

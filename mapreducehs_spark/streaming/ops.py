@@ -33,7 +33,6 @@ with the identical query bodies — only ``events_stream`` changes.
 from __future__ import annotations
 
 import os
-import shutil
 import time
 from typing import Iterator
 
@@ -79,17 +78,22 @@ def prepare_stream_dir(
     """
     from mapreducehs_spark.sources.catalog import source_fingerprint
 
+    from mapreducehs_spark.sources.catalog import build_fixture_once
+
     key = (
         f"{os.path.basename(os.path.normpath(sf_dir))}_c{n_chunks}_v2"
         f"_{source_fingerprint(sf_dir, 'events')}"
     )
-    out = os.path.join(base_dir, key)
-    done = os.path.join(out, "_DONE")
-    if os.path.exists(done):
-        return out
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
+    return build_fixture_once(
+        os.path.join(base_dir, key),
+        lambda tmp: _build_stream_chunks(spark, sf_dir, n_chunks, tmp),
+    )
 
+
+def _build_stream_chunks(
+    spark: SparkSession, sf_dir: str, n_chunks: int, out: str
+) -> None:
+    os.makedirs(out, exist_ok=True)
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
@@ -136,9 +140,6 @@ def prepare_stream_dir(
     files = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
     for i, f in enumerate(files):
         os.utime(os.path.join(out, f), (now + i * 10, now + i * 10))
-    with open(done, "w") as f:
-        f.write("ok")
-    return out
 
 
 def events_stream(
@@ -574,17 +575,29 @@ def prepare_late_stream_dir(
     """
     from mapreducehs_spark.sources.catalog import source_fingerprint
 
+    from mapreducehs_spark.sources.catalog import build_fixture_once
+
     key = (
         f"{os.path.basename(os.path.normpath(sf_dir))}_late_{late_lo_sec}_{late_hi_sec}"
         f"_{n_ontime_chunks}_v2_{source_fingerprint(sf_dir, 'events')}"
     )
-    out = os.path.join(base_dir, key)
-    done = os.path.join(out, "_DONE")
-    if os.path.exists(done):
-        return out
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
+    return build_fixture_once(
+        os.path.join(base_dir, key),
+        lambda tmp: _build_late_stream_chunks(
+            spark, sf_dir, late_lo_sec, late_hi_sec, n_ontime_chunks, tmp
+        ),
+    )
 
+
+def _build_late_stream_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    late_lo_sec: int,
+    late_hi_sec: int,
+    n_ontime_chunks: int,
+    out: str,
+) -> None:
+    os.makedirs(out, exist_ok=True)
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
@@ -634,9 +647,6 @@ def prepare_late_stream_dir(
     now = time.time()
     for i, f in enumerate(files):
         os.utime(f, (now + i * 10, now + i * 10))
-    with open(done, "w") as f:
-        f.write("ok")
-    return out
 
 
 def chained_window_aggregate(

@@ -1361,31 +1361,18 @@ def test_cms_overestimate_property(spark):
     overestimates can never underestimate."""
     import pyspark.sql.functions as F
 
-    from mapreducehs_spark.queries import _q107_cms_build, _t
-    from mapreducehs_spark.operators import text
+    from mapreducehs_spark.queries import _q107_cell_col, _q107_cells, _q107_cms_build
 
     sf = "/root/testdata/sf0.001"
     plan, freq = _q107_cms_build(spark, sf)
     try:
         plan.collect()  # materialize cells while freq is cached
-        docs = _t(spark, sf, "documents")
         rows = spark.range(4).select(F.col("id").cast("int").alias("r"))
-        cell_col = (
-            F.conv(
-                F.substring(F.md5(F.concat_ws(":", F.col("r"), F.col("term"))), 1, 12),
-                16,
-                10,
-            ).cast("bigint")
-            % 256
-        )
-        cells = (
-            freq.crossJoin(F.broadcast(rows))
-            .select("r", cell_col.alias("col"), "c")
-            .groupBy("r", "col")
-            .agg(F.sum("c").alias("v"))
-        )
+        # the SAME cell law as production — reused, not re-derived, so a
+        # width/salt change in q107 is automatically covered here
+        cells = _q107_cells(freq, rows)
         pr = freq.crossJoin(F.broadcast(rows)).select(
-            "term", "c", "r", cell_col.alias("col")
+            "term", "c", "r", _q107_cell_col().alias("col")
         )
         est = (
             cells.join(pr, ["r", "col"])
