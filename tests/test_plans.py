@@ -514,3 +514,30 @@ def test_t26_model_broadcasts_single_shuffle(q):
     assert I.broadcast_join_count(df) >= 1
     assert I.sort_merge_join_count(df) == 0
     assert I.exchange_count(df) == 1
+
+
+def test_q108_adjacency_cached_for_iterations(q):
+    # the symmetrized edge list must be persisted (InMemoryTableScan in
+    # the per-level join) so iterations re-read the hash-partitioned
+    # cache, never the base tables
+    df = q("q108_bfs_hops")
+    plan = I.formatted_plan(df)
+    assert "InMemoryTableScan" in plan or "Scan ExistingRDD" in plan
+
+
+def test_d20_candidates_only_equi_joins(q):
+    # quality-aware dedup must stay candidates-then-verify: banded LSH
+    # equi-joins only — no all-pairs path anywhere
+    df = q("d20_quality_canonical")
+    plan = I.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_s13_exact_arm_broadcasts_queries(q):
+    # the recall report's exact arm broadcasts the 8-query probe set
+    # against the corpus (s01's shape); the corpus never shuffles and
+    # nothing falls back to a cartesian product
+    df = q("s13_ann_recall_report")
+    plan = I.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert I.sort_merge_join_count(df) == 0
