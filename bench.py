@@ -118,6 +118,7 @@ HEADLINE = [
     "m10_tolerant_decode",
     "q112_ab_experiment",
     "s13_ann_recall_report",
+    "q113_rfm_segments",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the

@@ -9328,3 +9328,85 @@ def s13_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q113_rfm_segments",
+    oracle="""
+    WITH ref AS (
+      SELECT max(epoch(ts)) AS t_ref FROM events
+    ), per_user AS (
+      SELECT user_id,
+             CAST((SELECT t_ref FROM ref) - max(epoch(ts)) AS BIGINT) AS recency_s,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS monetary_cents
+      FROM events
+      GROUP BY user_id
+    ), scored AS (
+      SELECT user_id,
+             ntile(5) OVER (ORDER BY recency_s ASC, user_id ASC)  AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC, user_id ASC) AS f_score,
+             ntile(5) OVER (ORDER BY monetary_cents DESC, user_id ASC) AS m_score,
+             monetary_cents
+      FROM per_user
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+    FROM scored
+    GROUP BY 1, 2, 3
+    """,
+)
+def q113_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value grid (recency /
+    frequency / monetary quintiles): one event-scale map-side-combinable
+    per-user fold, then three ntile(5) windows over the USER-sized
+    frame (users ≪ events — the q103 cohort discipline: global sorts
+    happen only at entity scale, never event scale), then the segment
+    rollup.  Every metric is integer (seconds, counts, cents) and every
+    ntile order carries a user_id tiebreak, so quintile boundaries are
+    total-ordered and the whole grid value-checks.  At 100 TB the
+    ntile windows are the only global sorts and they run on the
+    per-user aggregate, range-partitioned."""
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.agg(F.max(F.unix_timestamp("ts")).alias("t_ref"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.unix_timestamp("ts")).alias("last_s"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100).cast("bigint"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "user_id",
+            (F.col("t_ref") - F.col("last_s")).cast("bigint").alias("recency_s"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    w_r = Window.orderBy(F.col("recency_s").asc(), F.col("user_id").asc())
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
+    w_m = Window.orderBy(F.col("monetary_cents").desc(), F.col("user_id").asc())
+    return (
+        per_user.select(
+            F.ntile(5).over(w_r).alias("r_score"),
+            F.ntile(5).over(w_f).alias("f_score"),
+            F.ntile(5).over(w_m).alias("m_score"),
+            "monetary_cents",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("monetary_cents").cast("bigint").alias("segment_cents"),
+        )
+    )
