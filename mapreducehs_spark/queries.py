@@ -9362,14 +9362,19 @@ def s13_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q113_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation — the classic customer-value grid (recency /
     frequency / monetary quintiles): one event-scale map-side-combinable
-    per-user fold, then three ntile(5) windows over the USER-sized
-    frame (users ≪ events — the q103 cohort discipline: global sorts
-    happen only at entity scale, never event scale), then the segment
-    rollup.  Every metric is integer (seconds, counts, cents) and every
-    ntile order carries a user_id tiebreak, so quintile boundaries are
-    total-ordered and the whole grid value-checks.  At 100 TB the
-    ntile windows are the only global sorts and they run on the
-    per-user aggregate, range-partitioned."""
+    per-user fold, then three quintile assignments over the USER-sized
+    frame, then the segment rollup.  A bare ``ntile() OVER (ORDER BY
+    ...)`` would collapse the frame into ONE task (Spark warns and
+    obeys) — so each quintile is computed scalably from
+    ``sampling.global_positions`` (distributed range sort + partition
+    offsets, the d18/q89 idiom) and the ntile bucket arithmetic
+    replayed as an expression: first N%5 tiles get ceil(N/5) rows —
+    bit-identical to SQL ntile(5), which is what the oracle runs.
+    Every metric is integer (seconds, counts, cents) and every order
+    carries a user_id tiebreak, so quintile boundaries are
+    total-ordered and the whole grid value-checks at any parallelism."""
+    from mapreducehs_spark.operators.sampling import global_positions
+
     ev = _t(spark, sf_dir, "events")
     ref = ev.agg(F.max(F.unix_timestamp("ts")).alias("t_ref"))
     per_user = (
@@ -9390,23 +9395,53 @@ def q113_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             (F.col("t_ref") - F.col("last_s")).cast("bigint").alias("recency_s"),
-            "frequency",
+            F.col("frequency"),
+            # negated copies so every global_positions order is ASC
+            (-F.col("frequency")).alias("neg_frequency"),
             "monetary_cents",
+            (-F.col("monetary_cents")).alias("neg_monetary"),
         )
+        .persist()  # read by the three position passes + the rollup
     )
-    w_r = Window.orderBy(F.col("recency_s").asc(), F.col("user_id").asc())
-    w_f = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
-    w_m = Window.orderBy(F.col("monetary_cents").desc(), F.col("user_id").asc())
-    return (
-        per_user.select(
-            F.ntile(5).over(w_r).alias("r_score"),
-            F.ntile(5).over(w_f).alias("f_score"),
-            F.ntile(5).over(w_m).alias("m_score"),
-            "monetary_cents",
+    try:
+        n_total = per_user.count()  # one scalar to the driver
+        base, rem = n_total // 5, n_total % 5
+        cut = rem * (base + 1)
+
+        def tile(pos):
+            # SQL ntile(5): first `rem` tiles hold base+1 rows.  ceil
+            # via (a + b - 1) div b; greatest() guards the (unselected)
+            # base=0 branch under ANSI division
+            big = F.lit(base + 1)
+            small = F.greatest(F.lit(base), F.lit(1))
+            return F.when(
+                pos <= F.lit(cut), ((pos + big - 1) / big).cast("bigint")
+            ).otherwise(
+                F.lit(rem) + ((pos - F.lit(cut) + small - 1) / small).cast("bigint")
+            )
+
+        def score(order_cols, name):
+            ranked = global_positions(
+                per_user.select("user_id", *order_cols), order_cols + ["user_id"], "pos"
+            )
+            return ranked.select(
+                "user_id", tile(F.col("pos")).cast("int").alias(name)
+            )
+
+        r = score(["recency_s"], "r_score")
+        f = score(["neg_frequency"], "f_score")
+        m = score(["neg_monetary"], "m_score")
+        return (
+            per_user.select("user_id", "monetary_cents")
+            .join(r, "user_id")
+            .join(f, "user_id")
+            .join(m, "user_id")
+            .groupBy("r_score", "f_score", "m_score")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                F.sum("monetary_cents").cast("bigint").alias("segment_cents"),
+            )
+            .localCheckpoint()  # materialize the grid while per_user is cached
         )
-        .groupBy("r_score", "f_score", "m_score")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_users"),
-            F.sum("monetary_cents").cast("bigint").alias("segment_cents"),
-        )
-    )
+    finally:
+        per_user.unpersist(blocking=False)
