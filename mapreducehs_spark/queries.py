@@ -5223,7 +5223,13 @@ def t15_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     or templated corpora deviate — a cheap corpus-health check).  The
     regression runs on the VOCABULARY-sized frame, so the only
     token-scale work is the frequency count; ``regr_slope``/``regr_r2``
-    are built-in partial-aggregatable aggregates on both engines."""
+    are built-in partial-aggregatable aggregates on both engines.
+    Vocabulary rank comes from ``global_positions`` (distributed range
+    sort + partition offsets): a bare row_number() window would rank
+    the whole vocabulary in ONE task — fine at test scale, a straggler
+    on a billion-term n-gram vocabulary."""
+    from mapreducehs_spark.operators.sampling import global_positions
+
     docs = _t(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     freq = (
@@ -5234,8 +5240,8 @@ def t15_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("f"))
     )
-    ranked = freq.withColumn(
-        "r", F.row_number().over(Window.orderBy(F.col("f").desc(), F.col("term").asc()))
+    ranked = global_positions(
+        freq.withColumn("neg_f", -F.col("f")), ["neg_f", "term"], "r"
     )
     return ranked.agg(
         F.count(F.lit(1)).alias("vocab"),
