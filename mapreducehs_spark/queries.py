@@ -9451,3 +9451,46 @@ def q113_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         per_user.unpersist(blocking=False)
+
+
+@query(
+    "st14_stream_outer_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), matched AS (
+      SELECT c.user_id, c.click_id, p.purchase_id,
+             CAST(floor(epoch(c.c_ts)) AS BIGINT) AS click_epoch,
+             (p.purchase_id IS NOT NULL) AS matched
+      FROM clicks c
+      LEFT JOIN purchases p
+        ON p.user_id = c.user_id
+       AND p.p_ts >= c.c_ts
+       AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+    )
+    SELECT user_id, click_id, purchase_id, click_epoch, matched FROM matched
+    """,
+)
+def st14_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join (streaming/ops.
+    clicks_left_outer_purchases) — the join shape st05's inner join
+    can't express: every click emits, with purchase columns NULLed only
+    once the watermark PROVES no match can arrive (state held exactly
+    until click.ts + 30 min passes the watermark, then surrendered).
+    The flush sentinel advances the watermark past every click, so the
+    replayed stream equals the batch LEFT join — the NULL-emission
+    path itself is what the oracle checks (unmatched clicks MUST
+    appear exactly once).  At 100 TB state stays bounded by the join
+    window exactly as in the inner case."""
+    from mapreducehs_spark import streaming as st
+
+    replay = st.prepare_stream_dir(spark, sf_dir, n_chunks=4, n_flush=2)
+    joined = st.clicks_left_outer_purchases(
+        st.events_stream(spark, replay), within="30 minutes", watermark="1 hour"
+    )
+    out = st.run_to_batch(joined, "st14_sink", output_mode="append")
+    return out.filter(F.col("user_id") >= 0)

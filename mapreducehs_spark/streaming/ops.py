@@ -69,7 +69,11 @@ FLUSH_TYPE = "__flush__"
 
 
 def prepare_stream_dir(
-    spark: SparkSession, sf_dir: str, n_chunks: int = 4, base_dir: str = "/tmp/mapreducehs_stream"
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 4,
+    base_dir: str = "/tmp/mapreducehs_stream",
+    n_flush: int = 1,
 ) -> str:
     """Materialize ``events`` as a time-ordered chunked replay directory.
 
@@ -81,17 +85,17 @@ def prepare_stream_dir(
     from mapreducehs_spark.sources.catalog import build_fixture_once
 
     key = (
-        f"{os.path.basename(os.path.normpath(sf_dir))}_c{n_chunks}_v2"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_c{n_chunks}_f{n_flush}_v2"
         f"_{source_fingerprint(sf_dir, 'events')}"
     )
     return build_fixture_once(
         os.path.join(base_dir, key),
-        lambda tmp: _build_stream_chunks(spark, sf_dir, n_chunks, tmp),
+        lambda tmp: _build_stream_chunks(spark, sf_dir, n_chunks, tmp, n_flush),
     )
 
 
 def _build_stream_chunks(
-    spark: SparkSession, sf_dir: str, n_chunks: int, out: str
+    spark: SparkSession, sf_dir: str, n_chunks: int, out: str, n_flush: int = 1
 ) -> None:
     os.makedirs(out, exist_ok=True)
     ev = load_table(spark, sf_dir, "events").select(
@@ -114,25 +118,29 @@ def _build_stream_chunks(
             allow_truncated_timestamps=True,
         )
 
-    flush_ts = pdf["ts"].max() + pd.Timedelta(days=365)
     # props must be a real string: an all-null column round-trips
     # through arrow as null-type and fails the declared stream schema.
-    sentinel = pd.DataFrame(
-        {
-            "event_id": [-1],
-            "ts": [flush_ts],
-            "user_id": [-1],
-            "event_type": [FLUSH_TYPE],
-            "value": [0.0],
-            "props": ["{}"],
-        }
-    )
-    sentinel.to_parquet(
-        os.path.join(out, f"chunk_{n_chunks:04d}.parquet"),
-        index=False,
-        coerce_timestamps="us",
-        allow_truncated_timestamps=True,
-    )
+    # n_flush > 1 appends extra sentinel chunks: stream-stream OUTER
+    # joins emit watermark-closed NULL rows one batch AFTER eviction,
+    # so they need a batch to exist after the watermark advance (st14).
+    for j in range(n_flush):
+        flush_ts = pdf["ts"].max() + pd.Timedelta(days=365 + j)
+        sentinel = pd.DataFrame(
+            {
+                "event_id": [-1 - j],
+                "ts": [flush_ts],
+                "user_id": [-1],
+                "event_type": [FLUSH_TYPE],
+                "value": [0.0],
+                "props": ["{}"],
+            }
+        )
+        sentinel.to_parquet(
+            os.path.join(out, f"chunk_{n_chunks + j:04d}.parquet"),
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
     # Explicit well-spaced mtimes: the file source orders and batches
     # files by modification time (ms granularity) — wall-clock write
     # spacing is not reliable.
@@ -793,4 +801,59 @@ def merge_mg_sketch_log(log: DataFrame) -> DataFrame:
         .filter(F.col("e").isNotNull())
         .groupBy(F.col("e.terms").alias("event_type"))
         .agg(F.sum("e.counts").cast("bigint").alias("est_total"))
+    )
+
+
+def clicks_left_outer_purchases(
+    events: DataFrame, within: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click, with its first-chance
+    purchase match within ``within`` — or NULLs once the watermark
+    proves no match can arrive.
+
+    The outer side is the semantics inner joins can't express: an
+    unmatched click is emitted (purchase columns NULL) only after the
+    watermark passes ``click.ts + within`` — the state store must hold
+    the click exactly that long and then give up on it.  Same bounded
+    state as the inner join; the extra behavior is the watermark-closed
+    NULL emission, which the flush sentinel forces for every click in a
+    finite replay, so the result equals the batch LEFT join (st14)."""
+    # the flush sentinel must REACH both EventTimeWatermark operators:
+    # NULL emission for an unmatched click happens only when the
+    # watermark passes click.ts + within, and the watermark is computed
+    # from rows that survive the upstream filter.  Filtering to
+    # event_type == 'click' alone (st05's inner-join shape, where
+    # emission is match-driven and needs no watermark advance) leaves
+    # the final ~window of unmatched clicks open FOREVER — measured:
+    # exactly the tail clicks never emitted.  Sentinel rows carry
+    # user_id -1 and are dropped from the batch result (st14's filter).
+    clicks = (
+        events.filter(F.col("event_type").isin("click", FLUSH_TYPE))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type").isin("purchase", FLUSH_TYPE))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    cond = (
+        (clicks["c_user"] == purchases["p_user"])
+        & (purchases["p_ts"] >= clicks["c_ts"])
+        & (purchases["p_ts"] <= clicks["c_ts"] + F.expr(f"INTERVAL {within}"))
+    )
+    return clicks.join(purchases, cond, "left_outer").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_timestamp("c_ts").alias("click_epoch"),
+        (F.col("purchase_id").isNotNull()).alias("matched"),
     )
