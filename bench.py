@@ -119,6 +119,7 @@ HEADLINE = [
     "q112_ab_experiment",
     "s13_ann_recall_report",
     "q113_rfm_segments",
+    "q114_cumulative_uniques",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the

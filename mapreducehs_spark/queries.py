@@ -9494,3 +9494,47 @@ def st14_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = st.run_to_batch(joined, "st14_sink", output_mode="append")
     return out.filter(F.col("user_id") >= 0)
+
+
+@query(
+    "q114_cumulative_uniques",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(min(floor(epoch(ts) / 86400)) AS BIGINT) AS first_day
+      FROM events
+      GROUP BY user_id
+    ), per_day AS (
+      SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY first_day
+    )
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_uniques
+    FROM per_day
+    """,
+)
+def q114_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new vs cumulative unique users — the growth-dashboard
+    query that is O(n²) done naively (COUNT(DISTINCT) per day over an
+    expanding window rescans everything): instead ONE user-keyed
+    min-aggregate finds each user's first-seen day (map-side
+    combinable), a day-keyed count gives new-users-per-day, and the
+    cumulative sum runs over the DAY-sized frame — a few hundred rows
+    at any corpus size, so the one global running-sum window is
+    metadata-scale (the q105 manifest argument), not entity- or
+    event-scale.  All integers; value-checks exactly."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = (
+        ev.select("user_id", F.floor(F.unix_timestamp("ts") / 86400).alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").cast("bigint").alias("first_day"))
+    )
+    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        "day", "new_users", F.sum("new_users").over(w).cast("bigint").alias("cumulative_uniques")
+    )

@@ -288,3 +288,70 @@ def test_mg_sketch_state_is_bounded(spark):
     # and the serving merge still reproduces the exact batch counts
     out = st.merge_mg_sketch_log(spark.table("st13_state_probe")).collect()
     assert sum(r["est_total"] for r in out) > 0
+
+
+def test_stateful_checkpoint_restart_recovers_state(spark, tmp_path):
+    """Kill-and-restart for CUSTOM state (`applyInPandasWithState`):
+    the per-user running totals must survive the restart — the state
+    store must reload from the checkpoint and CONTINUE counting, so the
+    final snapshot equals the batch aggregate over all chunks (a reset
+    state would undercount; a replayed chunk would overcount)."""
+    import glob, shutil, time as _time
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = _time.time()
+    for i in range(6):
+        _write_chunk(
+            os.path.join(src, f"c{i}.parquet"),
+            [
+                _row(10 * i + j, f"2024-01-01 0{i}:0{j}:00", user_id=j % 2, value=1.0)
+                for j in range(3)
+            ],
+        )
+        os.utime(os.path.join(src, f"c{i}.parquet"), (base + i, base + i))
+
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    files = sorted(glob.glob(src + "/*.parquet"))
+    for f in files[:3]:
+        shutil.copy2(f, staged)
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
+        updates = st.stateful_user_totals(stream)
+        q = (
+            updates.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    try:
+        run_once()
+        for f in files[3:]:
+            shutil.copy2(f, staged)
+        run_once()  # restart: state must RESUME, not reset
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    from mapreducehs_spark.streaming.ops import latest_per_user
+
+    final = {
+        r["user_id"]: r["n_events"]
+        for r in latest_per_user(spark.read.parquet(out)).collect()
+    }
+    # 6 chunks x 3 rows: user 0 gets 2 rows/chunk (j=0,2), user 1 gets 1
+    assert final == {0: 12, 1: 6}
