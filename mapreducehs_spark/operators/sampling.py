@@ -169,6 +169,15 @@ def mixture_resample(
 
 
 def global_positions(df: DataFrame, order_cols: list[str], out_col: str = "pos") -> DataFrame:
+    """See ``global_positions_cached`` — this convenience form discards
+    the cache handle (callers that materialize the result eagerly, e.g.
+    via localCheckpoint, should prefer the _cached form and unpersist)."""
+    return global_positions_cached(df, order_cols, out_col)[0]
+
+
+def global_positions_cached(
+    df: DataFrame, order_cols: list[str], out_col: str = "pos"
+) -> tuple[DataFrame, DataFrame]:
     """Assign every row its 1-based position in the global order of
     ``order_cols`` — scalably.
 
@@ -180,7 +189,10 @@ def global_positions(df: DataFrame, order_cols: list[str], out_col: str = "pos")
     #partitions longs reach the driver), then add each partition's
     cumulative offset to its local running index in an Arrow kernel.
     The sorted frame is persisted so both passes see the SAME sampled
-    range boundaries.
+    range boundaries — it MUST stay cached until the positions are
+    materialized (recomputing could re-sample different boundaries),
+    which is why the second return value hands the cache to the caller
+    to unpersist after materialization.
 
     The training-data use: a seeded content-hash order column turns
     this into a reproducible epoch shuffle (q89); downstream shard
@@ -219,4 +231,4 @@ def global_positions(df: DataFrame, order_cols: list[str], out_col: str = "pos")
             seen += len(pdf)
             yield pdf
 
-    return s.mapInPandas(kernel, schema=out_schema)
+    return s.mapInPandas(kernel, schema=out_schema), s

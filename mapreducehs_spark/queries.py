@@ -5228,7 +5228,7 @@ def t15_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort + partition offsets): a bare row_number() window would rank
     the whole vocabulary in ONE task — fine at test scale, a straggler
     on a billion-term n-gram vocabulary."""
-    from mapreducehs_spark.operators.sampling import global_positions
+    from mapreducehs_spark.operators.sampling import global_positions_cached
 
     docs = _t(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
@@ -5240,14 +5240,17 @@ def t15_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("f"))
     )
-    ranked = global_positions(
+    ranked, cache = global_positions_cached(
         freq.withColumn("neg_f", -F.col("f")), ["neg_f", "term"], "r"
     )
-    return ranked.agg(
-        F.count(F.lit(1)).alias("vocab"),
-        F.round(F.expr("regr_slope(ln(f), ln(r))"), 6).alias("zipf_slope"),
-        F.round(F.expr("regr_r2(ln(f), ln(r))"), 6).alias("r2"),
-    )
+    try:
+        return ranked.agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.round(F.expr("regr_slope(ln(f), ln(r))"), 6).alias("zipf_slope"),
+            F.round(F.expr("regr_r2(ln(f), ln(r))"), 6).alias("r2"),
+        ).localCheckpoint()  # materialize the 1-row result, then free the cache
+    finally:
+        cache.unpersist(blocking=False)
 
 
 @query(
@@ -9340,10 +9343,14 @@ def s13_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q113_rfm_segments",
     oracle="""
     WITH ref AS (
-      SELECT max(epoch(ts)) AS t_ref FROM events
+      -- floor() BEFORE the subtraction: epoch() is fractional and
+      -- CAST(double AS BIGINT) ROUNDS in DuckDB while Spark's
+      -- unix_timestamp truncates (the verify-skill recipe)
+      SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS t_ref FROM events
     ), per_user AS (
       SELECT user_id,
-             CAST((SELECT t_ref FROM ref) - max(epoch(ts)) AS BIGINT) AS recency_s,
+             CAST((SELECT t_ref FROM ref)
+                  - max(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS recency_s,
              CAST(count(*) AS BIGINT) AS frequency,
              CAST(sum(CASE WHEN event_type = 'purchase'
                            THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
@@ -9379,7 +9386,7 @@ def q113_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every metric is integer (seconds, counts, cents) and every order
     carries a user_id tiebreak, so quintile boundaries are
     total-ordered and the whole grid value-checks at any parallelism."""
-    from mapreducehs_spark.operators.sampling import global_positions
+    from mapreducehs_spark.operators.sampling import global_positions_cached
 
     ev = _t(spark, sf_dir, "events")
     ref = ev.agg(F.max(F.unix_timestamp("ts")).alias("t_ref"))
@@ -9426,10 +9433,13 @@ def q113_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(rem) + ((pos - F.lit(cut) + small - 1) / small).cast("bigint")
             )
 
+        caches = []
+
         def score(order_cols, name):
-            ranked = global_positions(
+            ranked, cache = global_positions_cached(
                 per_user.select("user_id", *order_cols), order_cols + ["user_id"], "pos"
             )
+            caches.append(cache)
             return ranked.select(
                 "user_id", tile(F.col("pos")).cast("int").alias(name)
             )
@@ -9451,6 +9461,8 @@ def q113_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         per_user.unpersist(blocking=False)
+        for c in caches:  # the three range-sorted position caches
+            c.unpersist(blocking=False)
 
 
 @query(

@@ -77,7 +77,7 @@ def prepare_stream_dir(
 ) -> str:
     """Materialize ``events`` as a time-ordered chunked replay directory.
 
-    Idempotent per (sf_dir, n_chunks): reuses the directory if it is
+    Idempotent per (sf_dir, n_chunks, n_flush): reuses the directory if it is
     already fully built (a ``_DONE`` marker commits it).
     """
     from mapreducehs_spark.sources.catalog import source_fingerprint
@@ -807,9 +807,11 @@ def merge_mg_sketch_log(log: DataFrame) -> DataFrame:
 def clicks_left_outer_purchases(
     events: DataFrame, within: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:
-    """Stream-stream LEFT OUTER join: every click, with its first-chance
-    purchase match within ``within`` — or NULLs once the watermark
-    proves no match can arrive.
+    """Stream-stream LEFT OUTER join: every click, with ONE ROW PER
+    matching purchase within ``within`` (a click with k in-window
+    purchases emits k rows, exactly like the batch LEFT join the oracle
+    runs) — or a single NULL row once the watermark proves no match can
+    arrive.
 
     The outer side is the semantics inner joins can't express: an
     unmatched click is emitted (purchase columns NULL) only after the
