@@ -1383,3 +1383,55 @@ def test_cms_overestimate_property(spark):
         assert bad == 0
     finally:
         freq.unpersist(blocking=False)
+
+
+def test_build_fixture_once_atomic_and_legacy_safe(tmp_path):
+    """The fixture builder must (a) build+commit atomically, (b) replace
+    a legacy half-built dir that lacks the _DONE marker, and (c) discard
+    a build when another builder already committed the base."""
+    import os
+
+    from mapreducehs_spark.sources.catalog import build_fixture_once
+
+    base = str(tmp_path / "fx")
+
+    def build_v(tag):
+        def _b(tmp):
+            os.makedirs(tmp, exist_ok=True)
+            with open(os.path.join(tmp, "data.txt"), "w") as f:
+                f.write(tag)
+
+        return _b
+
+    # (a) fresh build commits with _DONE
+    out = build_fixture_once(base, build_v("v1"))
+    assert out == base
+    assert os.path.exists(os.path.join(base, "_DONE"))
+    assert open(os.path.join(base, "data.txt")).read() == "v1"
+
+    # (c) a second build is a no-op (existing _DONE wins, v1 kept)
+    out = build_fixture_once(base, build_v("v2"))
+    assert open(os.path.join(base, "data.txt")).read() == "v1"
+
+    # (b) legacy half-built dir (no _DONE) gets replaced
+    os.remove(os.path.join(base, "_DONE"))
+    out = build_fixture_once(base, build_v("v3"))
+    assert os.path.exists(os.path.join(base, "_DONE"))
+    assert open(os.path.join(base, "data.txt")).read() == "v3"
+
+    # (c') racing loser: builder whose rename loses discards its tmp
+    import shutil
+
+    def racing_build(tmp):
+        # while this builder works, a competitor commits the base
+        shutil.rmtree(base, ignore_errors=True)
+        build_v("winner")(base)
+        with open(os.path.join(base, "_DONE"), "w") as f:
+            f.write("ok")
+        build_v("loser")(tmp)
+
+    os.remove(os.path.join(base, "_DONE"))
+    out = build_fixture_once(base, racing_build)
+    assert open(os.path.join(base, "data.txt")).read() == "winner"
+    # loser's tmp cleaned up
+    assert not [d for d in os.listdir(tmp_path) if ".tmp." in d]
