@@ -170,8 +170,11 @@ def mixture_resample(
 
 def global_positions(df: DataFrame, order_cols: list[str], out_col: str = "pos") -> DataFrame:
     """See ``global_positions_cached`` — this convenience form discards
-    the cache handle (callers that materialize the result eagerly, e.g.
-    via localCheckpoint, should prefer the _cached form and unpersist)."""
+    the cache handle, leaking the internally persisted range-sorted
+    frame until the session's cache is cleared.  Every production
+    caller uses the _cached form (materialize via localCheckpoint, then
+    unpersist — the t15/q113/q89/d17 pattern); this form remains for
+    tests and throwaway exploration only."""
     return global_positions_cached(df, order_cols, out_col)[0]
 
 

@@ -4834,24 +4834,29 @@ def q89_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     export step before training (new epoch = new seed string), with the
     guarantees random() can't give: stable under re-runs, re-sharding,
     and engine changes.  Positions come from
-    operators/sampling.global_positions — range-partitioned sort +
-    per-partition offsets, never the single-task gather a bare
+    operators/sampling.global_positions_cached — range-partitioned sort
+    + per-partition offsets, never the single-task gather a bare
     ``row_number() OVER (ORDER BY ...)`` collapses to — and shard
     assignment is arithmetic on the position; at 100 TB the per-shard
-    writer is ``partitionBy(shard)`` on this frame.  Both engines
-    share the md5 definition, so the permutation is value-checked."""
-    from mapreducehs_spark.operators.sampling import global_positions
+    writer is ``partitionBy(shard)`` on this frame (which materializes
+    it, exactly like the localCheckpoint here).  Both engines share the
+    md5 definition, so the permutation is value-checked."""
+    from mapreducehs_spark.operators.sampling import global_positions_cached
 
     docs = _t(spark, sf_dir, "documents")
     keyed = docs.select(
         "doc_id",
         F.md5(F.concat(F.lit("epoch7_"), F.col("doc_id").cast("string"))).alias("shuffle_key"),
     )
-    return (
-        global_positions(keyed, ["shuffle_key", "doc_id"])
-        .withColumn("shard", F.floor((F.col("pos") - 1) / 64).cast("bigint"))
-        .select("doc_id", "pos", "shard")
-    )
+    pos, cache = global_positions_cached(keyed, ["shuffle_key", "doc_id"])
+    try:
+        return (
+            pos.withColumn("shard", F.floor((F.col("pos") - 1) / 64).cast("bigint"))
+            .select("doc_id", "pos", "shard")
+            .localCheckpoint()  # materialize, then free the sorted cache
+        )
+    finally:
+        cache.unpersist(blocking=False)
 
 
 @query(
@@ -5490,8 +5495,12 @@ def m05_pointer_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = source_fingerprint(sf_dir, "documents")
 
     def _write_media(tmp: str) -> None:
+        from mapreducehs_spark.sources.catalog import guard_driver_fixture
+
         os.makedirs(tmp, exist_ok=True)
-        for r in _t(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        guard_driver_fixture(docs, f"m05 media fixture ({sf_dir})")
+        for r in docs.collect():
             with open(os.path.join(tmp, f"doc_{r['doc_id']}.bin"), "wb") as f:
                 f.write(r["text"].encode("utf-8"))
 
@@ -6534,11 +6543,14 @@ def d17_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     RANGE SORT plus W narrow self-equi-joins on position — O(W·n)
     pairs total, never all-pairs, and no hash randomness, so unlike
     LSH the WHOLE operator (key, ordering, window, verification) is
-    value-checked.  Positions come from sampling.global_positions
+    value-checked.  Positions come from sampling.global_positions_cached
     (range-repartition + offsets — q89's machinery), not a single-task
-    global window; the duplicate-jaccard filter is the integer-exact
-    form (na+nb ≤ 3·inter ⟺ J ≥ 0.5), so no float boundary exists."""
-    from mapreducehs_spark.operators.sampling import global_positions
+    global window; the narrow (doc_id, pos) frame is checkpointed once
+    so BOTH sides of the W-offset self-join read the same materialized
+    positions and the full-width sorted cache is freed immediately; the
+    duplicate-jaccard filter is the integer-exact form
+    (na+nb ≤ 3·inter ⟺ J ≥ 0.5), so no float boundary exists."""
+    from mapreducehs_spark.operators.sampling import global_positions_cached
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
@@ -6550,7 +6562,11 @@ def d17_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", F.slice("dt", 1, 3)).alias("snm_key"),
         F.size("dt").alias("n_dt"),
     )
-    pos = global_positions(keyed, ["snm_key", "doc_id"]).select("doc_id", "pos")
+    ranked, cache = global_positions_cached(keyed, ["snm_key", "doc_id"])
+    try:
+        pos = ranked.select("doc_id", "pos").localCheckpoint()
+    finally:
+        cache.unpersist(blocking=False)
     a = pos.select(F.col("doc_id").alias("id_a"), F.col("pos").alias("pos_a"))
     b = pos.select(F.col("doc_id").alias("id_b"), F.col("pos").alias("pos_b"))
     offsets = spark.range(1, 4).select(F.col("id").alias("off"))
@@ -8146,8 +8162,10 @@ def q108_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("src")
         .persist()
     )
-    levels = []  # per-level checkpointed frames, released in finally
+    levels = []  # per-level checkpoint free() handles, called in finally
     try:
+        from mapreducehs_spark.operators.iteration import local_checkpoint_freeable
+
         start = edges.agg(F.min("src")).collect()[0][0]  # one scalar to the driver
         dist = spark.createDataFrame([(start, 0)], "node long, d int")
         for level in range(1, 4):
@@ -8156,15 +8174,14 @@ def q108_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 frontier.join(edges, frontier["node"] == edges["src"])
                 .select(F.col("dst").alias("node"), F.lit(level).alias("d"))
             )
-            dist = (
-                dist.unionByName(expanded)
-                .groupBy("node")
-                .agg(F.min("d").alias("d"))
-                # checkpoint the per-level result: keeps the lineage flat
-                # (O(1) plan depth per level, not O(level))
-                .localCheckpoint(eager=False)
+            # checkpoint the per-level result: keeps the lineage flat
+            # (O(1) plan depth per level, not O(level)); freeable so the
+            # reached-set-sized blocks don't outlive the query
+            dist, free = local_checkpoint_freeable(
+                dist.unionByName(expanded).groupBy("node").agg(F.min("d").alias("d")),
+                eager=False,
             )
-            levels.append(dist)
+            levels.append(free)
         return (
             dist.groupBy(F.col("d").alias("hops"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
@@ -8172,8 +8189,11 @@ def q108_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         edges.unpersist(blocking=False)
-        for lv in levels:  # drop the reached-set-sized checkpoint blocks
-            lv.unpersist(blocking=False)
+        # the result above is materialized — the per-level checkpoint
+        # blocks can now be genuinely released (DataFrame.unpersist()
+        # would be a no-op here; see operators/iteration.py)
+        for free_level in levels:
+            free_level()
 
 
 @query(
@@ -8945,12 +8965,15 @@ def s12_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return _dot
 
+    from mapreducehs_spark.operators.iteration import local_checkpoint_freeable
+
     cur = (
         base.filter(F.col("vec_id") != 0)
         .withColumn("sq", dot_udf(qvec)(F.col("qv")))
         .withColumn("mx", F.lit(0).cast("bigint"))
         .persist()
     )
+    free_cur = cur.unpersist  # CacheManager-persisted: plain unpersist works
     try:
         picks = []
         for rank in range(1, 6):
@@ -8973,18 +8996,19 @@ def s12_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if rank == 1
                 else F.greatest(F.col("mx"), dot_udf(svec)(F.col("qv")))
             )
-            nxt = (
-                cur.filter(F.col("vec_id") != top["vec_id"])
-                .withColumn("mx", upd)
-                .localCheckpoint()  # flatten per-round lineage
+            # flatten per-round lineage; eager, so the superseded round's
+            # blocks can be released immediately below (plain unpersist()
+            # would be a no-op on these — see operators/iteration.py)
+            nxt, free_nxt = local_checkpoint_freeable(
+                cur.filter(F.col("vec_id") != top["vec_id"]).withColumn("mx", upd)
             )
-            cur.unpersist(blocking=False)
-            cur = nxt
+            free_cur()
+            cur, free_cur = nxt, free_nxt
         return spark.createDataFrame(
             picks, "rank long, vec_id long, relevance long, max_prev long, margin long"
         )
     finally:
-        cur.unpersist(blocking=False)
+        free_cur()
 
 
 @query(
@@ -9423,14 +9447,15 @@ def q113_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def tile(pos):
             # SQL ntile(5): first `rem` tiles hold base+1 rows.  ceil
-            # via (a + b - 1) div b; greatest() guards the (unselected)
-            # base=0 branch under ANSI division
+            # via (a + b - 1) div b — the truncating integer `div` the
+            # repo standardizes on, no float path; greatest() guards
+            # the (unselected) base=0 branch under ANSI division
             big = F.lit(base + 1)
             small = F.greatest(F.lit(base), F.lit(1))
             return F.when(
-                pos <= F.lit(cut), ((pos + big - 1) / big).cast("bigint")
+                pos <= F.lit(cut), F.call_function("div", pos + big - 1, big)
             ).otherwise(
-                F.lit(rem) + ((pos - F.lit(cut) + small - 1) / small).cast("bigint")
+                F.lit(rem) + F.call_function("div", pos - F.lit(cut) + small - 1, small)
             )
 
         caches = []

@@ -151,6 +151,40 @@ def write_any(
     writer.save(path)
 
 
+#: Ceiling for driver-materialized fixture builds (rows).  The stream
+#: replay chunker and the m05 media writer pull a whole table through
+#: the driver BY DESIGN (they play the external store feeding the
+#: engine — not a query path), which is fine at test scale factors but
+#: would OOM the driver silently at a real one.  5 M rows ~ a few
+#: hundred MB of pandas for the events schema: far above every test
+#: sf (sf1 events ~ 1 M rows) and far below driver heap.
+DRIVER_FIXTURE_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_DRIVER_FIXTURE_MAX_ROWS", "5000000")
+)
+
+
+def guard_driver_fixture(df: DataFrame, what: str, max_rows: int | None = None) -> int:
+    """Refuse to driver-materialize *df* if it exceeds the fixture
+    ceiling; returns the row count otherwise.
+
+    The pre-count is a deliberate extra scan (key-only, a single long to
+    the driver) — checking ``len()`` after ``toPandas()``/``collect()``
+    would be after the OOM.  These builders run once per (sf, shape)
+    and cache, so the scan is not on any query path.
+    """
+    limit = DRIVER_FIXTURE_MAX_ROWS if max_rows is None else max_rows
+    n = df.count()
+    if n > limit:
+        raise RuntimeError(
+            f"refusing to driver-materialize {what}: {n:,} rows exceeds the "
+            f"fixture ceiling of {limit:,}. This builder plays a small "
+            "external store; at this scale rewrite it as distributed "
+            "foreachPartition writes or raise "
+            "SPARK_GRAFT_DRIVER_FIXTURE_MAX_ROWS explicitly."
+        )
+    return n
+
+
 def build_fixture_once(base: str, build) -> str:
     """Build a derived fixture directory exactly once, safely under
     CONCURRENT builders (bench + pytest on one box): build into a
@@ -166,9 +200,16 @@ def build_fixture_once(base: str, build) -> str:
         return base
     tmp = f"{base}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
-    build(tmp)
-    with open(os.path.join(tmp, "_DONE"), "w") as f:
-        f.write("ok")
+    try:
+        build(tmp)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok")
+    except BaseException:
+        # don't leave a half-built pid dir behind for a failed build —
+        # the same pid retrying would reuse the path, anyone else never
+        # looks at it, so it is pure litter
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     try:
         os.rename(tmp, base)
     except OSError:
@@ -182,4 +223,12 @@ def build_fixture_once(base: str, build) -> str:
                 os.rename(tmp, base)
             except OSError:
                 shutil.rmtree(tmp, ignore_errors=True)
+                if not os.path.exists(done):
+                    # both renames lost AND no complete fixture exists:
+                    # returning `base` here would defer to a confusing
+                    # read error downstream — fail loudly at the cause
+                    raise RuntimeError(
+                        f"fixture build lost both rename races and {base} "
+                        "has no _DONE marker; retry the build"
+                    )
     return base

@@ -97,10 +97,13 @@ def prepare_stream_dir(
 def _build_stream_chunks(
     spark: SparkSession, sf_dir: str, n_chunks: int, out: str, n_flush: int = 1
 ) -> None:
+    from mapreducehs_spark.sources.catalog import guard_driver_fixture
+
     os.makedirs(out, exist_ok=True)
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+    guard_driver_fixture(ev, f"stream replay chunks ({sf_dir})")
     pdf = ev.toPandas().sort_values("ts", kind="mergesort", ignore_index=True)
     n = len(pdf)
     bounds = [round(i * n / n_chunks) for i in range(n_chunks + 1)]
@@ -605,10 +608,13 @@ def _build_late_stream_chunks(
     n_ontime_chunks: int,
     out: str,
 ) -> None:
+    from mapreducehs_spark.sources.catalog import guard_driver_fixture
+
     os.makedirs(out, exist_ok=True)
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+    guard_driver_fixture(ev, f"late-stream replay chunks ({sf_dir})")
     pdf = ev.toPandas().sort_values("ts", kind="mergesort", ignore_index=True)
     t_max = pdf["ts"].max()
     lo = t_max - pd.Timedelta(seconds=late_lo_sec)

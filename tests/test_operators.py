@@ -1435,3 +1435,59 @@ def test_build_fixture_once_atomic_and_legacy_safe(tmp_path):
     assert open(os.path.join(base, "data.txt")).read() == "winner"
     # loser's tmp cleaned up
     assert not [d for d in os.listdir(tmp_path) if ".tmp." in d]
+
+
+def test_build_fixture_once_cleans_up_failed_build(tmp_path):
+    """A build() that raises must not leave its pid-suffixed tmp dir
+    behind (it is litter no other process ever reads) and must surface
+    the original exception."""
+    import os
+
+    from mapreducehs_spark.sources.catalog import build_fixture_once
+
+    base = str(tmp_path / "fx_fail")
+
+    def boom(tmp):
+        os.makedirs(tmp, exist_ok=True)
+        with open(os.path.join(tmp, "partial.txt"), "w") as f:
+            f.write("half")
+        raise ValueError("fixture build exploded")
+
+    with pytest.raises(ValueError, match="exploded"):
+        build_fixture_once(base, boom)
+    assert not [d for d in os.listdir(tmp_path) if ".tmp." in d]
+    assert not os.path.exists(base)
+
+
+def test_local_checkpoint_freeable_releases_blocks(spark):
+    """Pin the two facts operators/iteration.py is built on: (a) plain
+    DataFrame.unpersist() does NOT unregister a localCheckpoint's RDD
+    (it bypasses the CacheManager), and (b) the returned free() handle
+    does — the persistent-RDD registry returns to baseline."""
+    from mapreducehs_spark.operators.iteration import (
+        _persistent_rdds,
+        local_checkpoint_freeable,
+    )
+
+    sc = spark.sparkContext
+    base_ids = set(_persistent_rdds(sc))
+    df, free = local_checkpoint_freeable(spark.range(1000).selectExpr("id", "id * 2 AS x"))
+    assert df.count() == 1000
+    assert set(_persistent_rdds(sc)) - base_ids, "checkpoint registered nothing"
+    df.unpersist(blocking=True)  # the documented no-op
+    assert set(_persistent_rdds(sc)) - base_ids, "plain unpersist unexpectedly worked"
+    free()
+    assert not (set(_persistent_rdds(sc)) - base_ids), "free() left blocks registered"
+    free()  # idempotent
+
+
+def test_guard_driver_fixture_trips_on_oversized_frame(spark):
+    """Driver-materializing fixture builders (stream replay chunker, m05
+    media writer) refuse frames above the row ceiling — the guard must
+    fire BEFORE toPandas()/collect(), with an actionable message."""
+    from mapreducehs_spark.sources.catalog import guard_driver_fixture
+
+    df = spark.range(100)
+    assert guard_driver_fixture(df, "small fixture", max_rows=100) == 100
+    with pytest.raises(RuntimeError, match="fixture ceiling"):
+        guard_driver_fixture(df, "oversized fixture", max_rows=99)
