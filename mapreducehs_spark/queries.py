@@ -9575,3 +9575,32 @@ def q114_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.select(
         "day", "new_users", F.sum("new_users").over(w).cast("bigint").alias("cumulative_uniques")
     )
+
+
+def _replayed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducehs_spark import streaming as st
+
+    replay = st.prepare_docs_stream_dir(spark, sf_dir, n_chunks=4)
+    return st.docs_stream(spark, replay)
+
+
+@query("st15_stream_minhash_dedup", oracle=_d11_oracle())
+def st15_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming INCREMENTAL near-dup dedup — d11's fully value-checked
+    MinHash-LSH banding as bounded applyInPandasWithState state
+    (streaming/ops.stateful_minhash_dedup): each arriving doc signs in
+    one Arrow pass, lands in its 4 LSH band buckets, and emits
+    candidate pairs against the bucket's current members with the
+    signature-agreement count attached; buckets evict ``ttl_sec`` of
+    event time after their newest member.  The replay span (doc_id
+    seconds) sits far inside the TTL here, so no bucket evicts and the
+    emitted pair set must equal batch d11 EXACTLY — the d11 oracle
+    checks the streaming topology bit-for-bit (the st13 discipline:
+    run the stream in its exact regime, value-check against batch).
+    Bounded-state behavior itself is pinned separately with a short TTL
+    in tests/test_streaming.py."""
+    from mapreducehs_spark import streaming as st
+
+    pairs = st.stateful_minhash_dedup(_replayed_docs(spark, sf_dir), ttl_sec=10**9)
+    log = st.run_to_batch(pairs, "st15_sink", output_mode="append")
+    return st.minhash_pairs_from_log(log, est_threshold=0.25)

@@ -865,3 +865,266 @@ def clicks_left_outer_purchases(
         F.unix_timestamp("c_ts").alias("click_epoch"),
         (F.col("purchase_id").isNotNull()).alias("matched"),
     )
+
+
+# ---------------------------------------------------------------------------
+# st15: streaming incremental MinHash near-dup dedup
+# ---------------------------------------------------------------------------
+
+#: Schema of the replayed documents stream (st15).  ``ts`` is synthetic
+#: arrival time (epoch + doc_id seconds) — the watermark axis that
+#: bounds the dedup state.
+DOCS_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("text", StringType()),
+    ]
+)
+
+_MINHASH_PAIRS_OUT = StructType(
+    [
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("n_agree", LongType()),
+    ]
+)
+
+#: band-bucket state: member doc ids + their signatures flattened
+#: (NUM_PERM longs per id, same order as ids)
+_MINHASH_STATE = StructType(
+    [
+        StructField("ids", ArrayType(LongType())),
+        StructField("sigs", ArrayType(LongType())),
+    ]
+)
+
+
+def prepare_docs_stream_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 4,
+    base_dir: str = "/tmp/mapreducehs_docs_stream",
+) -> str:
+    """Replay dir for the documents table: doc_id-ordered chunks with a
+    synthetic arrival timestamp (epoch 2024-01-01 + doc_id seconds), one
+    chunk per trigger.  Same idempotent build-once contract as
+    ``prepare_stream_dir``.  No flush sentinel: st15 emits pairs on
+    ARRIVAL (not on watermark close), so nothing needs flushing."""
+    from mapreducehs_spark.sources.catalog import build_fixture_once, source_fingerprint
+
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}_c{n_chunks}_v1"
+        f"_{source_fingerprint(sf_dir, 'documents')}"
+    )
+    return build_fixture_once(
+        os.path.join(base_dir, key),
+        lambda tmp: _build_docs_stream_chunks(spark, sf_dir, n_chunks, tmp),
+    )
+
+
+def _build_docs_stream_chunks(
+    spark: SparkSession, sf_dir: str, n_chunks: int, out: str
+) -> None:
+    from mapreducehs_spark.sources.catalog import guard_driver_fixture
+
+    os.makedirs(out, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    guard_driver_fixture(docs, f"docs stream replay chunks ({sf_dir})")
+    pdf = docs.toPandas().sort_values("doc_id", ignore_index=True)
+    pdf["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(pdf["doc_id"], unit="s")
+    pdf = pdf[["doc_id", "ts", "text"]]
+    n = len(pdf)
+    now = time.time()
+    bounds = [round(i * n / n_chunks) for i in range(n_chunks + 1)]
+    for i in range(n_chunks):
+        chunk = pdf.iloc[bounds[i] : bounds[i + 1]]
+        if len(chunk) == 0:
+            continue
+        path = os.path.join(out, f"chunk_{i:04d}.parquet")
+        chunk.to_parquet(
+            path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(path, (now + i * 10, now + i * 10))
+
+
+def docs_stream(
+    spark: SparkSession, replay_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a docs replay dir (one chunk per trigger)."""
+    return (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(replay_dir)
+    )
+
+
+def stateful_minhash_dedup(
+    docs: DataFrame,
+    ttl_sec: int = 10**9,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming INCREMENTAL MinHash-LSH near-dup detection — d11's
+    checked banding law as bounded ``applyInPandasWithState`` state
+    (the composition VERDICT r4 asked for: d11 value-check + st13
+    bounded state).
+
+    Topology: each arriving doc computes its 16-permutation checked
+    signature in one Arrow pass (identical law to
+    ``operators/dedup.minhash_lsh_pairs_checked`` — md5-hex-fold
+    shingle ids, literal-seed universal hashes, so the DuckDB oracle
+    replays it), explodes into its 4 LSH band keys, and each
+    (band, band_key) BUCKET is a stateful group holding the ids +
+    signatures of its members.  A new member emits a candidate pair
+    against every current member with the signature-agreement count
+    attached — candidates-then-verify, never all-pairs, exactly the
+    batch operator's shape but incremental: a doc is compared the
+    moment it arrives, against a bucket, not the corpus.
+
+    State is bounded two ways: a bucket holds only docs whose band key
+    collided (LSH's own sparsity), and ``ttl_sec`` of event time after
+    a bucket's newest member the whole bucket is EVICTED via
+    EventTimeTimeout — the at-scale knob: dedup-against-recent-history
+    (the production posture for an always-on ingest; a replayed span
+    shorter than the TTL sees no eviction and the emitted pairs equal
+    the batch d11 result exactly, which is how st15 value-checks).
+
+    At 100 TB/day: state per bucket is members × (1 + NUM_PERM) longs,
+    buckets shard across state-store partitions by (band, bk), and the
+    TTL keeps total state proportional to the dedup horizon, not the
+    stream's history."""
+    import hashlib
+    import re
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from mapreducehs_spark.operators.dedup import (
+        _H31,
+        MINHASH_CHECK_BANDS,
+        MINHASH_CHECK_NUM_PERM,
+        minhash_check_seeds,
+    )
+
+    a_seeds, b_seeds = minhash_check_seeds()
+    a_arr_rows = np.array(a_seeds, dtype=np.int64)[:, None]
+    b_arr_rows = np.array(b_seeds, dtype=np.int64)[:, None]
+    num_perm = MINHASH_CHECK_NUM_PERM
+    bands = MINHASH_CHECK_BANDS
+    rows_per_band = num_perm // bands
+    ttl_ms = int(ttl_sec) * 1000
+
+    @pandas_udf("array<bigint>")
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        """Per-doc checked signature; None for docs with < 3 tokens
+        (the batch operator filters them before shingling).  Same law
+        as the batch path: x = md5-hex-15 fold mod p; m_i = min over
+        shingles of (a_i*x + b_i) mod p.  a*x < 2^62, no overflow."""
+        out = []
+        for text in texts:
+            toks = [t for t in re.split(r"\s+", text or "") if t != ""]
+            if len(toks) < 3:
+                out.append(None)
+                continue
+            xs = np.fromiter(
+                (
+                    int(hashlib.md5(" ".join(toks[i : i + 3]).encode()).hexdigest()[:15], 16)
+                    % _H31
+                    for i in range(len(toks) - 2)
+                ),
+                dtype=np.int64,
+            )
+            out.append(((a_arr_rows * xs[None, :] + b_arr_rows) % _H31).min(axis=1).tolist())
+        return pd.Series(out)
+
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[
+                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = (
+        docs.withColumn("sig", sig_udf(F.col("text")))
+        .filter(F.col("sig").isNotNull())
+        .withColumn("__bks", band_keys)
+        .select("doc_id", "ts", "sig", F.posexplode("__bks").alias("band", "bk"))
+        .withWatermark("ts", watermark)
+    )
+
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ids, sigs = state.get
+            ids = list(ids)
+            sig_mat = np.array(sigs, dtype=np.int64).reshape(-1, num_perm)
+        else:
+            ids, sig_mat = [], np.empty((0, num_perm), dtype=np.int64)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_n: list[int] = []
+        max_ts_ms = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            max_ts_ms = max(
+                max_ts_ms, int(pdf["ts"].max().value // 1_000_000)
+            )
+            pdf = pdf.sort_values("doc_id")  # deterministic intra-batch order
+            for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+                doc_id = int(doc_id)
+                if doc_id in ids:
+                    continue  # redelivery: already a member
+                sv = np.array(list(sig), dtype=np.int64)
+                if len(ids):
+                    agrees = (sig_mat == sv[None, :]).sum(axis=1)
+                    for other, n_ag in zip(ids, agrees):
+                        lo, hi = (other, doc_id) if other < doc_id else (doc_id, other)
+                        out_a.append(lo)
+                        out_b.append(hi)
+                        out_n.append(int(n_ag))
+                ids.append(doc_id)
+                sig_mat = np.vstack([sig_mat, sv[None, :]])
+        state.update((ids, [int(v) for v in sig_mat.ravel()]))
+        # evict the bucket ttl after its newest member's event time
+        # (must exceed the current watermark at set time)
+        state.setTimeoutTimestamp(
+            max(max_ts_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        if out_a:
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "n_agree": out_n})
+
+    return banded.groupBy("band", "bk").applyInPandasWithState(
+        fn,
+        outputStructType=_MINHASH_PAIRS_OUT,
+        stateStructType=_MINHASH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def minhash_pairs_from_log(log: DataFrame, est_threshold: float = 0.25) -> DataFrame:
+    """Serving read for ``stateful_minhash_dedup``: a pair discovered in
+    k shared bands appears k times with the SAME n_agree (the agreement
+    is a pure function of the two signatures) — dedup, attach the d11
+    estimate law, filter.  Column names match d11 so the same oracle
+    checks both."""
+    from mapreducehs_spark.operators.dedup import MINHASH_CHECK_NUM_PERM
+
+    return (
+        log.dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "est_jaccard", F.round(F.col("n_agree") / float(MINHASH_CHECK_NUM_PERM), 6)
+        )
+        .filter(F.col("est_jaccard") >= est_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )

@@ -355,3 +355,81 @@ def test_stateful_checkpoint_restart_recovers_state(spark, tmp_path):
     }
     # 6 chunks x 3 rows: user 0 gets 2 rows/chunk (j=0,2), user 1 gets 1
     assert final == {0: 12, 1: 6}
+
+
+def test_minhash_stream_equals_batch_d11(spark):
+    """st15's core claim: with the TTL beyond the replay span (no
+    eviction), the incremental per-bucket pair discovery must emit
+    EXACTLY the batch d11 pair set with identical agreement counts —
+    stream == batch for the whole LSH topology (signatures, banding,
+    candidates, estimates)."""
+    from mapreducehs_spark.operators import dedup
+    from mapreducehs_spark.sources.catalog import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    replay = st.prepare_docs_stream_dir(spark, sf_dir, n_chunks=4)
+    pairs = st.stateful_minhash_dedup(st.docs_stream(spark, replay), ttl_sec=10**9)
+    log = st.run_to_batch(pairs, "st15_test_sink", output_mode="append")
+    got = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in st.minhash_pairs_from_log(log, est_threshold=0.25).collect()
+    }
+
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs_checked(docs, est_threshold=0.25).collect()
+    }
+    assert got == want
+    assert len(got) > 0, "replay produced no near-dup pairs — fixture degenerate"
+
+
+def test_minhash_stream_state_is_bounded(spark):
+    """The st15 scale claim, pinned like st13's: with a TTL shorter than
+    the replay span, watermark-driven EventTimeTimeout must EVICT stale
+    band buckets — the state-store row count must drop between progress
+    reports, and the final total must sit well under the no-eviction
+    bucket count."""
+    sf_dir = "/root/testdata/sf0.001"
+    replay = st.prepare_docs_stream_dir(spark, sf_dir, n_chunks=4)
+    # doc ts spacing is 1 s/doc — a 30 s TTL is ~30 docs of history,
+    # far less than the chunk span, so chunk N's buckets die by chunk N+1
+    pairs = st.stateful_minhash_dedup(
+        st.docs_stream(spark, replay), ttl_sec=30, watermark="5 seconds"
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName("st15_state_probe")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    try:
+        assert q.awaitTermination(timeout=300)
+        state_rows = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in q.recentProgress
+            if p.get("stateOperators")
+        ]
+    finally:
+        if q.isActive:
+            q.stop()
+    assert state_rows, "no state metrics captured"
+    removed = [
+        p["stateOperators"][0].get("numRowsRemoved", 0)
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    assert sum(removed) > 0, "TTL eviction never fired"
+    # no-eviction upper bound: every doc signs into 4 buckets, so state
+    # without a TTL would approach 4 rows/doc minus collisions; with the
+    # 30 s horizon the peak must stay a small fraction of that
+    n_docs = pd.read_parquet(os.path.join("/root/testdata/sf0.001", "documents.parquet")).shape[0]
+    assert max(state_rows) < 2 * n_docs, (
+        f"state {max(state_rows)} rows — TTL not bounding (no-TTL bound ~{4 * n_docs})"
+    )
