@@ -56,18 +56,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 @query(
     "q01_pricing_summary",
     oracle="""
+    WITH s AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sbp,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sdp,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                      * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS sch,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sdh,
+             count(*) AS n
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+    )
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 4)                                        AS sum_qty,
-           round(sum(l_extendedprice), 4)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
-           round(avg(l_quantity), 6)                                        AS avg_qty,
-           round(avg(l_extendedprice), 6)                                   AS avg_price,
-           round(avg(l_discount), 6)                                        AS avg_disc,
-           count(*)                                                         AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-    GROUP BY l_returnflag, l_linestatus
+           CAST(sq AS DOUBLE)                  AS sum_qty,
+           round(sbp / 100.0, 4)               AS sum_base_price,
+           round(sdp / 10000.0, 4)             AS sum_disc_price,
+           round(sch / 1000000.0, 4)           AS sum_charge,
+           ((sq * 1000000) // n) / 1000000.0   AS avg_qty,
+           ((sbp * 10000) // n) / 1000000.0    AS avg_price,
+           ((sdh * 10000) // n) / 1000000.0    AS avg_disc,
+           n                                   AS count_order
+    FROM s
     """,
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,21 +88,43 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shipdate filter into the parquet scan and prunes to 7 columns;
     the aggregation is partial+final (map-side combine) — the plan the
     reference could never produce (it materializes every stage,
-    SURVEY §4.2)."""
+    SURVEY §4.2).
+
+    Arithmetic is the repo's exact fixed-point discipline (money in
+    cents, discounts/taxes in hundredths, averages as truncating
+    micro-unit division): a double SUM's value depends on partial-agg
+    order, and at ~6 M rows (the sf1 measurement, SCALE.md) the
+    engines' orderings drift past the 4-decimal rounding boundary —
+    integer sums are order-free, so the query value-checks at EVERY
+    scale factor.  Magnitudes: cents·1e4 per row < 1e11, summed < 1e18,
+    inside bigint."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty_i = F.round(F.col("l_quantity")).cast("bigint")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("bigint")  # cents
+    dh = F.round(F.col("l_discount") * 100).cast("bigint")  # hundredths
+    th = F.round(F.col("l_tax") * 100).cast("bigint")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(qty_i).alias("sq"),
+            F.sum(pc).alias("sbp"),
+            F.sum(pc * (100 - dh)).alias("sdp"),
+            F.sum(pc * (100 - dh) * (100 + th)).alias("sch"),
+            F.sum(dh).alias("sdh"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("sq").cast("double").alias("sum_qty"),
+            F.round(F.col("sbp") / 100.0, 4).alias("sum_base_price"),
+            F.round(F.col("sdp") / 10000.0, 4).alias("sum_disc_price"),
+            F.round(F.col("sch") / 1000000.0, 4).alias("sum_charge"),
+            (F.expr("(sq * 1000000L) div n") / 1000000.0).alias("avg_qty"),
+            (F.expr("(sbp * 10000L) div n") / 1000000.0).alias("avg_price"),
+            (F.expr("(sdh * 10000L) div n") / 1000000.0).alias("avg_disc"),
+            F.col("n").alias("count_order"),
         )
     )
 
