@@ -388,18 +388,23 @@ def q09_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
-           round(sum(l_extendedprice), 4) AS sum_price
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0, 4)
+             AS sum_price
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
 def q10_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact integer-cents sum: the (all, all) cube cell folds the whole
+    # table, where a double SUM's partial-agg order drifts past the
+    # rounding boundary at 10x data (q01's sf1 lesson)
     li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     return li.cube("l_returnflag", "l_linestatus").agg(
         (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
         .cast("int")
         .alias("gid"),
-        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.round(F.sum(cents) / 100.0, 4).alias("sum_price"),
     )
 
 
@@ -1412,7 +1417,8 @@ def st03_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(o_orderpriority, '(all)') AS priority,
            coalesce(o_orderstatus, '(all)')  AS status,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 4) AS total
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0, 4)
+             AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                             (o_orderpriority), ())
@@ -1431,7 +1437,11 @@ def q24_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            # integer-cents sum: the () grouping set folds all orders —
+            # order-free exact arithmetic survives any scale (q01 lesson)
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0, 4
+            ).alias("total"),
         )
         .select(
             F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
@@ -1573,12 +1583,18 @@ def q28_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q29_unpivot",
     oracle="""
-    WITH w AS (
+    WITH c AS (
       SELECT l_returnflag,
-             round(sum(l_extendedprice), 4)                  AS base,
-             round(sum(l_extendedprice * (1 - l_discount)), 4) AS discounted,
-             round(sum(l_extendedprice * l_tax), 4)          AS tax
-      FROM lineitem GROUP BY l_returnflag
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             CAST(round(l_discount * 100) AS BIGINT) AS dh,
+             CAST(round(l_tax * 100) AS BIGINT) AS th
+      FROM lineitem
+    ), w AS (
+      SELECT l_returnflag,
+             round(CAST(sum(pc) AS BIGINT) / 100.0, 4)               AS base,
+             round(CAST(sum(pc * (100 - dh)) AS BIGINT) / 10000.0, 4) AS discounted,
+             round(CAST(sum(pc * th) AS BIGINT) / 10000.0, 4)        AS tax
+      FROM c GROUP BY l_returnflag
     )
     SELECT l_returnflag, 'base' AS measure, base AS amount FROM w
     UNION ALL
@@ -1592,12 +1608,15 @@ def q29_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     the inverse of q11's pivot.  Runs as an Expand over the aggregate,
     no extra shuffle."""
     li = _t(spark, sf_dir, "lineitem")
+    # exact fixed-point sums (cents / 1e-4 units) — order-free at any
+    # scale factor (q01's sf1 lesson)
+    pc = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    dh = F.round(F.col("l_discount") * 100).cast("bigint")
+    th = F.round(F.col("l_tax") * 100).cast("bigint")
     wide = li.groupBy("l_returnflag").agg(
-        F.round(F.sum("l_extendedprice"), 4).alias("base"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-            "discounted"
-        ),
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_tax")), 4).alias("tax"),
+        F.round(F.sum(pc) / 100.0, 4).alias("base"),
+        F.round(F.sum(pc * (100 - dh)) / 10000.0, 4).alias("discounted"),
+        F.round(F.sum(pc * th) / 10000.0, 4).alias("tax"),
     )
     return wide.unpivot(
         ids=["l_returnflag"],
@@ -3389,7 +3408,9 @@ def q63_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q64_disjunctive_brand_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+                 / 10000.0, 4) AS revenue
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
@@ -3414,7 +3435,18 @@ def q64_disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(cond)
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        # single global fold over ~1/3 of lineitem: exact 1e-4-unit
+        # integer sum, order-free at any scale (q01's sf1 lesson)
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                    * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+                )
+                / 10000.0,
+                4,
+            ).alias("revenue")
+        )
     )
 
 
@@ -3927,7 +3959,8 @@ def q69_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT band_id, lo,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 4) AS sum_price
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0, 4)
+             AS sum_price
     FROM orders o JOIN bands b
       ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
     GROUP BY band_id, lo
@@ -3961,7 +3994,10 @@ def q70_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("o_totalprice") < F.col("hi"))  # half-open [lo, hi)
     return joined.groupBy("band_id", "lo").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        # exact integer-cents sum (order-free at any scale — q01 lesson)
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0, 4
+        ).alias("sum_price"),
     )
 
 

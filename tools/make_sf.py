@@ -74,22 +74,31 @@ def build(out_dir: str, factor: int = 10, src_dir: str = "/root/testdata/sf0.1")
 
     emit("region", f"SELECT * FROM {src('region')}")
     emit("nation", f"SELECT * FROM {src('nation')}")
+    # identity-like name columns stay UNIQUE per entity (as a real
+    # generator would make them): replica > 0 suffixes "_r<i>".  Without
+    # this, queries that aggregate or join BY NAME (q65 groups the
+    # answer by s_name) silently merge the replicas and diverge from
+    # their per-key formulation.  Low-cardinality semantic columns
+    # (brand, type, segment, nation) replicate as-is, like TPC-H.
+    def uniq(col: str) -> str:
+        return f"CASE WHEN i = 0 THEN {col} ELSE {col} || '_r' || i::VARCHAR END AS {col}"
+
     emit(
         "customer",
         f"""SELECT c_custkey + i * {card['customer']} AS c_custkey,
-                   c_name, c_nationkey, c_acctbal, c_mktsegment
+                   {uniq('c_name')}, c_nationkey, c_acctbal, c_mktsegment
             FROM {src('customer')}, {rep}""",
     )
     emit(
         "supplier",
         f"""SELECT s_suppkey + i * {card['supplier']} AS s_suppkey,
-                   s_name, s_nationkey, s_acctbal
+                   {uniq('s_name')}, s_nationkey, s_acctbal
             FROM {src('supplier')}, {rep}""",
     )
     emit(
         "part",
         f"""SELECT p_partkey + i * {card['part']} AS p_partkey,
-                   p_name, p_brand, p_type, p_size, p_retailprice
+                   {uniq('p_name')}, p_brand, p_type, p_size, p_retailprice
             FROM {src('part')}, {rep}""",
     )
     emit(
@@ -135,10 +144,33 @@ def build(out_dir: str, factor: int = 10, src_dir: str = "/root/testdata/sf0.1")
                    END) AS BIGINT) AS n_chars
             FROM {src('documents')}, {rep}""",
     )
+    # Per-replica deterministic SIGN FLIPS on the embedding dimensions:
+    # an orthogonal transform, so every within-replica dot product /
+    # cosine / norm is EXACTLY preserved (the replica's similarity
+    # structure is the original's), while cross-replica cosines
+    # decorrelate.  Copying vectors verbatim instead makes every vector
+    # 10 near-identical twins: ANN/dedup bucket sizes grow by FACTOR and
+    # candidate pairs by FACTOR^2 — observed as a quadratic stall in
+    # d16 at sf1 — which is a data artifact, not workload scaling.
+    # sign = md5-derived bit of (i, j): linear-congruential mod-2
+    # patterns degenerate to parity (replicas of equal parity would
+    # share one pattern and stay identical); an md5 fold does not.
+    dim = con.execute(f"SELECT len(embedding) FROM {src('embeddings')} LIMIT 1").fetchone()[0]
     emit(
         "embeddings",
-        f"""SELECT vec_id + i * {card['embeddings']} AS vec_id, embedding, label
-            FROM {src('embeddings')}, {rep}""",
+        f"""WITH u AS (
+              SELECT vec_id, label, i, j,
+                     embedding[j + 1]
+                       * (CASE WHEN i = 0
+                               OR ('0x' || substr(md5(i::VARCHAR || '_' || j::VARCHAR), 1, 2))::INT % 2 = 0
+                               THEN 1 ELSE -1 END) AS v
+              FROM {src('embeddings')}, {rep}, unnest(range({dim})) t(j)
+            )
+            SELECT vec_id + i * {card['embeddings']} AS vec_id,
+                   CAST(list(v ORDER BY j) AS FLOAT[]) AS embedding,
+                   any_value(label) AS label
+            FROM u
+            GROUP BY vec_id, i""",
     )
 
 
