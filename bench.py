@@ -132,6 +132,8 @@ HEADLINE = [
     "s13_ann_recall_report",
     "q113_rfm_segments",
     "q114_cumulative_uniques",
+    # round-5 addition: perceptual-hash image dedup
+    "m11_phash_dedup",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the

@@ -503,3 +503,55 @@ def sampled_frame_stats(
         batches,
         schema="id long, n_frames long, n_sampled long, px_sum long, px_min long, px_max long",
     )
+
+
+def ahash_64(
+    df: DataFrame, id_col: str = "id", payload_col: str = "payload"
+) -> DataFrame:
+    """64-bit average hash (aHash) of image payloads — decode and hash
+    FUSED in one Arrow stage (the m06/m08 discipline: full-resolution
+    rasters never leave the batch).
+
+    The classic perceptual-hash recipe, in exact integer arithmetic so
+    a SQL oracle can replay it: decode (real PGM parse), partition the
+    raster into an 8x8 grid of blocks, block SUM per cell (= mean x
+    block size, kept as the integer sum), bit k (row-major cell k) set
+    iff 64*cell_sum > total_sum.  The hash is returned as two
+    non-negative 32-bit halves (``lo`` bits 0-31, ``hi`` bits 32-63):
+    keeping bit 63 out of a BIGINT's sign position sidesteps
+    arithmetic-vs-logical shift divergence between engines.
+
+    Emits (id, lo, hi).  Near-duplicate images then band-join on 16-bit
+    hash quarters and verify by XOR popcount — m11 composes this with
+    the d-series banding paradigm.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, los, his = [], [], []
+        for pdf in it:
+            for i, pl in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_image(bytes(pl))
+                h, w = img.shape
+                if h % 8 or w % 8:
+                    raise ValueError(f"ahash_64: dims {h}x{w} not divisible by 8")
+                cells = (
+                    img.astype(np.int64)
+                    .reshape(8, h // 8, 8, w // 8)
+                    .sum(axis=(1, 3))
+                    .ravel()
+                )
+                total = int(cells.sum())
+                bits = cells * 64 > total
+                lo = hi = 0
+                for k in range(32):
+                    if bits[k]:
+                        lo |= 1 << k
+                    if bits[k + 32]:
+                        hi |= 1 << k
+                ids.append(int(i))
+                los.append(lo)
+                his.append(hi)
+            yield pd.DataFrame({"id": ids, "lo": los, "hi": his})
+            ids, los, his = [], [], []
+
+    return df.mapInPandas(batches, schema="id long, lo long, hi long")

@@ -9678,3 +9678,99 @@ def st15_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = st.stateful_minhash_dedup(_replayed_docs(spark, sf_dir), ttl_sec=10**9)
     log = st.run_to_batch(pairs, "st15_sink", output_mode="append")
     return st.minhash_pairs_from_log(log, est_threshold=0.25)
+
+
+@query(
+    "m11_phash_dedup",
+    oracle="""
+    WITH cells AS (
+      SELECT doc_id, r, c,
+             CAST(sum((doc_id * 31 + ((2 * r + br) * 32 + (4 * c + bc)) * 7) % 256)
+                  AS BIGINT) AS cs
+      FROM documents,
+           unnest(range(8)) tr(r), unnest(range(8)) tc(c),
+           unnest(range(2)) tbr(br), unnest(range(4)) tbc(bc)
+      GROUP BY doc_id, r, c
+    ), tot AS (
+      SELECT doc_id, CAST(sum(cs) AS BIGINT) AS total FROM cells GROUP BY doc_id
+    ), bits AS (
+      SELECT cells.doc_id, (r * 8 + c) AS k,
+             CASE WHEN cs * 64 > total THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      FROM cells JOIN tot USING (doc_id)
+    ), h AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN k < 32 THEN bit << k ELSE 0 END) AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN k >= 32 THEN bit << (k - 32) ELSE 0 END) AS BIGINT) AS hi
+      FROM bits GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, b,
+             CASE b WHEN 0 THEN lo & 65535 WHEN 1 THEN lo >> 16
+                    WHEN 2 THEN hi & 65535 ELSE hi >> 16 END AS bk
+      FROM h, unnest(range(4)) tb(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi)) AS BIGINT)
+             AS hamming
+    FROM cand c
+    JOIN h ha ON ha.doc_id = c.id_a
+    JOIN h hb ON hb.doc_id = c.id_b
+    WHERE bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi)) <= 3
+    """,
+)
+def m11_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL-HASH image dedup — the multimodal member of the dedup
+    suite (fifth blocking paradigm): real decode (PGM parse) + 8x8
+    block-sum average hash fused in one Arrow stage
+    (operators/multimodal.ahash_64), then the d-series
+    candidates-then-verify shape on the hash — band-join on the four
+    16-bit hash quarters, XOR-popcount verification at hamming <= 3.
+    The threshold is chosen for the banding GUARANTEE: <= 3 differing
+    bits cannot touch all 4 bands (pigeonhole), so recall is exact,
+    not probabilistic.  The synthetic pixel law makes image content
+    repeat every 256 doc_ids, so the corpus genuinely contains
+    duplicate images and the whole operator (decode -> hash -> banding
+    -> popcount) value-checks bit-for-bit.  At 100 TB: hashing is
+    scan-shaped over the media store manifest (m05's pointer layout),
+    the shuffle carries 64-bit hashes — never pixels — and bucket
+    sizes are bounded by true duplicate-class sizes."""
+    from mapreducehs_spark.operators.multimodal import ahash_64, render_pgm_payloads
+
+    docs = _t(spark, sf_dir, "documents")
+    payloads = render_pgm_payloads(docs, "doc_id", width=32, height=16)
+    ah = ahash_64(payloads).persist()  # read by banding + both verify sides
+    try:
+        bands = F.array(
+            *[
+                F.when(F.lit(b) == 0, F.col("lo").bitwiseAND(F.lit(65535)))
+                .when(F.lit(b) == 1, F.shiftright(F.col("lo"), 16))
+                .when(F.lit(b) == 2, F.col("hi").bitwiseAND(F.lit(65535)))
+                .otherwise(F.shiftright(F.col("hi"), 16))
+                for b in range(4)
+            ]
+        )
+        banded = ah.select(F.col("id"), F.posexplode(bands).alias("b", "bk"))
+        cand = (
+            banded.select(F.col("id").alias("id_a"), "b", "bk")
+            .join(banded.select(F.col("id").alias("id_b"), "b", "bk"), ["b", "bk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        ha = ah.select(F.col("id").alias("id_a"), F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a"))
+        hb = ah.select(F.col("id").alias("id_b"), F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b"))
+        hamming = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
+            F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+        )
+        return (
+            cand.join(ha, "id_a")
+            .join(hb, "id_b")
+            .withColumn("hamming", hamming.cast("bigint"))
+            .filter(F.col("hamming") <= 3)
+            .select("id_a", "id_b", "hamming")
+            .localCheckpoint()  # materialize while ah is cached
+        )
+    finally:
+        ah.unpersist(blocking=False)
