@@ -4024,9 +4024,14 @@ def q71_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches merged per group (operators/sketches.py) — the
     bounded-shuffle alternative to explode→groupBy→count: shuffle rows
     are O(partitions × capacity), not O(corpus tokens).  With capacity
-    (64) ≥ the corpus vocabulary the sketch is provably exact, which is
-    what the oracle checks; the approximation bound N/(c+1) for
-    adversarial vocabularies is pinned in unit tests."""
+    ≥ the corpus vocabulary the sketch is provably exact, which is what
+    the oracle checks — capacity is SIZED FROM the measured vocabulary
+    (one narrow distinct-count pass, a scalar to the driver) so the
+    exact-regime contract holds at every scale factor instead of
+    silently breaking when the vocabulary outgrows a constant (it did
+    at the 10x sf1 sweep: token-salted replicas multiply vocab by 10).
+    Production fixed-capacity operation lives in the N/(c+1) error
+    bound, pinned for adversarial vocabularies in unit tests."""
     from mapreducehs_spark.operators.sketches import mg_topk_per_group
 
     docs = _t(spark, sf_dir, "documents")
@@ -4037,7 +4042,10 @@ def q71_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.explode_outer("__toks").alias("term"))
         .filter(F.col("term").isNotNull())
     )
-    return mg_topk_per_group(terms, group_col="lang", term_col="term", capacity=64, k=5)
+    vocab = terms.select("term").distinct().count()  # scalar to the driver
+    return mg_topk_per_group(
+        terms, group_col="lang", term_col="term", capacity=max(64, vocab), k=5
+    )
 
 
 @query(
