@@ -399,17 +399,24 @@ def all_pairs_cosine_blocked(
         [
             StructField("blk", LongType()),
             StructField("ids", ArrayType(LongType())),
-            StructField("mat", ArrayType(ArrayType(DoubleType()))),
+            StructField("mat", ArrayType(DoubleType())),
         ]
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        # mat is the block matrix FLATTENED row-major: a flat
+        # array<double> crosses the Arrow boundary as one contiguous
+        # buffer, where array<array<double>> materialized ~n·dim Python
+        # objects per block row on every read (measured: the d16 sf1
+        # pair stage went from minutes to seconds)
         pdf = pdf.sort_values("__id", ignore_index=True)
         return pd.DataFrame(
             {
                 "blk": [int(pdf["__blk"].iloc[0])],
                 "ids": [pdf["__id"].tolist()],
-                "mat": [pdf["__vec"].tolist()],
+                "mat": [
+                    np.concatenate([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]]).tolist()
+                ],
             }
         )
 
@@ -424,13 +431,22 @@ def all_pairs_cosine_blocked(
         .persist()
     )
 
+    # shuffle only the TINY (blk_a, blk_b) pair index and broadcast the
+    # packed blocks to it: the previous form repartitioned the fat
+    # joined rows themselves, i.e. shuffled O(B²) block-sized payloads
+    # (= n²/B · dim doubles) — the broadcast is O(n · dim) once per
+    # executor.  Beyond broadcast range the right operator is the LSH
+    # prefilter (cosine_pairs_lsh), per the docstring.
+    blks = blocks.select("blk")
+    pair_idx = blks.select(F.col("blk").alias("blk_a")).join(
+        blks.select(F.col("blk").alias("blk_b")), F.col("blk_a") <= F.col("blk_b")
+    )
     left = blocks.select(
         F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"), F.col("mat").alias("mat_a")
     )
     right = blocks.select(
         F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"), F.col("mat").alias("mat_b")
     )
-    block_pairs = left.join(right, F.col("blk_a") <= F.col("blk_b"))
 
     out_schema = StructType(
         [
@@ -446,8 +462,8 @@ def all_pairs_cosine_blocked(
             for row in pdf.itertuples(index=False):
                 ids_a = np.asarray(row.ids_a, dtype=np.int64)
                 ids_b = np.asarray(row.ids_b, dtype=np.int64)
-                ma = np.stack([np.asarray(v, dtype=np.float64) for v in row.mat_a])
-                mb = np.stack([np.asarray(v, dtype=np.float64) for v in row.mat_b])
+                ma = np.array(row.mat_a, dtype=np.float64).reshape(len(ids_a), -1)
+                mb = np.array(row.mat_b, dtype=np.float64).reshape(len(ids_b), -1)
                 na = np.linalg.norm(ma, axis=1, keepdims=True)
                 nb = np.linalg.norm(mb, axis=1, keepdims=True)
                 np.divide(ma, na, out=ma, where=na > 0)
@@ -469,11 +485,15 @@ def all_pairs_cosine_blocked(
                 else pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
             )
 
-    # repartition so each block pair is its own task (B² small fat rows)
-    n_pairs = max(blocks.count(), 1)
-    return block_pairs.repartition(min(n_pairs * (n_pairs + 1) // 2, 256)).mapInPandas(
-        score, schema=out_schema
+    # spread the pair INDEX over tasks (cheap int rows), then attach
+    # the block payloads from the broadcast copies executor-side
+    n_blocks = max(blocks.count(), 1)
+    fat = (
+        pair_idx.repartition(min(n_blocks * (n_blocks + 1) // 2, 256))
+        .join(F.broadcast(left), "blk_a")
+        .join(F.broadcast(right), "blk_b")
     )
+    return fat.mapInPandas(score, schema=out_schema)
 
 
 def kmeans_profile(
