@@ -132,8 +132,9 @@ HEADLINE = [
     "s13_ann_recall_report",
     "q113_rfm_segments",
     "q114_cumulative_uniques",
-    # round-5 addition: perceptual-hash image dedup
+    # round-5 additions: perceptual-hash image dedup, PQ/ADC ANN
     "m11_phash_dedup",
+    "s14_pq_adc_topk",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the

@@ -9782,3 +9782,125 @@ def m11_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         ah.unpersist(blocking=False)
+
+
+@query(
+    "s14_pq_adc_topk",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ), cb AS (
+      SELECT vec_id AS cid, v FROM e WHERE vec_id < 16
+    ), corpus AS (
+      SELECT vec_id, v FROM e WHERE vec_id >= 8
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8
+    ), grid AS (
+      SELECT m, d FROM range(4) tm(m), range(16) td(d)
+    ), cdist AS (
+      SELECT c.vec_id, g.m, cb.cid,
+             CAST(sum((c.v[g.m * 16 + g.d + 1] - cb.v[g.m * 16 + g.d + 1])
+                      * (c.v[g.m * 16 + g.d + 1] - cb.v[g.m * 16 + g.d + 1])) AS BIGINT) AS sq
+      FROM corpus c, cb, grid g
+      GROUP BY 1, 2, 3
+    ), enc AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT vec_id, m, cid,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY sq ASC, cid ASC) AS rn
+        FROM cdist
+      ) WHERE rn = 1
+    ), qtab AS (
+      SELECT q.query_id, g.m, cb.cid,
+             CAST(sum((q.qv[g.m * 16 + g.d + 1] - cb.v[g.m * 16 + g.d + 1])
+                      * (q.qv[g.m * 16 + g.d + 1] - cb.v[g.m * 16 + g.d + 1])) AS BIGINT) AS sq
+      FROM q, cb, grid g
+      GROUP BY 1, 2, 3
+    ), adc AS (
+      SELECT qt.query_id, en.vec_id AS match_id, CAST(sum(qt.sq) AS BIGINT) AS adc
+      FROM enc en JOIN qtab qt ON qt.m = en.m AND qt.cid = en.code
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc ASC, match_id ASC
+      ) AS rank FROM adc
+    )
+    SELECT query_id, match_id, adc, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def s14_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT-QUANTIZATION ANN (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search") — the third ANN paradigm
+    after IVF cells (s06) and SRP-LSH (s07), and the one that changes
+    the MEMORY story: the corpus is stored as 4-byte PQ codes (one
+    subspace-codebook index per 16-dim quarter), ~128x smaller than the
+    raw vectors, and each query scans codes with an Asymmetric Distance
+    Computation table — 4 lookups + 3 adds per corpus vector, no
+    floating-point per-pair math.  At 100 TB that is the difference
+    between an index that fits executor memory and one that doesn't;
+    encode is one Arrow pass, the ADC scan is one Arrow pass with the
+    8 query tables broadcast (model-sized driver state, the s05/s06
+    discipline), and the per-query top-k lowers to WindowGroupLimit.
+
+    Determinism: vectors quantize to integer milli-units (s08 recipe),
+    codebooks are the FIRST 16 vectors per subspace (fixed sample, no
+    trained randomness — s06's convention), all distances are integer
+    sums with lowest-index tie-breaks, so encode → tables → ADC → rank
+    replays bit-for-bit in the DuckDB oracle."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qz = F.expr("transform(embedding, x -> cast(floor(x * 1000) as bigint))")
+    base = emb.select("vec_id", qz.alias("v"))
+    M, DS, K = 4, 16, 16  # subspaces x dims-each, codebook size
+
+    cb_rows = base.filter(F.col("vec_id") < K).orderBy("vec_id").collect()
+    C = np.array([r["v"] for r in cb_rows], dtype=np.int64)  # (K, 64)
+    Csub = C.reshape(K, M, DS).transpose(1, 0, 2)  # (M, K, DS)
+
+    def encode_batches(it):
+        for pdf in it:
+            X = np.array(pdf["v"].to_list(), dtype=np.int64).reshape(len(pdf), M, DS)
+            codes = np.empty((len(pdf), M), dtype=np.int64)
+            for m in range(M):
+                # (b, K) integer squared distances; argmin takes the
+                # FIRST minimum — the lowest-cid tie-break the oracle uses
+                d = ((X[:, m, None, :] - Csub[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d.argmin(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes)})
+
+    corpus = base.filter(F.col("vec_id") >= 8)
+    coded = corpus.mapInPandas(encode_batches, schema="vec_id long, codes array<bigint>")
+
+    q_rows = base.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    qids = [int(r["vec_id"]) for r in q_rows]
+    Q = np.array([r["v"] for r in q_rows], dtype=np.int64).reshape(len(qids), M, DS)
+    # ADC tables: (n_q, M, K) integer squared distances query-subspace
+    # -> centroid; a few KB — broadcast by closure capture
+    qtab = ((Q[:, :, None, :] - Csub[None, :, :, :]) ** 2).sum(axis=3)
+
+    def adc_batches(it):
+        for pdf in it:
+            codes = np.array(pdf["codes"].to_list(), dtype=np.int64)  # (b, M)
+            outs = []
+            for qi, qid in enumerate(qids):
+                adc = qtab[qi][np.arange(M)[None, :], codes].sum(axis=1)
+                outs.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "match_id": pdf["vec_id"], "adc": adc}
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    scored = coded.mapInPandas(
+        adc_batches, schema="query_id long, match_id long, adc long"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("match_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "match_id", "adc", F.col("rank").cast("bigint").alias("rank"))
+    )
