@@ -12,6 +12,7 @@ style prefix fingerprint), n-grams, per-facet term statistics (TF-IDF).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -509,3 +510,32 @@ def bpe_merge_steps(
         )
         out.append((it, a, b, cnt, int(vocab_after)))
     return out
+
+
+def micro_ln_udf():
+    """``floor(1e6 * ln(x))`` with the log evaluated by the C library
+    (``math.log``) instead of the JVM intrinsic.
+
+    The micro-nat laws (t17/t23/t24) floor-quantize a natural log: the
+    IEEE spec does NOT require correctly-rounded ``ln``, and the JVM's
+    and DuckDB's (glibc) implementations disagree by an ulp on some
+    inputs — enough to flip the floor when 1e6*ln(x) sits within ~4e-9
+    of an integer.  Invisible at test scale, it surfaced in the 10x
+    sf1 sweep (t17: one vocabulary term hit the boundary).  Routing
+    the log through CPython's ``math.log`` pins both engines to the
+    SAME shared libm on any single host, which is the strongest
+    invariant available for a transcendental.  Apply on
+    vocabulary-sized frames only (it is an Arrow round trip); the
+    RATIO must be computed JVM-side in double first — IEEE division is
+    exactly specified, so the udf's input is bit-identical to the
+    oracle's.
+    """
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _micro_ln(x: pd.Series) -> pd.Series:
+        return pd.Series([math.floor(1e6 * math.log(v)) for v in x], dtype="int64")
+
+    return _micro_ln

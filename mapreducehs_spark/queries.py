@@ -5892,8 +5892,9 @@ def t16_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(sum(c) AS BIGINT) AS n_tokens,
-           round(sum(c * CAST(floor(1e6 * ln(CAST(f AS DOUBLE) / n)) AS BIGINT))
-                 / CAST(sum(c) AS DOUBLE) / 1e6, 4) AS avg_logprob
+           (CAST(sum(c * CAST(floor(1e6 * ln(CAST(f AS DOUBLE) / n)) AS BIGINT))
+                 AS BIGINT) * 10000
+            // (CAST(sum(c) AS BIGINT) * 1000000)) / 10000.0 AS avg_logprob
     FROM doc_term JOIN freq USING (term), tot
     GROUP BY doc_id
     """,
@@ -5919,17 +5920,34 @@ def t17_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_term = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
     freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
     total = freq.agg(F.sum("f").cast("double").alias("n"))
-    micro = F.floor(F.lit(1e6) * F.log(F.col("f").cast("double") / F.col("n"))).cast(
-        "bigint"
+    # micro-nats on the VOCABULARY frame via the C-library log
+    # (text.micro_ln_udf: the JVM log intrinsic diverges from the
+    # oracle's libm by an ulp — observed flipping a floor at sf1);
+    # also cheaper: one log per term instead of one per (doc, term)
+    scored = (
+        freq.crossJoin(F.broadcast(total))
+        .withColumn(
+            "micro", text.micro_ln_udf()(F.col("f").cast("double") / F.col("n"))
+        )
+        .select("term", "micro")
     )
+    # truncating integer fixed-point average (the q94 recipe): a
+    # rounded double quotient eventually lands on a .xxxx5 tie and the
+    # engines' round() split (observed at sf1: -5.70215); `div` and
+    # DuckDB `//` both truncate toward zero, so the 4-decimal value is
+    # engine-exact at any scale
     return (
-        doc_term.join(F.broadcast(freq), "term")
-        .crossJoin(F.broadcast(total))
+        doc_term.join(F.broadcast(scored), "term")
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("bigint").alias("n_tokens"),
-            F.round(
-                F.sum(F.col("c") * micro) / F.sum("c").cast("double") / F.lit(1e6), 4
+            F.sum(F.col("c") * F.col("micro")).cast("bigint").alias("__s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.expr("(__s * 10000L) div (n_tokens * 1000000L)") / F.lit(10000.0)
             ).alias("avg_logprob"),
         )
     )
@@ -7537,7 +7555,7 @@ def t21_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s09_gram_matrix",
     oracle="""
     WITH q AS (
-      SELECT [CAST(floor(x * 1000) AS BIGINT) FOR x IN embedding] AS qv
+      SELECT [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS qv
       FROM embeddings
     )
     SELECT i.i AS i, j.j AS j,
@@ -8392,9 +8410,9 @@ _T23_PAIRS_CTE = """
     )
     SELECT doc_id,
            CAST(sum(m) AS BIGINT) AS n_pairs,
-           round(sum(m * CAST(floor(1e6 * ln((cab + 1.0) / CAST(ca + vv AS DOUBLE)))
-                              AS BIGINT))
-                 / CAST(sum(m) AS DOUBLE) / 1e6, 4) AS avg_logprob
+           (CAST(sum(m * CAST(floor(1e6 * ln((cab + 1.0) / CAST(ca + vv AS DOUBLE)))
+                              AS BIGINT)) AS BIGINT) * 10000
+            // (CAST(sum(m) AS BIGINT) * 1000000)) / 10000.0 AS avg_logprob
     FROM dp JOIN big USING (a, b) JOIN uni USING (a), vocab
     GROUP BY doc_id
     """,
@@ -8428,23 +8446,35 @@ def t23_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("u").isNotNull())
             .agg(F.countDistinct("u").alias("vv"))
         )
-        micro = F.floor(
-            F.lit(1e6)
-            * F.log(
-                (F.col("cab") + 1).cast("double")
-                / (F.col("ca") + F.col("vv")).cast("double")
-            )
-        ).cast("bigint")
-        return (
-            dp.join(big, ["a", "b"])
-            .join(F.broadcast(uni), "a")
+        # micro-nats on the bigram-TABLE frame via the C-library log
+        # (text.micro_ln_udf — the JVM log intrinsic can flip a floor
+        # vs the oracle's libm; observed at sf1 on t17's twin law)
+        scored = (
+            big.join(F.broadcast(uni), "a")
             .crossJoin(F.broadcast(vocab))
+            .withColumn(
+                "micro",
+                text.micro_ln_udf()(
+                    (F.col("cab") + F.lit(1)).cast("double")
+                    / (F.col("ca") + F.col("vv")).cast("double")
+                ),
+            )
+            .select("a", "b", "micro")
+        )
+        return (
+            dp.join(scored, ["a", "b"])
             .groupBy("doc_id")
             .agg(
                 F.sum("m").cast("bigint").alias("n_pairs"),
-                F.round(
-                    F.sum(F.col("m") * micro) / F.sum("m").cast("double") / F.lit(1e6),
-                    4,
+                F.sum(F.col("m") * F.col("micro")).cast("bigint").alias("__s"),
+            )
+            # truncating fixed-point average (t17's sf1 lesson): round()
+            # of a double quotient ties at .xxxx5 and splits the engines
+            .select(
+                "doc_id",
+                "n_pairs",
+                (
+                    F.expr("(__s * 10000L) div (n_pairs * 1000000L)") / F.lit(10000.0)
                 ).alias("avg_logprob"),
             )
             .localCheckpoint()  # materialize the doc-level scores while caches live
@@ -8495,13 +8525,12 @@ def t24_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         uni = big.groupBy("a").agg(F.sum("cab").cast("bigint").alias("ca"))
         unib = big.groupBy("b").agg(F.sum("cab").cast("bigint").alias("cb"))
         tot = big.agg(F.sum("cab").cast("bigint").alias("n"))
-        pmi = F.floor(
-            F.lit(1e6)
-            * F.log(
-                (F.col("n").cast("double") * F.col("cab").cast("double"))
-                / (F.col("ca").cast("double") * F.col("cb").cast("double"))
-            )
-        ).cast("bigint")
+        # C-library log for the floor-quantized PMI (text.micro_ln_udf;
+        # the JVM intrinsic can flip a floor vs the oracle's libm)
+        pmi = text.micro_ln_udf()(
+            (F.col("n").cast("double") * F.col("cab").cast("double"))
+            / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+        )
         return (
             big.filter(F.col("cab") >= 5)
             .join(F.broadcast(uni), "a")
@@ -8523,7 +8552,7 @@ def _s11_oracle(iters: int = 3) -> str:
     `//`: -7/3 → -2 in both), so every iterate is engine-exact."""
     head = """
     WITH q AS (
-      SELECT [CAST(floor(x * 1000) AS BIGINT) FOR x IN embedding] AS qv
+      SELECT [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS qv
       FROM embeddings
     ), gU AS (
       SELECT i.i AS i, j.j AS j, CAST(sum(qv[i.i] * qv[j.j]) AS BIGINT) AS g
@@ -8977,7 +9006,7 @@ def _s12_oracle(k: int = 5) -> str:
     (margin, vec_id) total order — engine-exact at every step."""
     head = """
     WITH e AS (
-      SELECT vec_id, [CAST(floor(x * 1000) AS BIGINT) FOR x IN embedding] AS qv
+      SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS qv
       FROM embeddings
     ), q AS (
       SELECT qv FROM e WHERE vec_id = 0
@@ -9033,7 +9062,7 @@ def s12_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     emb = _t(spark, sf_dir, "embeddings")
-    qz = F.expr("transform(embedding, x -> cast(floor(x * 1000) as bigint))")
+    qz = F.expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))")
     base = emb.select("vec_id", qz.alias("qv"))
     qvec = np.array(
         base.filter(F.col("vec_id") == 0).select("qv").collect()[0][0], dtype=np.int64
@@ -9853,7 +9882,7 @@ def s14_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = _t(spark, sf_dir, "embeddings")
-    qz = F.expr("transform(embedding, x -> cast(floor(x * 1000) as bigint))")
+    qz = F.expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))")
     base = emb.select("vec_id", qz.alias("v"))
     M, DS, K = 4, 16, 16  # subspaces x dims-each, codebook size
 
