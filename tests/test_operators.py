@@ -1491,3 +1491,90 @@ def test_guard_driver_fixture_trips_on_oversized_frame(spark):
     assert guard_driver_fixture(df, "small fixture", max_rows=100) == 100
     with pytest.raises(RuntimeError, match="fixture ceiling"):
         guard_driver_fixture(df, "oversized fixture", max_rows=99)
+
+
+def test_micro_ln_matches_duckdb_libm():
+    """Pin the invariant text.micro_ln_udf is built on: CPython's
+    math.log and DuckDB's ln() resolve to the same C-library log on
+    this host, so floor(1e6*ln(x)) agrees bit-for-bit — including
+    inputs near floor boundaries.  (The JVM log intrinsic does NOT
+    share this property; that divergence flipped a floor at the sf1
+    sweep and is why the micro-nat laws route through libm.)"""
+    import math
+
+    import duckdb
+
+    xs = [(i * 2654435761 % 1000003 + 1) / 1000003.0 for i in range(2000)]
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT CAST(floor(1e6 * ln(x)) AS BIGINT) FROM (SELECT unnest(?) AS x)", [xs]
+    ).fetchall()
+    want = [math.floor(1e6 * math.log(x)) for x in xs]
+    assert [g[0] for g in got] == want
+
+
+def test_make_sf_replication_fidelity(tmp_path, spark):
+    """The scale generator's three fidelity contracts, pinned at
+    factor 2 over sf0.001: (a) referential integrity holds for every
+    foreign key; (b) identity-like name columns stay unique per entity;
+    (c) embedding sign-flips are orthogonal — within-replica dot
+    products are EXACTLY preserved while cross-replica vectors are not
+    near-identical copies."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo/tools")
+    from make_sf import build
+
+    out = str(tmp_path / "sf2x")
+    build(out, factor=2, src_dir="/root/testdata/sf0.001")
+    con = duckdb.connect()
+    t = lambda name: f"read_parquet('{out}/{name}.parquet')"  # noqa: E731
+
+    # (a) referential integrity
+    for fk, dim, key in [
+        ("o_custkey", "customer", "c_custkey"),
+        ("l_orderkey", "orders", "o_orderkey"),
+        ("l_partkey", "part", "p_partkey"),
+        ("l_suppkey", "supplier", "s_suppkey"),
+    ]:
+        fact = "orders" if fk.startswith("o_") else "lineitem"
+        n = con.execute(
+            f"SELECT count(*) FROM {t(fact)} f LEFT JOIN {t(dim)} d"
+            f" ON f.{fk} = d.{key} WHERE d.{key} IS NULL"
+        ).fetchone()[0]
+        assert n == 0, f"dangling {fk}"
+
+    # (b) replicas never merge the name space: the distinct-name count
+    # scales by the factor (the source itself may reuse names — p_name
+    # does — so per-entity uniqueness is only preserved, not created)
+    for tab, col in [("supplier", "s_name"), ("customer", "c_name"), ("part", "p_name")]:
+        d_src = con.execute(
+            f"SELECT count(DISTINCT {col}) FROM "
+            f"read_parquet('/root/testdata/sf0.001/{tab}.parquet')"
+        ).fetchone()[0]
+        d_out = con.execute(f"SELECT count(DISTINCT {col}) FROM {t(tab)}").fetchone()[0]
+        assert d_out == 2 * d_src, f"{col}: {d_out} != 2x{d_src} — replicas merged"
+
+    # (c) sign-flip orthogonality: within-replica dots preserved exactly
+    base = con.execute(
+        f"SELECT list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+        f" FROM {t('embeddings')} a, {t('embeddings')} b"
+        f" WHERE a.vec_id = 3 AND b.vec_id = 7"
+    ).fetchone()[0]
+    n_src = con.execute(
+        "SELECT max(vec_id) + 1 FROM read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    ).fetchone()[0]
+    rep = con.execute(
+        f"SELECT list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+        f" FROM {t('embeddings')} a, {t('embeddings')} b"
+        f" WHERE a.vec_id = {3 + n_src} AND b.vec_id = {7 + n_src}"
+    ).fetchone()[0]
+    assert base == rep, "replica dot product not preserved"
+    cross = con.execute(
+        f"SELECT abs(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]))"
+        f" FROM {t('embeddings')} a, {t('embeddings')} b"
+        f" WHERE a.vec_id = 3 AND b.vec_id = {3 + n_src}"
+    ).fetchone()[0]
+    assert cross < 0.9, "replica vector is a near-copy of its source"
