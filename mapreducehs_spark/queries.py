@@ -9933,3 +9933,80 @@ def s14_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "match_id", "adc", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+@query(
+    "q115_funnel_steps",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(epoch(ts)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(epoch(e.ts)) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND epoch(e.ts) > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(epoch(e.ts)) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch(e.ts) > s2.t2
+      GROUP BY e.user_id
+    ), funnel AS (
+      SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+      FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+              LEFT JOIN s3 ON s3.user_id = s1.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_viewed,
+           CAST(count(t2) AS BIGINT) AS n_clicked,
+           CAST(count(t3) AS BIGINT) AS n_purchased,
+           CAST(count(CASE WHEN t3 - t1 <= 86400 THEN 1 END) AS BIGINT)
+             AS n_completed_1d,
+           CAST(count(t3) * 1000000 // count(*) AS BIGINT) AS conv_micro
+    FROM funnel
+    """,
+)
+def q115_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT-ORDER funnel analysis (view → click → purchase) — the
+    product-analytics staple q109's attribution does not cover: each
+    step must occur strictly AFTER the user's previous step's first
+    completion, plus a completion-window variant (first purchase within
+    one day of the first view).  The sequential dependency (step k's
+    earliest time depends on step k-1's) is expressed as a cascade of
+    per-user conditional min-aggregates joined user-keyed — three
+    narrow user-sized shuffles of pre-filtered events, never a per-user
+    sort or whole-history materialization; at 100 TB each stage is a
+    partial-aggregatable min over one event type, and the funnel frame
+    is user-count-sized.  Epoch-second integers and a truncating
+    integer conversion rate keep both engines bit-identical."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("t")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("t") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("t") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t3"))
+    )
+    funnel = s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+    return funnel.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_viewed"),
+        F.count("t2").cast("bigint").alias("n_clicked"),
+        F.count("t3").cast("bigint").alias("n_purchased"),
+        F.count(F.when(F.col("t3") - F.col("t1") <= 86400, 1))
+        .cast("bigint")
+        .alias("n_completed_1d"),
+        F.expr("(count(t3) * 1000000L) div count(*)").cast("bigint").alias("conv_micro"),
+    )
