@@ -1027,3 +1027,90 @@ def fuzzy_name_pairs(
         .select("name_a", "name_b", "edit_dist")
         .dropDuplicates(["name_a", "name_b"])
     )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — the web-scale CC algorithm: converges in O(log² n)
+    rounds on ANY graph shape, where hash-to-min label propagation
+    (``resolve_duplicate_clusters``'s distributed regime) needs
+    O(diameter) rounds and dies on long chains.  Each round is two
+    aggregate+join passes over the current edge list; no adjacency
+    ever materializes per node.
+
+    - large-star(u): every STRICTLY LARGER neighbor of u connects to
+      min(Γ(u) ∪ {u});
+    - small-star(u): every neighbor ≤ u (and u itself) connects to the
+      minimum of that set.
+
+    Deterministic: the fixpoint (every node → its component minimum)
+    is unique, so the result value-checks against a recursive-CTE
+    closure regardless of round count.  Convergence is detected with
+    an order-free integer checksum of the canonicalized edge set (one
+    2-scalar aggregate to the driver per round); per-round frames are
+    localCheckpointed and genuinely freed (operators/iteration).
+
+    Returns (node, rep) for every non-representative node, rep = the
+    component's minimum id — ``resolve_duplicate_clusters``'s contract.
+    """
+    from mapreducehs_spark.operators.iteration import local_checkpoint_freeable
+
+    e0 = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+
+    def large_star(E: DataFrame) -> DataFrame:
+        sym = E.unionByName(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        gmin = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("mn"), F.col("u"))
+        return (
+            sym.join(gmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(E: DataFrame) -> DataFrame:
+        # orient (big → small); every neighbor set is then ≤ u
+        d = E.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        gmin = d.groupBy("u").agg(F.min("v").alias("mn"))
+        joined = d.join(gmin, "u")
+        a = joined.select(F.col("v").alias("u"), F.col("mn").alias("v"))  # N → m
+        b = joined.select("u", F.col("mn").alias("v")).distinct()  # u → m
+        return a.unionByName(b).filter(F.col("u") != F.col("v")).distinct()
+
+    def checksum(E: DataFrame):
+        # bit_xor: order-free AND overflow-free (sum of xxhash64 values
+        # overflows long); the edge set is distinct, so xor cancellation
+        # cannot hide a change
+        row = E.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(greatest(u, v), least(u, v)))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    cur, free_cur = local_checkpoint_freeable(e0.distinct())
+    prev_sum = checksum(cur)
+    for _ in range(max_rounds):
+        nxt, free_nxt = local_checkpoint_freeable(small_star(large_star(cur)))
+        cur_sum = checksum(nxt)
+        free_cur()
+        cur, free_cur = nxt, free_nxt
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(f"star CC did not converge in {max_rounds} rounds")
+    # converged: every edge points node → component min; a node has a
+    # single rep at the fixpoint, min() guards intermediate ties
+    out = cur.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("rep"))
+    return out

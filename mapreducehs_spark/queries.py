@@ -10010,3 +10010,48 @@ def q115_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_completed_1d"),
         F.expr("(count(t3) * 1000000L) div count(*)").cast("bigint").alias("conv_micro"),
     )
+
+
+def _d21_oracle() -> str:
+    """d21: component-min closure over the d11 checked candidate graph
+    (shared CTEs), replayed with a recursive CTE — the same closure
+    d15's oracle uses, minus the exact-verify refinement stage."""
+    ctes, agree, np_ = _minhash_checked_ctes()
+    return f"""
+    WITH RECURSIVE {ctes},
+    est AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b
+      WHERE ({agree}) / {float(np_)} >= 0.25
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM est
+      UNION
+      SELECT id_b, id_a FROM est
+    ), reach(src, dst) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
+    )
+    SELECT src AS node, CAST(min(dst) AS BIGINT) AS rep
+    FROM reach
+    GROUP BY src
+    HAVING src != min(dst)
+    """
+
+
+@query("d21_star_components", oracle=_d21_oracle())
+def d21_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via LARGE-STAR/SMALL-STAR alternation
+    (operators/dedup.connected_components_star) over d11's checked
+    MinHash candidate graph — the O(log² n)-round web-scale CC
+    algorithm next to d06's hash-to-min label propagation, which needs
+    O(diameter) rounds and straggles on chain-shaped duplicate
+    clusters.  Both reach the same unique fixpoint (node → component
+    minimum), so the star schedule value-checks against the
+    recursive-CTE closure bit-for-bit; equivalence with the union-find
+    resolver is additionally pinned in tests."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs_checked(docs, est_threshold=0.25).select(
+        "id_a", "id_b"
+    )
+    return dedup.connected_components_star(pairs)

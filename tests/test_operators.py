@@ -1578,3 +1578,32 @@ def test_make_sf_replication_fidelity(tmp_path, spark):
         f" WHERE a.vec_id = 3 AND b.vec_id = {3 + n_src}"
     ).fetchone()[0]
     assert cross < 0.9, "replica vector is a near-copy of its source"
+
+
+def test_star_cc_matches_union_find_on_chains(spark):
+    """Large-star/small-star CC must agree with the union-find resolver
+    on the shape that separates the algorithms: a LONG CHAIN (hash-min
+    propagation needs O(length) rounds there; the star alternation
+    O(log^2)).  Mixed with a clique and singleton pairs."""
+    from mapreducehs_spark.operators.dedup import (
+        connected_components_star,
+        resolve_duplicate_clusters,
+    )
+
+    pairs = []
+    pairs += [(i, i + 1) for i in range(100, 180)]  # 81-node chain
+    pairs += [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]  # clique
+    pairs += [(1000, 2000), (3000, 4000)]  # two 2-node components
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+
+    star = {
+        (r["node"], r["rep"]) for r in connected_components_star(pdf).collect()
+    }
+    uf = {
+        (r["doc_id"], r["rep_id"])
+        for r in resolve_duplicate_clusters(pdf).collect()
+        if r["doc_id"] != r["rep_id"]
+    }
+    assert star == uf
+    # the chain collapsed to one star on 100
+    assert {(i, 100) for i in range(101, 181)} <= star
