@@ -9935,9 +9935,7 @@ def s14_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q115_funnel_steps",
-    oracle="""
+_Q115_FUNNEL_ORACLE = """
     WITH s1 AS (
       SELECT user_id, min(epoch(ts)) AS t1
       FROM events WHERE event_type = 'view' GROUP BY user_id
@@ -9963,8 +9961,10 @@ def s14_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_completed_1d,
            CAST(count(t3) * 1000000 // count(*) AS BIGINT) AS conv_micro
     FROM funnel
-    """,
-)
+    """
+
+
+@query("q115_funnel_steps", oracle=_Q115_FUNNEL_ORACLE)
 def q115_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRICT-ORDER funnel analysis (view → click → purchase) — the
     product-analytics staple q109's attribution does not cover: each
@@ -10055,3 +10055,21 @@ def d21_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b"
     )
     return dedup.connected_components_star(pairs)
+
+
+@query("st16_stream_funnel", oracle=_Q115_FUNNEL_ORACLE)
+def st16_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming strict-order funnel — q115's cascade of conditional
+    mins as a per-user state machine over the time-ordered replay
+    (streaming/ops.stateful_funnel).  Event-time ordering makes each
+    step's first-completion epoch final when set, so the sequential
+    fold equals the batch law and q115's own oracle value-checks the
+    streaming topology bit-for-bit (st13/st15's discipline: run the
+    stream in its exact regime, check against batch).  Serving read =
+    latest snapshot per user (st10's upsert shape) + the batch
+    aggregate."""
+    from mapreducehs_spark import streaming as st
+
+    snapshots = st.stateful_funnel(_replayed_events(spark, sf_dir))
+    log = st.run_to_batch(snapshots, "st16_sink", output_mode="append")
+    return st.funnel_report_from_log(log)

@@ -1128,3 +1128,109 @@ def minhash_pairs_from_log(log: DataFrame, est_threshold: float = 0.25) -> DataF
         .filter(F.col("est_jaccard") >= est_threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# st16: streaming strict-order funnel (q115's law as per-user state)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("t1", LongType()),
+        StructField("t2", LongType()),
+        StructField("t3", LongType()),
+        StructField("update_seq", LongType()),
+    ]
+)
+
+_FUNNEL_STATE = StructType(
+    [
+        StructField("t1", LongType()),
+        StructField("t2", LongType()),
+        StructField("t3", LongType()),
+        StructField("seq", LongType()),
+    ]
+)
+
+
+def stateful_funnel(
+    events: DataFrame,
+    steps: tuple = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Streaming STRICT-ORDER funnel — q115's batch law as a per-user
+    state machine: state is the three first-completion epochs
+    (t1 = first `view`, t2 = first `click` strictly after t1,
+    t3 = first `purchase` strictly after t2), folded over the
+    time-ordered replay.  Because the replay is event-time ordered,
+    each tk is FINAL the moment it is set, so the sequential fold
+    computes exactly the batch cascade of conditional mins and the
+    topology value-checks against q115's oracle bit-for-bit (st13's
+    exact-regime discipline).  Emits one snapshot row per touched user
+    per micro-batch; the serving read (funnel_report_from_log) takes
+    the latest snapshot per user — st10's upsert-serving shape.  State
+    per user is 4 longs, bounded by the user population (add an
+    EventTimeTimeout for cohort-window semantics on unbounded
+    populations)."""
+    s1, s2, s3 = steps
+
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        t1, t2, t3, seq = state.get if state.exists else (None, None, None, 0)
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for et, ts in zip(pdf["event_type"], pdf["ts"]):
+                t = int(ts.value // 1_000_000_000)  # epoch seconds
+                if t1 is None:
+                    if et == s1:
+                        t1 = t
+                elif t2 is None:
+                    if et == s2 and t > t1:
+                        t2 = t
+                elif t3 is None:
+                    if et == s3 and t > t2:
+                        t3 = t
+        seq += 1
+        state.update((t1, t2, t3, seq))
+        yield pd.DataFrame(
+            {"user_id": [user], "t1": [t1], "t2": [t2], "t3": [t3], "update_seq": [seq]}
+        )
+
+    return (
+        events.filter(F.col("event_type") != FLUSH_TYPE)
+        .select("user_id", "event_type", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_FUNNEL_OUT,
+            stateStructType=_FUNNEL_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def funnel_report_from_log(log: DataFrame) -> DataFrame:
+    """Serving read for ``stateful_funnel``: latest snapshot per user,
+    then q115's aggregate (counts per step, 1-day completion window,
+    truncating micro-unit conversion) — column-for-column the batch
+    query's output, so the same oracle checks both."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("update_seq").desc())
+    latest = (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col("t1").isNotNull())
+    )
+    return latest.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_viewed"),
+        F.count("t2").cast("bigint").alias("n_clicked"),
+        F.count("t3").cast("bigint").alias("n_purchased"),
+        F.count(F.when(F.col("t3") - F.col("t1") <= 86400, 1))
+        .cast("bigint")
+        .alias("n_completed_1d"),
+        F.expr("(count(t3) * 1000000L) div count(*)").cast("bigint").alias("conv_micro"),
+    )
