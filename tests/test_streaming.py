@@ -433,3 +433,68 @@ def test_minhash_stream_state_is_bounded(spark):
     assert max(state_rows) < 2 * n_docs, (
         f"state {max(state_rows)} rows — TTL not bounding (no-TTL bound ~{4 * n_docs})"
     )
+
+
+def test_minhash_stream_checkpoint_restart_same_pairs(spark, tmp_path):
+    """Kill-and-restart for st15's custom band-bucket state: a
+    checkpointed incremental-dedup query stopped mid-replay and
+    restarted when the remaining chunks arrive must emit EXACTLY the
+    batch d11 pair set — reloaded bucket state has to keep comparing
+    new docs against members seen BEFORE the crash (a reset state
+    would lose cross-restart pairs; a replayed chunk would duplicate
+    emissions into the append sink)."""
+    import glob
+    import shutil
+
+    from mapreducehs_spark.operators import dedup
+    from mapreducehs_spark.sources.catalog import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    replay = st.prepare_docs_stream_dir(spark, sf_dir, n_chunks=4)
+    files = sorted(glob.glob(replay + "/*.parquet"))
+    assert len(files) == 4
+
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    for f in files[:2]:
+        shutil.copy2(f, staged)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        pairs = st.stateful_minhash_dedup(
+            st.docs_stream(spark, staged), ttl_sec=10**9
+        )
+        q = (
+            pairs.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_once()
+        for f in files[2:]:
+            shutil.copy2(f, staged)
+        run_once()  # restart: state reloads, only new chunks process
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    got = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in st.minhash_pairs_from_log(
+            spark.read.parquet(out), est_threshold=0.25
+        ).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs_checked(
+            load_table(spark, sf_dir, "documents"), est_threshold=0.25
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
