@@ -132,9 +132,12 @@ HEADLINE = [
     "s13_ann_recall_report",
     "q113_rfm_segments",
     "q114_cumulative_uniques",
-    # round-5 additions: perceptual-hash image dedup, PQ/ADC ANN
+    # round-5 additions: perceptual-hash image dedup, PQ/ADC ANN,
+    # strict-order funnel, star-alternation connected components
     "m11_phash_dedup",
     "s14_pq_adc_topk",
+    "q115_funnel_steps",
+    "d21_star_components",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
