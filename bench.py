@@ -138,6 +138,7 @@ HEADLINE = [
     "s14_pq_adc_topk",
     "q115_funnel_steps",
     "d21_star_components",
+    "m12_audio_fingerprint_dedup",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the

@@ -555,3 +555,85 @@ def ahash_64(
             ids, los, his = [], [], []
 
     return df.mapInPandas(batches, schema="id long, lo long, hi long")
+
+
+def render_wav_payloads_seeded(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed_mod: int = 128,
+    n_samples: int = 256,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Synthetic audio store with PLANTED duplicate classes: the signal
+    depends only on ``id % seed_mod``, and each sample is an md5 fold
+    (``(int(md5(f"{seed}_{i}")[:4], 16) % 4096) - 2048``) — white-ish
+    noise, unlike ``render_wav_payloads``'s sawtooth whose frame
+    energies are so uniform that threshold fingerprints collide
+    corpus-wide (measured: 1.3 M hamming<=3 pairs over 5 000 docs).
+    With md5 samples, fingerprints of DIFFERENT classes are ~iid random
+    bits, so near-dup pairs are exactly the planted classes plus a
+    negligible random tail — the healthy dedup workload shape.  The
+    128 signals memoize per batch; bytes are real WAV (encode_wav)."""
+    import hashlib
+
+    def signal(seed: int) -> "np.ndarray":
+        return np.array(
+            [
+                int(hashlib.md5(f"{seed}_{i}".encode()).hexdigest()[:4], 16) % 4096
+                - 2048
+                for i in range(n_samples)
+            ],
+            dtype=np.int64,
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, bytes] = {}
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                seed = int(i) % seed_mod
+                if seed not in cache:
+                    cache[seed] = encode_wav(signal(seed), sample_rate)
+                payloads.append(cache[seed])
+            yield pd.DataFrame({"id": pdf[id_col].astype("int64"), "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, schema="id long, payload binary")
+
+
+def audio_fingerprint_64(
+    df: DataFrame, id_col: str = "id", payload_col: str = "payload", n_frames: int = 64
+) -> DataFrame:
+    """64-bit audio energy fingerprint — decode and hash FUSED in one
+    Arrow stage (m11's aHash recipe on the time axis): real WAV decode
+    (RIFF chunk walk), split samples into ``n_frames`` frames, integer
+    energy (sum of squares) per frame, bit f set iff
+    ``n_frames * energy_f > total_energy``.  Exact integer arithmetic
+    end to end, hash returned as two non-negative 32-bit halves
+    (``lo``/``hi``) — same sign-safe layout as ``ahash_64``, same
+    banding/verify composition downstream (m12)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, los, his = [], [], []
+            for i, pl in zip(pdf[id_col], pdf[payload_col]):
+                samples, _rate = decode_wav(bytes(pl))
+                s = samples.astype(np.int64)
+                if len(s) % n_frames:
+                    raise ValueError(
+                        f"audio_fingerprint_64: {len(s)} samples not divisible "
+                        f"by {n_frames} frames"
+                    )
+                en = (s.reshape(n_frames, -1) ** 2).sum(axis=1)
+                bits = en * n_frames > en.sum()
+                lo = hi = 0
+                for k in range(32):
+                    if bits[k]:
+                        lo |= 1 << k
+                    if bits[k + 32]:
+                        hi |= 1 << k
+                ids.append(int(i))
+                los.append(lo)
+                his.append(hi)
+            yield pd.DataFrame({"id": ids, "lo": los, "hi": his})
+
+    return df.mapInPandas(batches, schema="id long, lo long, hi long")

@@ -10073,3 +10073,101 @@ def st16_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshots = st.stateful_funnel(_replayed_events(spark, sf_dir))
     log = st.run_to_batch(snapshots, "st16_sink", output_mode="append")
     return st.funnel_report_from_log(log)
+
+
+@query(
+    "m12_audio_fingerprint_dedup",
+    oracle="""
+    WITH samples AS (
+      SELECT doc_id, i,
+             ('0x' || substr(md5((doc_id % 128)::VARCHAR || '_' || i::VARCHAR), 1, 4))::INT
+               % 4096 - 2048 AS s
+      FROM documents, unnest(range(256)) t(i)
+    ), en AS (
+      SELECT doc_id, i // 4 AS k, CAST(sum(s * s) AS BIGINT) AS e
+      FROM samples GROUP BY 1, 2
+    ), tot AS (
+      SELECT doc_id, CAST(sum(e) AS BIGINT) AS te FROM en GROUP BY 1
+    ), bits AS (
+      SELECT en.doc_id, k,
+             CASE WHEN e * 64 > te THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      FROM en JOIN tot USING (doc_id)
+    ), h AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN k < 32 THEN bit << k ELSE 0 END) AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN k >= 32 THEN bit << (k - 32) ELSE 0 END) AS BIGINT) AS hi
+      FROM bits GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, b,
+             CASE b WHEN 0 THEN lo & 65535 WHEN 1 THEN lo >> 16
+                    WHEN 2 THEN hi & 65535 ELSE hi >> 16 END AS bk
+      FROM h, unnest(range(4)) tb(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi)) AS BIGINT)
+             AS hamming
+    FROM cand c
+    JOIN h ha ON ha.doc_id = c.id_a
+    JOIN h hb ON hb.doc_id = c.id_b
+    WHERE bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi)) <= 3
+    """,
+)
+def m12_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-dup dedup — completes the multimodal×dedup matrix
+    (text: d-series, image: m11, audio: here): real WAV decode (RIFF
+    chunk walk) fused with a 64-frame integer ENERGY fingerprint in one
+    Arrow stage (operators/multimodal.audio_fingerprint_64), then
+    m11's candidates-then-verify composition — 16-bit hash-quarter band
+    join, XOR-popcount verify at hamming <= 3 (exact recall by
+    pigeonhole).  The seeded media store (render_wav_payloads_seeded)
+    plants duplicate classes via id mod 128 with md5-white samples, so
+    near-dup pairs are the planted classes plus a negligible random
+    tail — NOT the corpus-wide collisions a sawtooth signal produces
+    (measured and rejected in the operator docstring).  Every stage is
+    exact integer arithmetic, so decode → energies → threshold bits →
+    banding → popcount replays bit-for-bit in DuckDB.  At 100 TB:
+    fingerprints shuffle, audio bytes never do (m05's pointer story)."""
+    from mapreducehs_spark.operators.multimodal import (
+        audio_fingerprint_64,
+        render_wav_payloads_seeded,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    payloads = render_wav_payloads_seeded(docs, "doc_id", seed_mod=128)
+    fp = audio_fingerprint_64(payloads).persist()  # banding + both verify sides
+    try:
+        bands = F.array(
+            *[
+                F.when(F.lit(b) == 0, F.col("lo").bitwiseAND(F.lit(65535)))
+                .when(F.lit(b) == 1, F.shiftright(F.col("lo"), 16))
+                .when(F.lit(b) == 2, F.col("hi").bitwiseAND(F.lit(65535)))
+                .otherwise(F.shiftright(F.col("hi"), 16))
+                for b in range(4)
+            ]
+        )
+        banded = fp.select(F.col("id"), F.posexplode(bands).alias("b", "bk"))
+        cand = (
+            banded.select(F.col("id").alias("id_a"), "b", "bk")
+            .join(banded.select(F.col("id").alias("id_b"), "b", "bk"), ["b", "bk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        ha = fp.select(F.col("id").alias("id_a"), F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a"))
+        hb = fp.select(F.col("id").alias("id_b"), F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b"))
+        hamming = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
+            F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+        )
+        return (
+            cand.join(ha, "id_a")
+            .join(hb, "id_b")
+            .withColumn("hamming", hamming.cast("bigint"))
+            .filter(F.col("hamming") <= 3)
+            .select("id_a", "id_b", "hamming")
+            .localCheckpoint()  # materialize while fp is cached
+        )
+    finally:
+        fp.unpersist(blocking=False)
