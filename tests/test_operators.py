@@ -1607,3 +1607,34 @@ def test_star_cc_matches_union_find_on_chains(spark):
     assert star == uf
     # the chain collapsed to one star on 100
     assert {(i, 100) for i in range(101, 181)} <= star
+
+
+def test_star_cc_random_graphs_property(spark):
+    """Property run over seeded pseudo-random graphs (varied density,
+    incl. disconnected + isolated regimes): the star alternation's
+    fixpoint must equal the union-find resolver's components on every
+    instance — the QuickCheck discipline applied to the CC pair."""
+    import random
+
+    from mapreducehs_spark.operators.dedup import (
+        connected_components_star,
+        resolve_duplicate_clusters,
+    )
+
+    for seed, n_nodes, n_edges in [(1, 40, 20), (2, 60, 90), (3, 30, 150), (4, 80, 40)]:
+        rnd = random.Random(seed)
+        pairs = list(
+            {
+                tuple(sorted((rnd.randrange(n_nodes), rnd.randrange(n_nodes))))
+                for _ in range(n_edges)
+            }
+        )
+        pairs = [(a, b) for a, b in pairs if a != b]
+        pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+        star = {(r["node"], r["rep"]) for r in connected_components_star(pdf).collect()}
+        uf = {
+            (r["doc_id"], r["rep_id"])
+            for r in resolve_duplicate_clusters(pdf).collect()
+            if r["doc_id"] != r["rep_id"]
+        }
+        assert star == uf, f"divergence at seed={seed}"

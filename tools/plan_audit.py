@@ -1,0 +1,76 @@
+"""Plan-fingerprint audit: one JSON line of plan metrics per headline query.
+
+The 49 pin tests lock the plan SHAPES that matter most; this tool
+records the coarse plan metrics (exchange / broadcast-join /
+sort-merge-join / codegen-span counts) for EVERY bench headline query
+into ``PLANS.json``, committed per round — so a silent plan regression
+anywhere in the headline (a broadcast degrading to SMJ, an extra
+exchange creeping into an iteration) shows up as a one-line diff in
+review even where no pin test exists yet.
+
+Plans are BUILT, never executed (a few seconds for the whole headline).
+Queries whose final frame is materialized at build time (iterative
+bodies ending in ``localCheckpoint``) report the plan of the
+materialized result — their interesting plan properties are pinned by
+dedicated tests instead (see test_plans.py's `_build()` convention).
+
+Caveat on absolute values: the counts come from the FORMATTED plan
+text, which re-prints a subtree once per reference — a frame consumed
+k times multiplies its exchanges k-fold in the text even though
+runtime deduplicates them via ReuseExchange (q100's wedge join reads
+the oriented-edge frame three times, so its text counts look inflated).
+The numbers are STABLE fingerprints for diffing across rounds, not
+runtime shuffle counts.
+
+Usage: python tools/plan_audit.py  [writes PLANS.json in the repo root]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.chdir(REPO)
+
+
+def main() -> None:
+    from bench import HEADLINE
+
+    from mapreducehs_spark.plans.inspect import (
+        broadcast_join_count,
+        codegen_stage_count,
+        exchange_count,
+        sort_merge_join_count,
+    )
+    from mapreducehs_spark.queries import QUERIES
+    from mapreducehs_spark.session import get_spark
+
+    spark = get_spark(app_name="plan_audit")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    out: dict[str, dict] = {}
+    for name in HEADLINE:
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            out[name] = {
+                "exchanges": exchange_count(df),
+                "broadcast_joins": broadcast_join_count(df),
+                "sort_merge_joins": sort_merge_join_count(df),
+                "codegen_spans": codegen_stage_count(df),
+            }
+        except Exception as ex:  # never let one query break the audit
+            out[name] = {"error": f"{type(ex).__name__}: {str(ex)[:120]}"}
+        print(f"{name}: {out[name]}", flush=True)
+
+    with open(os.path.join(REPO, "PLANS.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"PLANS.json: {len(out)} queries")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
