@@ -1114,3 +1114,105 @@ def connected_components_star(
     # single rep at the fixpoint, min() guards intermediate ties
     out = cur.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("rep"))
     return out
+
+
+def hash64_canonical_dedup(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "id",
+) -> DataFrame:
+    """Canonical near-dup resolution over 64-bit perceptual hashes
+    (lo/hi int32 halves): (member, rep, class_size) — one row per
+    NON-representative member of each duplicate class, rep = the
+    class's minimum id.  The m11/m12 output contract since round 6:
+    the VERDICT r05 scale audit measured the previous pairwise output
+    at 305 k → 30.8 M rows across sf0.1 → sf1 (quadratic in
+    duplicate-class size, because real media corpora have hot exact-dup
+    classes — boilerplate logos, silence); this is the linear-output
+    composition the text side already uses (d15/d20/d21).
+
+    Two scale moves on top of the pair emission it replaces:
+
+    1. EXACT-DUP CONTRACTION: hamming distance depends only on the
+       hash, so members with identical (lo, hi) are interchangeable —
+       group them first (one partial-aggregatable groupBy), and run
+       banding + verify + components over DISTINCT hashes only.  The
+       candidate stage's quadratic term drops from duplicate-CLASS
+       size to distinct-HASH count (planted classes: thousands of
+       members, ONE hash) — the pair matrix never exists, even
+       internally, for exact-dup-heavy corpora.
+    2. STAR-CC RESOLUTION: verified near-dup edges between hash reps
+       feed ``connected_components_star`` (O(log² n) rounds), and the
+       component id (min doc id) + class size broadcast back to
+       members via the hash key — output linear in members.
+
+    Banding stays m11's pigeonhole guarantee: ≤ ``max_hamming`` (< 4)
+    differing bits cannot touch all four 16-bit quarters, so recall
+    over candidate pairs is exact, not probabilistic.
+    """
+    bands_arr = F.array(
+        *[
+            F.when(F.lit(b) == 0, F.col("lo").bitwiseAND(F.lit(65535)))
+            .when(F.lit(b) == 1, F.shiftright(F.col("lo"), 16))
+            .when(F.lit(b) == 2, F.col("hi").bitwiseAND(F.lit(65535)))
+            .otherwise(F.shiftright(F.col("hi"), 16))
+            for b in range(4)
+        ]
+    )
+    h = hashes.select(F.col(id_col).alias("id"), "lo", "hi").persist()
+    try:
+        grp = (
+            h.groupBy("lo", "hi")
+            .agg(F.min("id").alias("hrep"), F.count(F.lit(1)).alias("cnt"))
+            .persist()
+        )
+        try:
+            banded = grp.select("hrep", "lo", "hi").select(
+                "hrep", F.posexplode(bands_arr).alias("b", "bk")
+            )
+            cand = (
+                banded.select(F.col("hrep").alias("ra"), "b", "bk")
+                .join(banded.select(F.col("hrep").alias("rb"), "b", "bk"), ["b", "bk"])
+                .filter(F.col("ra") < F.col("rb"))
+                .select("ra", "rb")
+                .distinct()
+            )
+            ga = grp.select(
+                F.col("hrep").alias("ra"), F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a")
+            )
+            gb = grp.select(
+                F.col("hrep").alias("rb"), F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b")
+            )
+            hamming = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
+                F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+            )
+            edges = (
+                cand.join(ga, "ra")
+                .join(gb, "rb")
+                .filter(hamming <= max_hamming)
+                .select(F.col("ra").alias("id_a"), F.col("rb").alias("id_b"))
+            )
+            cc = connected_components_star(edges)  # (node, rep); executes here
+            crep = grp.join(cc, grp.hrep == cc.node, "left").select(
+                "lo", "hi", "cnt", F.coalesce("rep", "hrep").alias("comp")
+            )
+            sizes = crep.groupBy("comp").agg(
+                F.sum("cnt").cast("bigint").alias("class_size")
+            )
+            out = (
+                h.join(crep.select("lo", "hi", "comp"), ["lo", "hi"])
+                .join(sizes, "comp")
+                .filter(F.col("id") != F.col("comp"))
+                .select(
+                    F.col("id").alias("member"),
+                    F.col("comp").cast("bigint").alias("rep"),
+                    "class_size",
+                )
+            )
+            # materialize while h/grp are cached; eager localCheckpoint
+            # (the q108 ordering discipline: checkpoint BEFORE unpersist)
+            return out.localCheckpoint()
+        finally:
+            grp.unpersist(blocking=False)
+    finally:
+        h.unpersist(blocking=False)

@@ -1638,3 +1638,80 @@ def test_star_cc_random_graphs_property(spark):
             if r["doc_id"] != r["rep_id"]
         }
         assert star == uf, f"divergence at seed={seed}"
+
+
+# ---------------------------------------------------------------------------
+# hash64_canonical_dedup (m11/m12's round-6 output contract)
+# ---------------------------------------------------------------------------
+
+def test_hash64_canonical_dedup_vs_bruteforce(spark):
+    """(member, rep, class_size) must equal brute-force resolution:
+    components of the 'hamming(hash_a, hash_b) <= 3' graph over ALL
+    members, rep = component min — including pure exact-dup classes
+    (identical hashes, no near-dup edge) and chains that merge only
+    through an intermediate hash (a-b <= 3, b-c <= 3, a-c > 3)."""
+    import itertools
+
+    from mapreducehs_spark.operators.dedup import hash64_canonical_dedup
+
+    # hash universe: class A = one exact-dup hash x3 members; class B =
+    # a 3-link chain (0b0, 0b111, 0b111111 — adjacent hamming 3, ends 6);
+    # class C = singleton far away; class D = two exact-dup groups one
+    # bit apart (contraction + edge must still merge them)
+    rows = [
+        (0, 0xAAAA0000, 0xAAAA), (1, 0xAAAA0000, 0xAAAA), (2, 0xAAAA0000, 0xAAAA),  # A
+        (10, 0x0, 0x0), (11, 0x7, 0x0), (12, 0x3F, 0x0),          # B chain
+        (20, -1, 0x7FFFFFFF),                                     # C singleton
+        (30, 0xFF00FF, 0x55), (31, 0xFF00FF, 0x55), (32, 0xFF00FE, 0x55),  # D
+    ]
+    df = spark.createDataFrame(rows, "id long, lo long, hi long")
+    got = {
+        (r["member"], r["rep"], r["class_size"])
+        for r in hash64_canonical_dedup(df, max_hamming=3).collect()
+    }
+
+    # brute force in python
+    ids = {i: (lo, hi) for i, lo, hi in rows}
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(ids, 2):
+        ham = bin((ids[a][0] ^ ids[b][0]) & (2**64 - 1)).count("1") + bin(
+            (ids[a][1] ^ ids[b][1]) & (2**64 - 1)
+        ).count("1")
+        if ham <= 3:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, list[int]] = {}
+    for i in ids:
+        comps.setdefault(find(i), []).append(i)
+    want = {
+        (m, min(members), len(members))
+        for members in comps.values()
+        if len(members) > 1
+        for m in members
+        if m != min(members)
+    }
+    assert got == want
+    # chain B must be ONE component (transitive closure, ends hamming 6)
+    assert (12, 10, 3) in got
+
+
+def test_hash64_canonical_dedup_result_is_rereadable(spark):
+    """The q108 ordering discipline (ADVICE r05): the returned frame is
+    eagerly localCheckpointed BEFORE its persisted inputs are released —
+    collecting it twice must work (no CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)."""
+    from mapreducehs_spark.operators.dedup import hash64_canonical_dedup
+
+    df = spark.createDataFrame(
+        [(0, 5, 5), (1, 5, 5), (2, 99, 99)], "id long, lo long, hi long"
+    )
+    out = hash64_canonical_dedup(df)
+    first = sorted(tuple(r) for r in out.collect())
+    second = sorted(tuple(r) for r in out.collect())
+    assert first == second == [(1, 0, 2)]
