@@ -61,10 +61,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
              CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sbp,
              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sdp,
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DECIMAL(38,0)) AS sdp,
              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
-                      * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS sch,
+                      * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DECIMAL(38,0)) AS sch,
              CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sdh,
              count(*) AS n
       FROM lineitem
@@ -96,8 +96,12 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, and at ~6 M rows (the sf1 measurement, SCALE.md) the
     engines' orderings drift past the 4-decimal rounding boundary —
     integer sums are order-free, so the query value-checks at EVERY
-    scale factor.  Magnitudes: cents·1e4 per row < 1e11, summed < 1e18,
-    inside bigint."""
+    scale factor.  Magnitudes: cents·1e4 per row < 1e11, so a BIGINT
+    sum of sdp/sch would cross 2^63 around sf≈50 (where Spark's
+    non-ANSI sum wraps silently) — those two accumulate as
+    decimal(38,0) on BOTH engines (DuckDB already sums exactly via
+    HUGEINT), giving headroom past sf 1e9; sq/sbp/sdh stay bigint
+    (per-row ≤ 1e7, safe to sf ~1e5)."""
     li = _t(spark, sf_dir, "lineitem")
     qty_i = F.round(F.col("l_quantity")).cast("bigint")
     pc = F.round(F.col("l_extendedprice") * 100).cast("bigint")  # cents
@@ -109,8 +113,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(qty_i).alias("sq"),
             F.sum(pc).alias("sbp"),
-            F.sum(pc * (100 - dh)).alias("sdp"),
-            F.sum(pc * (100 - dh) * (100 + th)).alias("sch"),
+            F.sum((pc * (100 - dh)).cast("decimal(38,0)")).alias("sdp"),
+            F.sum((pc * (100 - dh) * (100 + th)).cast("decimal(38,0)")).alias("sch"),
             F.sum(dh).alias("sdh"),
             F.count(F.lit(1)).alias("n"),
         )
@@ -4083,8 +4087,13 @@ def q71_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-regime contract holds at every scale factor instead of
     silently breaking when the vocabulary outgrows a constant (it did
     at the 10x sf1 sweep: token-salted replicas multiply vocab by 10).
-    Production fixed-capacity operation lives in the N/(c+1) error
-    bound, pinned for adversarial vocabularies in unit tests."""
+    NOTE: the sizing count runs at BUILD time — merely constructing
+    this frame scans the corpus once (tools/plan_audit.py lists q71 in
+    its build-time-execution caveat), and capacity=vocab deliberately
+    degenerates MG to exact counting with vocabulary-sized per-
+    partition state: that IS the oracle-checkable regime.  Production
+    fixed-capacity operation lives in the N/(c+1) error bound, pinned
+    for adversarial vocabularies in unit tests."""
     from mapreducehs_spark.operators.sketches import mg_topk_per_group
 
     docs = _t(spark, sf_dir, "documents")

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import os
 import time
+import warnings
 from typing import Iterator
 
 import pandas as pd
@@ -959,6 +960,13 @@ def docs_stream(
     )
 
 
+#: Soft observability bound for ``stateful_minhash_dedup`` band buckets:
+#: a bucket past this size means a hot band key (skewed corpus) whose
+#: per-batch pair emission is quadratic — warn rather than degrade
+#: silently (the TTL bounds state over time, not within a horizon).
+HOT_BUCKET_WARN_MEMBERS = 10_000
+
+
 def stateful_minhash_dedup(
     docs: DataFrame,
     ttl_sec: int = 10**9,
@@ -1022,7 +1030,11 @@ def stateful_minhash_dedup(
         shingles of (a_i*x + b_i) mod p.  a*x < 2^62, no overflow."""
         out = []
         for text in texts:
-            toks = [t for t in re.split(r"\s+", text or "") if t != ""]
+            # explicit ASCII whitespace class: the batch path tokenizes
+            # with JVM F.split(r"\s+") whose \s is ASCII-only by
+            # default, while Python's \s is Unicode-aware — a U+00A0 in
+            # a document would fork the tokenization law (ADVICE r05)
+            toks = [t for t in re.split(r"[ \t\n\r\f\v]+", text or "") if t != ""]
             if len(toks) < 3:
                 out.append(None)
                 continue
@@ -1066,9 +1078,18 @@ def stateful_minhash_dedup(
         if state.exists:
             ids, sigs = state.get
             ids = list(ids)
+            n = len(ids)
             sig_mat = np.array(sigs, dtype=np.int64).reshape(-1, num_perm)
         else:
-            ids, sig_mat = [], np.empty((0, num_perm), dtype=np.int64)
+            ids, n, sig_mat = [], 0, np.empty((0, num_perm), dtype=np.int64)
+        # O(1) membership + amortized-O(1) append (ADVICE r05: the list
+        # scan + per-insert np.vstack were O(bucket²) per batch, which a
+        # hot band key in a skewed corpus would hit hard): doubling
+        # buffer, one copy per capacity doubling instead of per insert
+        member_set = set(ids)
+        cap = max(16, 2 * n)
+        buf = np.empty((cap, num_perm), dtype=np.int64)
+        buf[:n] = sig_mat
         out_a: list[int] = []
         out_b: list[int] = []
         out_n: list[int] = []
@@ -1082,19 +1103,35 @@ def stateful_minhash_dedup(
             pdf = pdf.sort_values("doc_id")  # deterministic intra-batch order
             for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
                 doc_id = int(doc_id)
-                if doc_id in ids:
+                if doc_id in member_set:
                     continue  # redelivery: already a member
                 sv = np.array(list(sig), dtype=np.int64)
-                if len(ids):
-                    agrees = (sig_mat == sv[None, :]).sum(axis=1)
+                if n:
+                    agrees = (buf[:n] == sv[None, :]).sum(axis=1)
                     for other, n_ag in zip(ids, agrees):
                         lo, hi = (other, doc_id) if other < doc_id else (doc_id, other)
                         out_a.append(lo)
                         out_b.append(hi)
                         out_n.append(int(n_ag))
+                if n == cap:
+                    cap *= 2
+                    grown = np.empty((cap, num_perm), dtype=np.int64)
+                    grown[:n] = buf[:n]
+                    buf = grown
+                buf[n] = sv
+                n += 1
                 ids.append(doc_id)
-                sig_mat = np.vstack([sig_mat, sv[None, :]])
-        state.update((ids, [int(v) for v in sig_mat.ravel()]))
+                member_set.add(doc_id)
+        if n > HOT_BUCKET_WARN_MEMBERS:
+            # hot-bucket observability: TTL bounds state over time, not
+            # within a horizon — surface degradation instead of hiding it
+            warnings.warn(
+                f"stateful_minhash_dedup: band bucket {key} holds {n} members "
+                f"(> {HOT_BUCKET_WARN_MEMBERS}); pair emission is quadratic in "
+                "bucket size — consider a shorter TTL or a salted band key",
+                stacklevel=1,
+            )
+        state.update((ids, [int(v) for v in buf[:n].ravel()]))
         # evict the bucket ttl after its newest member's event time
         # (must exceed the current watermark at set time)
         state.setTimeoutTimestamp(

@@ -1715,3 +1715,18 @@ def test_hash64_canonical_dedup_result_is_rereadable(spark):
     first = sorted(tuple(r) for r in out.collect())
     second = sorted(tuple(r) for r in out.collect())
     assert first == second == [(1, 0, 2)]
+
+
+def test_q108_result_rereadable_after_level_frames_freed(spark):
+    """ADVICE r05: q108 frees its per-level checkpoint blocks in a
+    finally block and relies on the result's EAGER localCheckpoint
+    having materialized first — an ordering that lived only in a
+    comment.  Collecting the result twice locks it: if the checkpoint
+    ever becomes lazy (or is dropped), the second action dies with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND."""
+    from mapreducehs_spark.queries import QUERIES
+
+    out = QUERIES["q108_bfs_hops"](spark, "/root/testdata/sf0.001")
+    first = sorted(tuple(r) for r in out.collect())
+    second = sorted(tuple(r) for r in out.collect())
+    assert first == second and len(first) > 0

@@ -8,11 +8,16 @@ anywhere in the headline (a broadcast degrading to SMJ, an extra
 exchange creeping into an iteration) shows up as a one-line diff in
 review even where no pin test exists yet.
 
-Plans are BUILT, never executed (a few seconds for the whole headline).
-Queries whose final frame is materialized at build time (iterative
-bodies ending in ``localCheckpoint``) report the plan of the
-materialized result — their interesting plan properties are pinned by
-dedicated tests instead (see test_plans.py's `_build()` convention).
+Plans are BUILT, never executed (a few seconds for the whole headline)
+— with known exceptions that EXECUTE during build: the iterative bodies
+that end in ``localCheckpoint`` (q96/q108/q111/d21/s05/s11/t18, the
+m11/m12 canonical dedup, d20) and q71, which runs a distinct-count at
+build time to size its Misra-Gries exact-regime capacity from the
+measured vocabulary (the sf1 correctness fix; ADVICE r05 notes the
+cost — it is the price of a capacity that cannot silently under-size).
+Those report the plan of the materialized result; their interesting
+plan properties are pinned by dedicated tests instead (see
+test_plans.py's `_build()` convention).
 
 Caveat on absolute values: the counts come from the FORMATTED plan
 text, which re-prints a subtree once per reference — a frame consumed
