@@ -1,0 +1,179 @@
+"""Distributed model TRAINING primitives (round 6).
+
+The t26 inference pass broadcasts a model over a scan; this module adds
+the other half of the quality-classifier story — training that model on
+the cluster.  The reference witness is its driver-looped mapper/reducer
+iteration pattern (``src/Core/MapReduceC.hs:22-104`` composes stages; an
+iterative job re-runs the composed pipeline with updated parameters),
+re-expressed Spark-first: per step ONE scan-shaped pass over the
+feature stream with the current weights BROADCAST, one dim-sized
+partial-aggregatable gradient aggregation, and a model-sized (≤ dim+1
+rows) collect to the driver — the s05/s11 driver-loop discipline.
+
+Determinism: everything is integer fixed-point (micro-units) with
+truncating division (Spark ``div`` == DuckDB ``//`` toward zero), and
+the sigmoid is the HARD sigmoid clamp(z/4 + 1/2, 0, 1) — piecewise
+linear, so every step replays bit-for-bit in an unrolled SQL oracle
+(the quantized-training formulation; a float sigmoid would put a
+transcendental in the update and break engine portability).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale: weights, margins, probabilities in micro-units
+MICRO = 1_000_000
+#: learning-rate denominator: w -= (mean_grad // LR_DEN) per step
+LR_DEN = 50
+
+
+def hashed_features(docs: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """(doc_id, bucket, x): token-count features via the md5-fold
+    hashing trick (t26's feature law at a trainable dimension).  One
+    scan + one (doc_id, bucket) aggregation; x is an integer count."""
+    from mapreducehs_spark.operators.text import tokens
+
+    return (
+        docs.select("doc_id", F.explode_outer(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term").isNotNull())
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("term"), 1, 12), 16, 10).cast("bigint")
+                % n_buckets
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+
+
+def hard_sigmoid_micro(z_micro):
+    """clamp(z/4 + 1/2, 0, 1) in micro-units with truncating division —
+    the engine-portable sigmoid surrogate (both Spark ``div`` and
+    DuckDB ``//`` truncate toward zero)."""
+    return F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(
+            F.lit(MICRO).cast("bigint"),
+            F.expr(f"(({z_micro}) div 4) + {MICRO // 2}"),
+        ),
+    )
+
+
+def gradient_frames(
+    features: DataFrame,
+    labels: DataFrame,
+    weights: dict[int, int],
+    bias: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Build (gradient_df, residual_df) for one step — the plan-
+    testable seam: gradient_df is (bucket, g), residual_df (doc_id, r).
+    See ``logreg_gradient_step`` for the plan-shape contract."""
+    spark = features.sparkSession
+    w_df = spark.createDataFrame(
+        [(b, w) for b, w in sorted(weights.items())], "bucket bigint, w bigint"
+    )
+    margins = (
+        features.join(F.broadcast(w_df), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("x")).alias("zf"))
+    )
+    resid = (
+        labels.join(margins, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                hard_sigmoid_micro(f"coalesce(zf, 0) + {bias}")
+                - F.col("y") * F.lit(MICRO)
+            ).alias("r"),
+        )
+    )
+    grad_df = (
+        resid.join(features, "doc_id")
+        .groupBy("bucket")
+        .agg(F.sum(F.col("r") * F.col("x")).alias("g"))
+    )
+    return grad_df, resid
+
+
+def logreg_gradient_step(
+    features: DataFrame,
+    labels: DataFrame,
+    weights: dict[int, int],
+    bias: int,
+    n_docs: int,
+) -> tuple[dict[int, int], int]:
+    """One distributed gradient step; returns the UPDATED (weights,
+    bias) as plain ints.  Plan shape (pinned in tests/test_plans.py):
+
+    - margin: features ⋈ broadcast(weights) → groupBy(doc_id) sum —
+      the features frame is persisted hash-partitioned on doc_id by
+      the caller, so this aggregation adds NO exchange;
+    - residual: hard-sigmoid(margin) − y·1e6, co-partitioned join with
+      labels on doc_id;
+    - gradient: residual ⋈ features on doc_id (co-partitioned) →
+      groupBy(bucket) — a dim-sized (64-key) aggregation;
+    - driver state: dim+1 integers.
+
+    Update law (exact-integer, replayed by the SQL oracle):
+      w_b' = w_b − ((Σ_docs r·x_b) div n) div LR_DEN
+      b'   = b   − ((Σ_docs r)      div n) div LR_DEN
+    Magnitudes: r ≤ 1e6 micro, x ≤ doc tokens, so Σ r·x fits bigint to
+    ~1e12 docs per aggregation; past that, accumulate as decimal(38,0)
+    (the q01 recipe)."""
+    grad_df, resid = gradient_frames(features, labels, weights, bias)
+    grad = grad_df.collect()
+    g_bias = resid.agg(F.sum("r").alias("g")).collect()[0]["g"] or 0
+    trunc = lambda v, d: int(abs(v) // d) * (1 if v >= 0 else -1)  # noqa: E731 — toward-zero like div/`//`
+    new_w = dict(weights)
+    for row in grad:
+        step = trunc(trunc(int(row["g"]), n_docs), LR_DEN)
+        new_w[int(row["bucket"])] = new_w[int(row["bucket"])] - step
+    new_bias = bias - trunc(trunc(int(g_bias), n_docs), LR_DEN)
+    return new_w, new_bias
+
+
+def logreg_train_hashed(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    n_steps: int = 2,
+    label_chars: int = 300,
+) -> DataFrame:
+    """Train a hashed-feature logistic-regression quality classifier
+    (hard-sigmoid surrogate, integer fixed-point) for ``n_steps``
+    full-batch gradient steps from w=0, and return the weight table
+    (bucket, w_step1, w_final) with the bias as bucket −1 — the model
+    t26's inference pass would broadcast.  Label: y = 1 iff
+    n_chars ≥ ``label_chars`` (a deterministic length-quality proxy the
+    oracle can replay; swap in human labels in production — same plan).
+
+    Scale shape: the feature stream is computed ONCE, persisted
+    hash-partitioned on doc_id; each step is one broadcast join + two
+    co-partitioned aggregations; driver state is dim+1 integers per
+    step.  n_steps is a constant (2): full-batch GD on 100 TB is one
+    scan per step, exactly as many scans as the budget allows."""
+    spark = docs.sparkSession
+    labels = docs.select(
+        "doc_id", (F.col("n_chars") >= label_chars).cast("bigint").alias("y")
+    )
+    features = hashed_features(docs, n_buckets).repartition("doc_id").persist()
+    labels = labels.repartition("doc_id").persist()
+    try:
+        n_docs = labels.count()
+        w = {b: 0 for b in range(n_buckets)}
+        bias = 0
+        snapshots = []
+        for _ in range(n_steps):
+            w, bias = logreg_gradient_step(features, labels, w, bias, n_docs)
+            snapshots.append((dict(w), bias))
+        (w1, b1), (wf, bf) = snapshots[0], snapshots[-1]
+        rows = [(-1, b1, bf)] + [(b, w1[b], wf[b]) for b in range(n_buckets)]
+        return spark.createDataFrame(
+            rows, "bucket bigint, w_step1 bigint, w_final bigint"
+        )
+    finally:
+        features.unpersist(blocking=False)
+        labels.unpersist(blocking=False)

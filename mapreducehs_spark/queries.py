@@ -10184,3 +10184,82 @@ def m12_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     payloads = render_wav_payloads_seeded(docs, "doc_id", seed_mod=128)
     return dedup.hash64_canonical_dedup(audio_fingerprint_64(payloads), max_hamming=3)
+
+
+@query(
+    "t28_logreg_train",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+      FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(term), 1, 12))::BIGINT % 64 AS bucket,
+             CAST(count(*) AS BIGINT) AS x
+      FROM toks GROUP BY 1, 2
+    ), lab AS (
+      SELECT doc_id,
+             CASE WHEN n_chars >= 300 THEN 1::BIGINT ELSE 0::BIGINT END AS y
+      FROM documents
+    ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    grid AS (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS bucket),
+    -- step 1: w0 = 0, bias0 = 0 -> z = 0 -> p = 500000 micro
+    r1 AS (
+      SELECT doc_id, CAST(500000 - y * 1000000 AS BIGINT) AS r FROM lab
+    ), g1 AS (
+      SELECT f.bucket, CAST(sum(r1.r * f.x) AS BIGINT) AS g
+      FROM r1 JOIN feats f USING (doc_id) GROUP BY 1
+    ), gb1 AS (SELECT CAST(sum(r) AS BIGINT) AS g FROM r1),
+    w1 AS (
+      SELECT grid.bucket,
+             CAST(0 - (coalesce(g1.g, 0) // nn.n) // 50 AS BIGINT) AS w
+      FROM grid LEFT JOIN g1 USING (bucket), nn
+    ), b1 AS (SELECT CAST(0 - (g // n) // 50 AS BIGINT) AS b FROM gb1, nn),
+    -- step 2: margin with w1/b1, hard sigmoid, residual, gradient
+    zf2 AS (
+      SELECT f.doc_id, CAST(sum(w1.w * f.x) AS BIGINT) AS zf
+      FROM feats f JOIN w1 USING (bucket) GROUP BY 1
+    ), r2 AS (
+      SELECT lab.doc_id,
+             CAST(greatest(0, least(1000000,
+                    ((coalesce(zf2.zf, 0) + b1.b) // 4) + 500000))
+                  - lab.y * 1000000 AS BIGINT) AS r
+      FROM lab LEFT JOIN zf2 USING (doc_id), b1
+    ), g2 AS (
+      SELECT f.bucket, CAST(sum(r2.r * f.x) AS BIGINT) AS g
+      FROM r2 JOIN feats f USING (doc_id) GROUP BY 1
+    ), gb2 AS (SELECT CAST(sum(r) AS BIGINT) AS g FROM r2),
+    w2 AS (
+      SELECT w1.bucket,
+             CAST(w1.w - (coalesce(g2.g, 0) // nn.n) // 50 AS BIGINT) AS w
+      FROM w1 LEFT JOIN g2 USING (bucket), nn
+    ), b2 AS (
+      SELECT CAST(b1.b - (gb2.g // nn.n) // 50 AS BIGINT) AS b FROM b1, gb2, nn
+    )
+    SELECT w1.bucket, w1.w AS w_step1, w2.w AS w_final
+    FROM w1 JOIN w2 USING (bucket)
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS bucket, b1.b AS w_step1, b2.b AS w_final
+    FROM b1, b2
+    """,
+)
+def t28_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED CLASSIFIER TRAINING (round 6, VERDICT r05 item 4) —
+    the training half of the quality-classifier story whose inference
+    half is t26: two full-batch gradient steps of hashed-feature
+    logistic regression (hard-sigmoid surrogate, integer micro-unit
+    fixed point) via operators/ml.logreg_train_hashed.  Per step: ONE
+    scan-shaped pass over the persisted doc_id-partitioned feature
+    stream with the 64-weight model BROADCAST, a co-partitioned
+    residual join, and a 64-key gradient aggregation; driver state is
+    dim+1 integers (the s05/s11 driver-loop discipline).  Every
+    arithmetic step is truncating-integer (Spark div == DuckDB //), so
+    the oracle replays both steps bit-for-bit unrolled.  Label: length
+    proxy y = (n_chars >= 300); the plan is label-agnostic.  At 100 TB
+    each step is exactly one corpus scan — the gradient shuffle carries
+    64 keys per partition, never documents."""
+    from mapreducehs_spark.operators.ml import logreg_train_hashed
+
+    docs = _t(spark, sf_dir, "documents")
+    return logreg_train_hashed(docs, n_buckets=64, n_steps=2, label_chars=300)

@@ -541,3 +541,53 @@ def test_s13_exact_arm_broadcasts_queries(q):
     plan = I.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert I.sort_merge_join_count(df) == 0
+
+
+def test_t28_gradient_step_broadcast_model_no_extra_exchange(spark):
+    """t28's per-step contract: the model joins as a BROADCAST (the
+    64-row weight table must never shuffle the feature stream), the
+    margin aggregation reuses the features frame's doc_id partitioning
+    (no exchange between the persisted features and groupBy(doc_id)),
+    and the gradient aggregation is the only wide stage added per step."""
+    import pyspark.sql.functions as F
+
+    from mapreducehs_spark.operators.ml import gradient_frames, hashed_features
+    from mapreducehs_spark.queries import _t
+
+    docs = _t(spark, SF, "documents")
+    # persist (exactly what the operator does): InMemoryRelation keeps
+    # the doc_id hash partitioning visible to the planner — a
+    # localCheckpoint would erase it and force re-exchanges
+    features = hashed_features(docs, 64).repartition("doc_id").persist()
+    labels = (
+        docs.select("doc_id", (F.col("n_chars") >= 300).cast("bigint").alias("y"))
+        .repartition("doc_id")
+        .persist()
+    )
+    try:
+        features.count(), labels.count()
+        grad_df, _resid = gradient_frames(
+            features, labels, {b: 0 for b in range(64)}, 0
+        )
+        plan = I.formatted_plan(grad_df)
+        assert I.broadcast_join_count(grad_df) >= 1  # model side broadcast
+        assert "CartesianProduct" not in plan
+        # Partition-reuse proof: the doc_id margin aggregation lowers to
+        # a partial+final HashAggregate pair with NO Exchange between
+        # them (the persisted features frame is already hash-partitioned
+        # on doc_id).  If the persist or the repartition key ever drops,
+        # an Exchange appears between the pair and this regex stops
+        # matching.
+        import re
+
+        assert re.search(
+            r"HashAggregate \(\d+\)\n[\s:+*-]*HashAggregate \(\d+\)", plan
+        ), "margin aggregation no longer reuses the features partitioning"
+        # and the labels⋈margins SMJ needs sorts only, not a shuffle:
+        # no Exchange directly above either SMJ input's Sort
+        assert not re.search(
+            r"Sort \(\d+\)\n[\s:+*-]*Exchange", plan
+        ), "the residual join re-shuffles a side that should be co-partitioned"
+    finally:
+        features.unpersist(blocking=False)
+        labels.unpersist(blocking=False)
