@@ -9872,9 +9872,9 @@ def m11_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.hash64_canonical_dedup(ahash_64(payloads), max_hamming=3)
 
 
-@query(
-    "s14_pq_adc_topk",
-    oracle="""
+#: s14's full oracle, a module constant so s15's three-arm recall
+#: report can embed the same PQ replay as a subquery.
+_S14_ORACLE = """
     WITH e AS (
       SELECT vec_id,
              list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS v
@@ -9916,8 +9916,10 @@ def m11_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT query_id, match_id, adc, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= 5
-    """,
-)
+    """
+
+
+@query("s14_pq_adc_topk", oracle=_S14_ORACLE)
 def s14_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCT-QUANTIZATION ANN (Jégou et al. 2011, "Product
     Quantization for Nearest Neighbor Search") — the third ANN paradigm
@@ -10263,3 +10265,99 @@ def t28_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return logreg_train_hashed(docs, n_buckets=64, n_steps=2, label_chars=300)
+
+
+def _s15_oracle() -> str:
+    """Three-arm recall@5 oracle: the exact ground truth (s01's law on
+    the vec_id >= 8 corpus) LEFT-joined against each ANN arm's own full
+    oracle embedded as a subquery — IVF (s06's renderer at n_probe=4),
+    SRP (s07's renderer), PQ (s14's replay).  One oracle, three
+    algorithm replays: any drift in any arm breaks this row too."""
+    exact = """
+    SELECT query_id, match_id FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                               c.embedding::DOUBLE[]) DESC,
+                        c.vec_id ASC
+             ) AS rank
+      FROM embeddings q JOIN embeddings c ON c.vec_id >= 8 AND q.vec_id < 8
+      WHERE q.vec_id != c.vec_id
+    ) WHERE rank <= 5
+    """
+    arms = {
+        "ivf": _ivf_checked_oracle(n_probe=4),
+        "srp": _srp_checked_oracle(),
+        "pq": _S14_ORACLE,
+    }
+    arm_ctes = ",\n".join(
+        f"a_{name} AS (SELECT query_id, match_id FROM ({sql}))"
+        for name, sql in arms.items()
+    )
+    unions = "\n    UNION ALL\n".join(
+        f"""SELECT '{name}' AS arm, x.query_id,
+           CAST(count(a.match_id) AS BIGINT) AS n_hit
+    FROM exact x LEFT JOIN a_{name} a USING (query_id, match_id)
+    GROUP BY x.query_id"""
+        for name in arms
+    )
+    return f"""
+    WITH exact AS ({exact}),
+    {arm_ctes},
+    hits AS (
+    {unions}
+    )
+    SELECT arm, query_id, CAST(5 AS BIGINT) AS k, n_hit,
+           CAST((n_hit * 1000000) // 5 AS BIGINT) AS recall_micro
+    FROM hits
+    """
+
+
+@query("s15_ann_three_arm_recall", oracle=_s15_oracle())
+def s15_ann_three_arm_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-ARM ANN QUALITY REPORT (round 6, VERDICT r05 item 5) —
+    recall@5 of all three ANN paradigms against the exact ground truth
+    in one oracle-verified table: IVF cell probing (s06's seeded
+    codebook), SRP-LSH banding (s07's seeded hyperplanes), and PQ/ADC
+    integer codes (s14).  Each arm is the REGISTERED query's own frame,
+    so this report exercises the exact production plans (broadcast
+    probes, Arrow kernels, WindowGroupLimit ranks); recall is integer
+    micro-units — a value-checkable quantity, not a float summary.  At
+    100 TB the exact arm runs on a query SAMPLE (here all 8), each ANN
+    arm stays candidates-only; the report is the index-rebuild gate an
+    embedding platform runs per build."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    probes = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(corpus, probes, k=5).select(
+        "query_id", "match_id"
+    )
+    arms = {
+        "ivf": QUERIES["s06_ann_ivf_checked"],
+        "srp": QUERIES["s07_ann_srp_checked"],
+        "pq": QUERIES["s14_pq_adc_topk"],
+    }
+    reports = []
+    for arm, fn in arms.items():
+        approx = (
+            fn(spark, sf_dir)
+            .select("query_id", "match_id")
+            .withColumn("__hit", F.lit(1))
+        )
+        reports.append(
+            exact.join(F.broadcast(approx), ["query_id", "match_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.lit(5).cast("bigint").alias("k"),
+                F.count("__hit").cast("bigint").alias("n_hit"),
+                F.expr("cast((count(__hit) * 1000000L) div 5 as bigint)").alias(
+                    "recall_micro"
+                ),
+            )
+            .select(F.lit(arm).alias("arm"), "query_id", "k", "n_hit", "recall_micro")
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
