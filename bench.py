@@ -1,4 +1,10 @@
-"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+"""Benchmark harness: the FULL batch query inventory at $SPARK_GRAFT_SF_DIR.
+
+Round 6: the measured set is every batch query (``full_inventory()``,
+~193), closing VERDICT r05's coverage gap (91 of ~191 benched).  The
+compact line reports BOTH the full total (``value``) and the round-5
+91-query series subtotal (``r5_series_total``) so the cross-round
+series stays comparable; ``calib_sec`` normalizes box drift as before.
 
 Prints exactly ONE COMPACT JSON line (headline total + per-family
 subtotals + a calibration time) and writes the FULL per-query JSON to
@@ -36,6 +42,8 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 #: MEDIAN, which strips the box-noise outliers that a single pass
 #: shows (+-20% observed when anything else runs on the machine).
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+#: repeats for the non-HEADLINE extension queries (see main())
+EXT_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_EXT_REPEATS", "1"))
 
 #: headline set: one per operator family, weighted toward the scale-relevant ones
 HEADLINE = [
@@ -139,10 +147,70 @@ HEADLINE = [
     "q115_funnel_steps",
     "d21_star_components",
     "m12_audio_fingerprint_dedup",
+    # round-6 additions: classifier training, three-arm ANN recall
+    "t28_logreg_train",
+    "s15_ann_three_arm_recall",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
 # replay harness measures fixture IO, not the operator.
+
+#: the 91-query round-5 series subset (everything except the round-6
+#: additions above) — reported separately in the compact line so the
+#: cross-round headline series stays comparable
+R5_SERIES = HEADLINE[:-2]
+
+
+def full_inventory() -> list[str]:
+    """EVERY batch query in registry order (round 6: bench + plan
+    coverage over the whole inventory, not a 91-query sample).  The
+    st-series stays excluded — its replay harness measures fixture IO,
+    not the operator (the streaming ops are timed by their own tests)."""
+    from mapreducehs_spark.queries import QUERIES
+
+    return [n for n in QUERIES if not n.startswith("st")]
+
+
+def alt_queries():
+    """Bench-only throughput alternates: the vectorized-hash /
+    trained-codebook formulations that round 6 swapped out of the
+    five driver-visible defaults (d03/d04/d07/s02/s04) in favor of the
+    oracle-replayable checked kernels.  Timed after the main pass and
+    recorded in BENCH_local.json only (not part of the headline total —
+    they have no oracle row)."""
+    from pyspark.sql import functions as F
+
+    from mapreducehs_spark.operators import dedup, similarity
+    from mapreducehs_spark.sources.catalog import load_table
+
+    def docs(s, d):
+        return load_table(s, d, "documents")
+
+    def emb(s, d):
+        return load_table(s, d, "embeddings")
+
+    return {
+        "alt_d03_minhash_vectorized": lambda s, d: dedup.minhash_lsh_pairs(
+            docs(s, d), jaccard_threshold=0.35
+        ),
+        "alt_d04_simhash_vectorized": lambda s, d: dedup.simhash_near_pairs(
+            docs(s, d), max_hamming=8
+        ),
+        "alt_d07_near_dedup_vectorized": lambda s, d: dedup.near_dedup_drop_list(
+            docs(s, d), candidate_threshold=0.3, jaccard_threshold=0.5
+        ),
+        "alt_s02_ivf_trained": lambda s, d: similarity.ivf_topk(
+            emb(s, d).filter(F.col("vec_id") >= 8),
+            emb(s, d).filter(F.col("vec_id") < 8),
+            k=5,
+        ),
+        "alt_s04_srp_gaussian": lambda s, d: similarity.srp_topk(
+            emb(s, d).filter(F.col("vec_id") >= 8),
+            emb(s, d).filter(F.col("vec_id") < 8),
+            k=5,
+            bands=8,
+        ),
+    }
 
 
 def calibration(spark) -> float:
@@ -196,11 +264,13 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    inventory = full_inventory()
+
     # full untimed warm-up pass: JIT-compile the generated code, prime
     # parquet footers and broadcast paths.  Measured pass = steady state
     # (per-query codegen+JIT startup was 2-5x the steady-state time and
     # measured the JVM, not the plan).
-    for name in HEADLINE:
+    for name in inventory:
         run(name)
     # drop frames persisted inside operators during the warm pass —
     # they are dead (each invocation builds fresh lineage) but would
@@ -209,13 +279,34 @@ def main() -> None:
 
     import statistics
 
+    # the curated HEADLINE series keeps median-of-REPEATS; the ~100
+    # extension queries (round 6 coverage closure) get EXT_REPEATS
+    # (default 1) to bound total bench wall-time — they are individually
+    # small, their noise is bounded by calib_sec normalization, and no
+    # cross-round series depends on them yet
+    headline_set = set(HEADLINE)
     timings = {
-        name: round(statistics.median(run(name) for _ in range(REPEATS)), 4)
-        for name in HEADLINE
+        name: round(
+            statistics.median(
+                run(name)
+                for _ in range(REPEATS if name in headline_set else EXT_REPEATS)
+            ),
+            4,
+        )
+        for name in inventory
     }
+    # throughput alternates: single timed pass (already JIT-warm from
+    # the kernels the defaults share), detail file only
+    alts = {}
+    for name, fn in alt_queries().items():
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        alts[name] = round(time.perf_counter() - t0, 4)
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else SF_DIR
     total = round(sum(timings.values()), 4)
+    series_total = round(sum(timings[n] for n in R5_SERIES if n in timings), 4)
 
     # per-family subtotals keep the stdout line ~300 bytes: q relational,
     # d dedup, s similarity, t text, m multimodal, p pipeline
@@ -225,12 +316,15 @@ def main() -> None:
         families[fam] = round(families.get(fam, 0.0) + t, 4)
 
     full = {
-        "metric": "headline_queries_total_wall",
+        "metric": "batch_inventory_total_wall",
         "value": total,
         "unit": "sec",
         "calib_sec": calib_sec,
         "n_queries": len(timings),
+        "r5_series_total": series_total,
+        "r5_series_n": len(R5_SERIES),
         "queries": timings,
+        "alt_queries": alts,
         "sf": sf_val,
     }
     with open(os.path.join(REPO, "BENCH_local.json"), "w") as f:
@@ -238,11 +332,13 @@ def main() -> None:
         f.write("\n")
 
     compact = {
-        "metric": "headline_queries_total_wall",
+        "metric": "batch_inventory_total_wall",
         "value": total,
         "unit": "sec",
         "calib_sec": calib_sec,
         "n_queries": len(timings),
+        "r5_series_total": series_total,
+        "r5_series_n": len(R5_SERIES),
         "queries": dict(sorted(families.items())),
         "sf": sf_val,
         "detail": "BENCH_local.json",

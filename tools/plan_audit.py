@@ -42,7 +42,9 @@ os.chdir(REPO)
 
 
 def main() -> None:
-    from bench import HEADLINE
+    from bench import full_inventory
+
+    HEADLINE = full_inventory()  # round 6: every batch query, not a sample
 
     from mapreducehs_spark.plans.inspect import (
         broadcast_join_count,
