@@ -9009,9 +9009,9 @@ def t25_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "t26_hashed_linear_score",
-    oracle="""
+#: t26's oracle — shared verbatim by st17's streaming replay of the
+#: same inference law (stream == batch, the st13/st15 discipline).
+_T26_ORACLE = """
     WITH toks AS (
       SELECT doc_id,
              unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
@@ -9030,8 +9030,10 @@ def t25_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(w) > 0 AS keep
     FROM feats JOIN weights USING (bucket)
     GROUP BY doc_id
-    """,
-)
+    """
+
+
+@query("t26_hashed_linear_score", oracle=_T26_ORACLE)
 def t26_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering — the fasttext-style linear
     classifier pass every pretraining mix runs, with the FEATURE
@@ -10361,3 +10363,20 @@ def s15_ann_three_arm_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+@query("st17_stream_inference", oracle=_T26_ORACLE)
+def st17_stream_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING model inference (round 6) — t26's hashed-linear quality
+    classifier over the document stream as a STATELESS map
+    (streaming/ops.hashed_linear_score_stream): tokenize + md5-fold +
+    weight-law fold per row, no state store, no watermark, no shuffle —
+    the streaming counterpart of the broadcast-model inference pass,
+    showing that classifier scoring adds ZERO streaming machinery (the
+    scan IS the throughput bound).  Batch t26's oracle value-checks the
+    stream bit-for-bit (the st13/st15 stream==batch discipline)."""
+    from mapreducehs_spark import streaming as st
+
+    scored = st.hashed_linear_score_stream(_replayed_docs(spark, sf_dir))
+    log = st.run_to_batch(scored, "st17_sink", output_mode="append")
+    return log.select("doc_id", "n_feats", "score", "keep")

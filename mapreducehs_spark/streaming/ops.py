@@ -1271,3 +1271,43 @@ def funnel_report_from_log(log: DataFrame) -> DataFrame:
         .alias("n_completed_1d"),
         F.expr("(count(t3) * 1000000L) div count(*)").cast("bigint").alias("conv_micro"),
     )
+
+
+def hashed_linear_score_stream(docs: DataFrame, n_buckets: int = 4096) -> DataFrame:
+    """STREAMING model inference — t26's hashed-linear quality
+    classifier applied to the document stream as a STATELESS per-row
+    fold: tokenize, md5-fold each token into its bucket, fold the
+    deterministic weight law w(b) = (b·2654435761) mod 1000 − 500 over
+    the token list, emit (doc_id, n_feats, score, keep).
+
+    The scale point this query makes: model inference needs NO
+    streaming state, no watermark, no shuffle — the model is a law (in
+    production: a broadcast table) and scoring is a map, so throughput
+    is bounded by the scan, exactly like the batch plan.  The whole
+    fold runs in JVM higher-order functions; with the batch path's
+    plan-shape caveat (HOFs evaluate interpreted) accepted here because
+    the per-row token lists are small and the alternative (explode +
+    per-doc aggregation) would force a stateful streaming aggregate —
+    a far worse trade on a stream.
+
+    Docs with zero tokens are dropped (t26's law: no feature rows →
+    no output row), so batch t26's oracle checks this stream
+    bit-for-bit (the st13/st15 discipline)."""
+    from mapreducehs_spark.operators.text import tokens
+
+    bucket = (
+        f"CAST(conv(substring(md5(t), 1, 12), 16, 10) AS BIGINT) % {n_buckets}"
+    )
+    w = f"(({bucket}) * 2654435761L) % 1000 - 500"
+    return (
+        docs.withColumn("__toks", tokens(F.col("text")))
+        .filter(F.size("__toks") > 0)
+        .select(
+            "doc_id",
+            F.size("__toks").cast("bigint").alias("n_feats"),
+            F.expr(
+                f"aggregate(__toks, 0L, (acc, t) -> acc + ({w}))"
+            ).alias("score"),
+        )
+        .withColumn("keep", F.col("score") > 0)
+    )
