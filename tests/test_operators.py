@@ -1730,3 +1730,58 @@ def test_q108_result_rereadable_after_level_frames_freed(spark):
     first = sorted(tuple(r) for r in out.collect())
     second = sorted(tuple(r) for r in out.collect())
     assert first == second and len(first) > 0
+
+
+def test_logreg_train_matches_numpy_reference(spark):
+    """Differential: the distributed 2-step hard-sigmoid GD must equal a
+    dense numpy replay of the same integer update law (truncating
+    divisions toward zero) on a small synthetic corpus."""
+    from mapreducehs_spark.operators.ml import LR_DEN, MICRO, logreg_train_hashed
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range((i % 5) + 2)), "en", "s", 250 + 20 * (i % 7))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        int(r["bucket"]): (int(r["w_step1"]), int(r["w_final"]))
+        for r in logreg_train_hashed(docs, n_buckets=8, n_steps=2, label_chars=300).collect()
+    }
+
+    # numpy replay
+    import hashlib
+
+    import numpy as np
+
+    n_b = 8
+    X = np.zeros((40, n_b), dtype=np.int64)
+    y = np.zeros(40, dtype=np.int64)
+    for i, text, _l, _s, n_chars in rows:
+        y[i] = 1 if n_chars >= 300 else 0
+        for tok in text.split():
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:12], 16) % n_b
+            X[i, b] += 1
+
+    def trunc(v, d):
+        return np.sign(v) * (np.abs(v) // d)
+
+    w = np.zeros(n_b, dtype=np.int64)
+    bias = 0
+    snaps = []
+    for _ in range(2):
+        z = X @ w + bias
+        p = np.clip(trunc(z, 4) + MICRO // 2, 0, MICRO)
+        r = p - y * MICRO
+        g = X.T @ r
+        gb = int(r.sum())
+        w = w - trunc(trunc(g, len(rows)), LR_DEN)
+        bias = bias - int(trunc(trunc(gb, len(rows)), LR_DEN))
+        snaps.append((w.copy(), bias))
+    (w1, b1), (w2, b2) = snaps
+    want = {b: (int(w1[b]), int(w2[b])) for b in range(n_b)}
+    want[-1] = (b1, b2)
+    assert got == want
+    # the classifier must have LEARNED something (non-zero weights)
+    assert any(wf != 0 for _, wf in got.values())
