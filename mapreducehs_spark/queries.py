@@ -10365,6 +10365,127 @@ def s15_ann_three_arm_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_S16_ORACLE = """
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ), coarse AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16
+    ), corpus AS (
+      SELECT vec_id, v FROM e WHERE vec_id >= 8
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8
+    ), dims AS (
+      SELECT CAST(unnest(range(64)) AS BIGINT) AS d
+    ), adist AS (
+      SELECT c.vec_id, co.cid,
+             CAST(sum((c.v[dims.d + 1] - co.cv[dims.d + 1])
+                      * (c.v[dims.d + 1] - co.cv[dims.d + 1])) AS BIGINT) AS sq
+      FROM corpus c, coarse co, dims
+      GROUP BY 1, 2
+    ), assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sq ASC, cid ASC) AS rn
+        FROM adist
+      ) WHERE rn = 1
+    ), resid AS (
+      SELECT c.vec_id, a.cell, dims.d,
+             c.v[dims.d + 1] - co.cv[dims.d + 1] AS r
+      FROM corpus c JOIN assign a USING (vec_id)
+           JOIN coarse co ON co.cid = a.cell, dims
+    ), cb AS (
+      SELECT pqid, d, r FROM (
+        SELECT dense_rank() OVER (ORDER BY vec_id ASC) - 1 AS pqid, d, r
+        FROM resid WHERE vec_id >= 16
+      ) WHERE pqid < 16
+    ), edist AS (
+      SELECT rs.vec_id, rs.d // 16 AS m, cb.pqid,
+             CAST(sum((rs.r - cb.r) * (rs.r - cb.r)) AS BIGINT) AS sq
+      FROM resid rs JOIN cb ON cb.d = rs.d
+      GROUP BY 1, 2, 3
+    ), enc AS (
+      SELECT vec_id, m, pqid AS code FROM (
+        SELECT vec_id, m, pqid,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY sq ASC, pqid ASC) AS rn
+        FROM edist
+      ) WHERE rn = 1
+    ), qdist AS (
+      SELECT qq.query_id, co.cid,
+             CAST(sum((qq.qv[dims.d + 1] - co.cv[dims.d + 1])
+                      * (qq.qv[dims.d + 1] - co.cv[dims.d + 1])) AS BIGINT) AS sq
+      FROM q qq, coarse co, dims
+      GROUP BY 1, 2
+    ), probes AS (
+      SELECT query_id, cid AS cell FROM (
+        SELECT query_id, cid,
+               row_number() OVER (PARTITION BY query_id ORDER BY sq ASC, cid ASC) AS rn
+        FROM qdist
+      ) WHERE rn <= 4
+    ), qresid AS (
+      SELECT p.query_id, p.cell, dims.d,
+             qq.qv[dims.d + 1] - co.cv[dims.d + 1] AS r
+      FROM probes p JOIN q qq USING (query_id)
+           JOIN coarse co ON co.cid = p.cell, dims
+    ), qtab AS (
+      SELECT qr.query_id, qr.cell, qr.d // 16 AS m, cb.pqid,
+             CAST(sum((qr.r - cb.r) * (qr.r - cb.r)) AS BIGINT) AS sq
+      FROM qresid qr JOIN cb ON cb.d = qr.d
+      GROUP BY 1, 2, 3, 4
+    ), adc AS (
+      SELECT qt.query_id, en.vec_id AS match_id, a.cell,
+             CAST(sum(qt.sq) AS BIGINT) AS adc
+      FROM assign a
+           JOIN enc en ON en.vec_id = a.vec_id
+           JOIN qtab qt ON qt.cell = a.cell AND qt.m = en.m AND qt.pqid = en.code
+      GROUP BY 1, 2, 3
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc ASC, match_id ASC
+      ) AS rank FROM adc
+    )
+    SELECT query_id, match_id, CAST(cell AS BIGINT) AS cell, adc,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@query("s16_ivfpq_adc_topk", oracle=_S16_ORACLE)
+def s16_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (round 6) — the FOURTH ANN entry composes the third
+    and first the way billion-scale indexes actually do (Jegou et al.
+    2011's IVFADC, the FAISS default): coarse cells bound COMPUTE
+    (each query scans n_probe/n_cells of the corpus — s06's win), PQ
+    codes over the cell RESIDUALS bound MEMORY (n_sub bytes per vector
+    — s14's win, and quantizing residuals instead of raw vectors puts
+    the codebook's resolution exactly where the probed candidates
+    live).  Codebooks are data-seeded (coarse: the 16 lowest vec_ids,
+    s06's convention; PQ: residuals of the 16 lowest non-centroid
+    corpus ids), all distances integer with lowest-index tie-breaks, so
+    assign -> residual -> encode -> probe -> ADC -> rank replays
+    bit-for-bit in DuckDB.  Plan: one Arrow encode pass, a broadcast
+    probe join on the cell id (IVF pruning happens in the JVM hash
+    join), one Arrow ADC lookup pass, WindowGroupLimit top-k — see
+    operators/similarity.ivfpq_adc_topk for the 100 TB layout story."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qz = F.expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))")
+    base = emb.select("vec_id", qz.alias("v"))
+    cb_rows = base.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    coarse = np.array([r["v"] for r in cb_rows], dtype=np.int64)
+    return similarity.ivfpq_adc_topk(
+        base.filter(F.col("vec_id") >= 8),
+        base.filter(F.col("vec_id") < 8),
+        coarse,
+        k=5,
+        n_probe=4,
+        n_pq=16,
+        n_sub=4,
+    )
+
+
 @query("st17_stream_inference", oracle=_T26_ORACLE)
 def st17_stream_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING model inference (round 6) — t26's hashed-linear quality
