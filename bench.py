@@ -147,9 +147,11 @@ HEADLINE = [
     "q115_funnel_steps",
     "d21_star_components",
     "m12_audio_fingerprint_dedup",
-    # round-6 additions: classifier training, three-arm ANN recall
+    # round-6 additions: classifier training, multi-arm ANN recall,
+    # IVF-PQ composition
     "t28_logreg_train",
-    "s15_ann_three_arm_recall",
+    "s15_ann_recall_report",
+    "s16_ivfpq_adc_topk",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
@@ -158,7 +160,7 @@ HEADLINE = [
 #: the 91-query round-5 series subset (everything except the round-6
 #: additions above) — reported separately in the compact line so the
 #: cross-round headline series stays comparable
-R5_SERIES = HEADLINE[:-2]
+R5_SERIES = HEADLINE[:-3]
 
 
 def full_inventory() -> list[str]:

@@ -10269,102 +10269,6 @@ def t28_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_train_hashed(docs, n_buckets=64, n_steps=2, label_chars=300)
 
 
-def _s15_oracle() -> str:
-    """Three-arm recall@5 oracle: the exact ground truth (s01's law on
-    the vec_id >= 8 corpus) LEFT-joined against each ANN arm's own full
-    oracle embedded as a subquery — IVF (s06's renderer at n_probe=4),
-    SRP (s07's renderer), PQ (s14's replay).  One oracle, three
-    algorithm replays: any drift in any arm breaks this row too."""
-    exact = """
-    SELECT query_id, match_id FROM (
-      SELECT q.vec_id AS query_id, c.vec_id AS match_id,
-             row_number() OVER (
-               PARTITION BY q.vec_id
-               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
-                                               c.embedding::DOUBLE[]) DESC,
-                        c.vec_id ASC
-             ) AS rank
-      FROM embeddings q JOIN embeddings c ON c.vec_id >= 8 AND q.vec_id < 8
-      WHERE q.vec_id != c.vec_id
-    ) WHERE rank <= 5
-    """
-    arms = {
-        "ivf": _ivf_checked_oracle(n_probe=4),
-        "srp": _srp_checked_oracle(),
-        "pq": _S14_ORACLE,
-    }
-    arm_ctes = ",\n".join(
-        f"a_{name} AS (SELECT query_id, match_id FROM ({sql}))"
-        for name, sql in arms.items()
-    )
-    unions = "\n    UNION ALL\n".join(
-        f"""SELECT '{name}' AS arm, x.query_id,
-           CAST(count(a.match_id) AS BIGINT) AS n_hit
-    FROM exact x LEFT JOIN a_{name} a USING (query_id, match_id)
-    GROUP BY x.query_id"""
-        for name in arms
-    )
-    return f"""
-    WITH exact AS ({exact}),
-    {arm_ctes},
-    hits AS (
-    {unions}
-    )
-    SELECT arm, query_id, CAST(5 AS BIGINT) AS k, n_hit,
-           CAST((n_hit * 1000000) // 5 AS BIGINT) AS recall_micro
-    FROM hits
-    """
-
-
-@query("s15_ann_three_arm_recall", oracle=_s15_oracle())
-def s15_ann_three_arm_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THREE-ARM ANN QUALITY REPORT (round 6, VERDICT r05 item 5) —
-    recall@5 of all three ANN paradigms against the exact ground truth
-    in one oracle-verified table: IVF cell probing (s06's seeded
-    codebook), SRP-LSH banding (s07's seeded hyperplanes), and PQ/ADC
-    integer codes (s14).  Each arm is the REGISTERED query's own frame,
-    so this report exercises the exact production plans (broadcast
-    probes, Arrow kernels, WindowGroupLimit ranks); recall is integer
-    micro-units — a value-checkable quantity, not a float summary.  At
-    100 TB the exact arm runs on a query SAMPLE (here all 8), each ANN
-    arm stays candidates-only; the report is the index-rebuild gate an
-    embedding platform runs per build."""
-    emb = _t(spark, sf_dir, "embeddings")
-    corpus = emb.filter(F.col("vec_id") >= 8)
-    probes = emb.filter(F.col("vec_id") < 8)
-    exact = similarity.cosine_topk(corpus, probes, k=5).select(
-        "query_id", "match_id"
-    )
-    arms = {
-        "ivf": QUERIES["s06_ann_ivf_checked"],
-        "srp": QUERIES["s07_ann_srp_checked"],
-        "pq": QUERIES["s14_pq_adc_topk"],
-    }
-    reports = []
-    for arm, fn in arms.items():
-        approx = (
-            fn(spark, sf_dir)
-            .select("query_id", "match_id")
-            .withColumn("__hit", F.lit(1))
-        )
-        reports.append(
-            exact.join(F.broadcast(approx), ["query_id", "match_id"], "left")
-            .groupBy("query_id")
-            .agg(
-                F.lit(5).cast("bigint").alias("k"),
-                F.count("__hit").cast("bigint").alias("n_hit"),
-                F.expr("cast((count(__hit) * 1000000L) div 5 as bigint)").alias(
-                    "recall_micro"
-                ),
-            )
-            .select(F.lit(arm).alias("arm"), "query_id", "k", "n_hit", "recall_micro")
-        )
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
-    return out
-
-
 _S16_ORACLE = """
     WITH e AS (
       SELECT vec_id,
@@ -10449,6 +10353,108 @@ _S16_ORACLE = """
            CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= 5
     """
+
+
+def _s15_oracle() -> str:
+    """Four-arm recall@5 oracle: the exact ground truth (s01's law on
+    the vec_id >= 8 corpus) LEFT-joined against each ANN arm's own full
+    oracle embedded as a subquery — IVF (s06's renderer at n_probe=4),
+    SRP (s07's renderer), PQ (s14's replay), IVF-PQ (s16's replay).
+    One oracle, four algorithm replays: any drift in any arm breaks
+    this row too."""
+    exact = """
+    SELECT query_id, match_id FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                               c.embedding::DOUBLE[]) DESC,
+                        c.vec_id ASC
+             ) AS rank
+      FROM embeddings q JOIN embeddings c ON c.vec_id >= 8 AND q.vec_id < 8
+      WHERE q.vec_id != c.vec_id
+    ) WHERE rank <= 5
+    """
+    arms = {
+        "ivf": _ivf_checked_oracle(n_probe=4),
+        "srp": _srp_checked_oracle(),
+        "pq": _S14_ORACLE,
+        "ivfpq": _S16_ORACLE,
+    }
+    arm_ctes = ",\n".join(
+        f"a_{name} AS (SELECT query_id, match_id FROM ({sql}))"
+        for name, sql in arms.items()
+    )
+    unions = "\n    UNION ALL\n".join(
+        f"""SELECT '{name}' AS arm, x.query_id,
+           CAST(count(a.match_id) AS BIGINT) AS n_hit
+    FROM exact x LEFT JOIN a_{name} a USING (query_id, match_id)
+    GROUP BY x.query_id"""
+        for name in arms
+    )
+    return f"""
+    WITH exact AS ({exact}),
+    {arm_ctes},
+    hits AS (
+    {unions}
+    )
+    SELECT arm, query_id, CAST(5 AS BIGINT) AS k, n_hit,
+           CAST((n_hit * 1000000) // 5 AS BIGINT) AS recall_micro
+    FROM hits
+    """
+
+
+@query("s15_ann_recall_report", oracle=_s15_oracle())
+def s15_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOUR-ARM ANN QUALITY REPORT (round 6, VERDICT r05 item 5) —
+    recall@5 of every ANN paradigm in the suite against the exact
+    ground truth in one oracle-verified table: IVF cell probing (s06's
+    seeded codebook), SRP-LSH banding (s07's seeded hyperplanes), PQ/ADC
+    integer codes (s14), and their production composition IVF-PQ (s16)
+    — the report answers the actual index-tuning question, what the
+    residual-PQ composition costs in recall over its parts at the same
+    probe budget.  Each arm is the REGISTERED query's own frame,
+    so this report exercises the exact production plans (broadcast
+    probes, Arrow kernels, WindowGroupLimit ranks); recall is integer
+    micro-units — a value-checkable quantity, not a float summary.  At
+    100 TB the exact arm runs on a query SAMPLE (here all 8), each ANN
+    arm stays candidates-only; the report is the index-rebuild gate an
+    embedding platform runs per build."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    probes = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(corpus, probes, k=5).select(
+        "query_id", "match_id"
+    )
+    arms = {
+        "ivf": QUERIES["s06_ann_ivf_checked"],
+        "srp": QUERIES["s07_ann_srp_checked"],
+        "pq": QUERIES["s14_pq_adc_topk"],
+        "ivfpq": QUERIES["s16_ivfpq_adc_topk"],
+    }
+    reports = []
+    for arm, fn in arms.items():
+        approx = (
+            fn(spark, sf_dir)
+            .select("query_id", "match_id")
+            .withColumn("__hit", F.lit(1))
+        )
+        reports.append(
+            exact.join(F.broadcast(approx), ["query_id", "match_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.lit(5).cast("bigint").alias("k"),
+                F.count("__hit").cast("bigint").alias("n_hit"),
+                F.expr("cast((count(__hit) * 1000000L) div 5 as bigint)").alias(
+                    "recall_micro"
+                ),
+            )
+            .select(F.lit(arm).alias("arm"), "query_id", "k", "n_hit", "recall_micro")
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
 
 
 @query("s16_ivfpq_adc_topk", oracle=_S16_ORACLE)
