@@ -152,15 +152,30 @@ HEADLINE = [
     "t28_logreg_train",
     "s15_ann_recall_report",
     "s16_ivfpq_adc_topk",
+    # round-7 additions: semantic (embedding-space) dedup, mini-batch
+    # sampled-gradient training
+    "d22_semantic_dedup",
+    "t29_logreg_minibatch",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
 # replay harness measures fixture IO, not the operator.
 
-#: the 91-query round-5 series subset (everything except the round-6
+#: post-round-5 additions, kept in a NAMED list so the cross-round
+#: comparison series below can never silently shift when HEADLINE grows
+#: (ADVICE r06: HEADLINE[:-3] was positionally coupled)
+POST_R5_ADDITIONS = [
+    "t28_logreg_train",
+    "s15_ann_recall_report",
+    "s16_ivfpq_adc_topk",
+    "d22_semantic_dedup",
+    "t29_logreg_minibatch",
+]
+
+#: the 91-query round-5 series subset (everything except the post-r5
 #: additions above) — reported separately in the compact line so the
 #: cross-round headline series stays comparable
-R5_SERIES = HEADLINE[:-3]
+R5_SERIES = [q for q in HEADLINE if q not in POST_R5_ADDITIONS]
 
 
 def full_inventory() -> list[str]:

@@ -1116,6 +1116,110 @@ def connected_components_star(
     return out
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    n_clusters: int = 32,
+    tau_num: int = 2,
+    tau_den: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """SEMANTIC (embedding-space) dedup, SemDeDup-style (Abbas et al.
+    2023, arXiv:2303.09540): cluster the corpus embeddings, then within
+    each cluster drop every member that is near-identical (cosine ≥
+    tau_num/tau_den) to a lower-id cluster-mate — the third axis of the
+    dedup matrix (exact-token d01 / fuzzy-token d03-d18 / semantic
+    here).  Returns one row per vector:
+    ``(vec_id, cluster, rep_id, kept)`` with rep_id = the LOWEST-id
+    dominating cluster-mate (itself when kept) — the d20-style linear
+    contract; the within-cluster pair matrix is internal only.
+
+    Engine-portable integer law (the s08/s16 quantization discipline,
+    so the whole approximation is value-checked, not just row-counted):
+    vectors quantize to q = floor(x·scale) per dimension; cluster
+    assignment is integer squared-L2 argmin against the ``n_clusters``
+    lowest-id vectors (data-seeded codebook, s06's convention; ties →
+    lowest cluster id); the near-identical test is the exact integer
+    cross-multiplication  dot > 0  AND  tau_den²·dot² ≥ tau_num²·|a|²·|b|²
+    — no float division anywhere, so DuckDB replays every drop
+    bit-for-bit.  Magnitude bound: |dot| ≤ dim·scale²·max|x|², and
+    tau_den²·dot² must stay < 2⁶³ (64-dim unit-ish vectors at
+    scale=1000: dot ≤ 6.4e7, 25·dot² ≤ 1.1e17 — 66× headroom).
+
+    Distributed shape (pinned in tests/test_plans.py): ONE scan-shaped
+    Arrow assignment pass against the broadcast seed matrix (no
+    shuffle), then ONE shuffle on the cluster key into a per-cluster
+    Arrow dominance kernel (blocked integer Gram matrix, row-blocks of
+    2048 so memory is O(block·members), never members²·8 bytes at
+    once).  Pairs never cross clusters — cost is Σ|cluster|², not n²,
+    and at 100 TB n_clusters scales ∝ n (SemDeDup runs k ≈ √n-ish
+    FAISS clusterings) so per-cluster work stays bounded; the seeded
+    k here is the oracle-replayable stand-in for that trained codebook
+    (same plan, swap the seed matrix).  Reference witness: the O1+O2
+    composition discipline (src/Core/MapReduceC.hs:22-104) — cluster =
+    the partition key, dominance = the per-group reducer."""
+    from pyspark.sql.functions import pandas_udf
+
+    den2, num2 = tau_den * tau_den, tau_num * tau_num
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(
+            f"transform({vec_col}, x -> cast(floor(cast(x as double) * {scale}) as bigint))"
+        ).alias("v"),
+    )
+    seed_rows = base.orderBy("vec_id").limit(n_clusters).collect()
+    if len(seed_rows) < n_clusters:
+        raise ValueError(
+            f"semantic_dedup: need {n_clusters} seed vectors, corpus has {len(seed_rows)}"
+        )
+    seed_ids = np.asarray([r["vec_id"] for r in seed_rows], dtype=np.int64)
+    seeds = np.asarray([r["v"] for r in seed_rows], dtype=np.int64)
+    s_sq = (seeds * seeds).sum(axis=1)
+
+    @pandas_udf("bigint")
+    def assign(vs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.int64) for v in vs])
+        # integer ||v-s||² = ||v||² - 2 v·s + ||s||²; argmin's first-min
+        # tie-break = lowest row = lowest seed id (seed matrix id-sorted)
+        d2 = (m * m).sum(axis=1)[:, None] - 2 * (m @ seeds.T) + s_sq[None, :]
+        return pd.Series(seed_ids[d2.argmin(axis=1)])
+
+    def dominate(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        q = np.asarray(
+            [np.asarray(v, dtype=np.int64) for v in pdf["v"].to_numpy()[order]]
+        )
+        n2 = (q * q).sum(axis=1)
+        m = len(ids)
+        rep = np.full(m, -1, dtype=np.int64)
+        block = 2048
+        for s0 in range(0, m, block):  # ascending blocks → first hit = min id
+            e0 = min(s0 + block, m)
+            g = q[s0:e0] @ q.T
+            cond = (g > 0) & (den2 * g * g >= num2 * np.outer(n2[s0:e0], n2))
+            cond &= np.arange(s0, e0)[:, None] < np.arange(m)[None, :]
+            hit = cond.any(axis=0)
+            first = cond.argmax(axis=0) + s0
+            upd = hit & (rep == -1)
+            rep[upd] = first[upd]
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": np.full(m, pdf["cluster"].iloc[0], dtype=np.int64),
+                "rep_id": np.where(rep >= 0, ids[np.maximum(rep, 0)], ids),
+                "kept": rep == -1,
+            }
+        )
+
+    return (
+        base.withColumn("cluster", assign(F.col("v")))
+        .groupBy("cluster")
+        .applyInPandas(dominate, "vec_id bigint, cluster bigint, rep_id bigint, kept boolean")
+    )
+
+
 def hash64_canonical_dedup(
     hashes: DataFrame,
     max_hamming: int = 3,

@@ -10507,3 +10507,155 @@ def st17_stream_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = st.hashed_linear_score_stream(_replayed_docs(spark, sf_dir))
     log = st.run_to_batch(scored, "st17_sink", output_mode="append")
     return log.select("doc_id", "n_feats", "score", "keep")
+
+
+@query(
+    "d22_semantic_dedup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[], x -> floor(x * 1000)) AS v
+      FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 32
+    ), assign AS (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, s.cid AS cluster,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.v, s.cv) ASC, s.cid ASC
+               ) AS rn
+        FROM e, seeds s
+      ) WHERE rn = 1
+    ), nrm AS (
+      SELECT vec_id, CAST(list_dot_product(v, v) AS BIGINT) AS n2 FROM e
+    ), pairs AS (
+      SELECT b.vec_id AS ib, a.vec_id AS ia,
+             CAST(list_dot_product(ea.v, eb.v) AS BIGINT) AS dot,
+             na.n2 AS n2a, nb.n2 AS n2b
+      FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      JOIN nrm na ON na.vec_id = a.vec_id
+      JOIN nrm nb ON nb.vec_id = b.vec_id
+    ), dom AS (
+      SELECT ib AS vec_id, min(ia) AS rep_id
+      FROM pairs
+      WHERE dot > 0 AND 25 * dot * dot >= 4 * n2a * n2b
+      GROUP BY ib
+    )
+    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+           coalesce(d.rep_id, a.vec_id) AS rep_id,
+           (d.rep_id IS NULL) AS kept
+    FROM assign a LEFT JOIN dom d USING (vec_id)
+    """,
+)
+def d22_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup (round 7, VERDICT r06 item 5) — the embedding-
+    space paradigm that completes the dedup matrix along the
+    token/fuzzy/SEMANTIC axis (SemDeDup, Abbas et al. 2023): cluster
+    the corpus (integer squared-L2 assignment to the 32 lowest-vec_id
+    seed vectors — the s06 data-seeded-codebook convention), then
+    within each cluster drop every member near-identical (quantized
+    cosine >= 0.4, s08's integer law as the exact cross-multiplication
+    25*dot^2 >= 4*|a|^2*|b|^2) to a lower-id cluster-mate.  Threshold
+    0.4 for the same reason as d05: this corpus plants no high-cosine
+    dups (max pairwise cosine ~ 0.5-0.6), so 0.9 would be a vacuous
+    empty-vs-empty match.  Output is the d20-style LINEAR contract
+    (vec_id, cluster, rep_id, kept) — one row per vector, rep_id = the
+    lowest dominating cluster-mate, pair matrix internal only.  Plan
+    (pinned): one Arrow assignment pass against the broadcast seed
+    matrix, ONE shuffle on cluster into a blocked-Gram Arrow dominance
+    kernel — pairs never cross clusters, so cost is sum(|cluster|^2)
+    with k scaling ~ n at 100 TB (operators/dedup.semantic_dedup)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(emb, n_clusters=32, tau_num=2, tau_den=5)
+
+
+@query(
+    "t29_logreg_minibatch",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+      FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(term), 1, 12))::BIGINT % 64 AS bucket,
+             CAST(count(*) AS BIGINT) AS x
+      FROM toks GROUP BY 1, 2
+    ), lab AS (
+      SELECT doc_id,
+             CASE WHEN n_chars >= 300 THEN 1::BIGINT ELSE 0::BIGINT END AS y
+      FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':1'), 1, 12))::BIGINT % 4 = 0
+    ), n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s1),
+    s2 AS (
+      SELECT doc_id FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':2'), 1, 12))::BIGINT % 4 = 0
+    ), n2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s2),
+    grid AS (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS bucket),
+    -- step 1 on sample s1: w0 = 0, bias0 = 0 -> z = 0 -> p = 500000 micro
+    r1 AS (
+      SELECT lab.doc_id, CAST(500000 - y * 1000000 AS BIGINT) AS r
+      FROM lab JOIN s1 USING (doc_id)
+    ), g1 AS (
+      SELECT f.bucket, CAST(sum(r1.r * f.x) AS BIGINT) AS g
+      FROM r1 JOIN feats f USING (doc_id) GROUP BY 1
+    ), gb1 AS (SELECT CAST(sum(r) AS BIGINT) AS g FROM r1),
+    w1 AS (
+      SELECT grid.bucket,
+             CAST(0 - (coalesce(g1.g, 0) // n1.n) // 50 AS BIGINT) AS w
+      FROM grid LEFT JOIN g1 USING (bucket), n1
+    ), b1 AS (SELECT CAST(0 - (g // n) // 50 AS BIGINT) AS b FROM gb1, n1),
+    -- step 2 on sample s2: margin with w1/b1, hard sigmoid, residual
+    zf2 AS (
+      SELECT f.doc_id, CAST(sum(w1.w * f.x) AS BIGINT) AS zf
+      FROM feats f JOIN s2 USING (doc_id) JOIN w1 USING (bucket) GROUP BY 1
+    ), r2 AS (
+      SELECT lab.doc_id,
+             CAST(greatest(0, least(1000000,
+                    ((coalesce(zf2.zf, 0) + b1.b) // 4) + 500000))
+                  - lab.y * 1000000 AS BIGINT) AS r
+      FROM lab JOIN s2 USING (doc_id) LEFT JOIN zf2 USING (doc_id), b1
+    ), g2 AS (
+      SELECT f.bucket, CAST(sum(r2.r * f.x) AS BIGINT) AS g
+      FROM r2 JOIN feats f USING (doc_id) GROUP BY 1
+    ), gb2 AS (SELECT CAST(sum(r) AS BIGINT) AS g FROM r2),
+    w2 AS (
+      SELECT w1.bucket,
+             CAST(w1.w - (coalesce(g2.g, 0) // n2.n) // 50 AS BIGINT) AS w
+      FROM w1 LEFT JOIN g2 USING (bucket), n2
+    ), b2 AS (
+      SELECT CAST(b1.b - (gb2.g // n2.n) // 50 AS BIGINT) AS b FROM b1, gb2, n2
+    )
+    SELECT w1.bucket, w1.w AS w_step1, w2.w AS w_final
+    FROM w1 JOIN w2 USING (bucket)
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS bucket, b1.b AS w_step1, b2.b AS w_final
+    FROM b1, b2
+    """,
+)
+def t29_logreg_minibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINI-BATCH classifier training (round 7, VERDICT r06 item 6) —
+    t28's distributed logistic regression with a deterministic md5-fold
+    SAMPLE per gradient step (operators/ml.logreg_train_minibatch,
+    sample law: md5-fold(doc_id:step) % 4 == 0, s10's draw
+    discipline), so per-step cost is corpus/4 instead of one full
+    scan: the sublinear-per-step posture that turns "as many epochs as
+    scans you can afford" (t28) into actual SGD economics at 100 TB.
+    The sample predicate is a pushable FILTER on the persisted,
+    doc_id-partitioned feature frame — the per-step plan prunes before
+    the broadcast-model join (pinned in tests/test_plans.py).  Update
+    law identical to t28 but normalized by the SAMPLE count; both
+    steps replay bit-for-bit in the unrolled oracle, sampling
+    included."""
+    from mapreducehs_spark.operators.ml import logreg_train_minibatch
+
+    docs = _t(spark, sf_dir, "documents")
+    return logreg_train_minibatch(
+        docs, n_buckets=64, n_steps=2, label_chars=300, sample_mod=4
+    )

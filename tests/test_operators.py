@@ -1785,3 +1785,127 @@ def test_logreg_train_matches_numpy_reference(spark):
     assert got == want
     # the classifier must have LEARNED something (non-zero weights)
     assert any(wf != 0 for _, wf in got.values())
+
+
+def test_semantic_dedup_vs_bruteforce(spark):
+    """Differential: d22's operator must equal a dense numpy replay of
+    the full integer law — floor-quantize, integer-L2 seed assignment
+    (ties -> lowest cluster id), cluster-LOCAL pairwise dominance at
+    the exact cross-multiplied cosine threshold — including the
+    cluster-locality semantics: a near-identical pair split across two
+    clusters is NOT dropped (SemDeDup's documented recall trade)."""
+    import numpy as np
+
+    from mapreducehs_spark.operators.dedup import semantic_dedup
+
+    # 4 orthogonal-ish seeds (ids 0-3) + members incl. a planted
+    # same-cluster dup (10 ~ seed 0) and a planted CROSS-cluster
+    # near-identical pair (13 in cluster 2, 14 in cluster 3)
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0, 0.0],
+        2: [0.0, 0.0, 1.0, 0.0],
+        3: [0.0, 0.0, 0.0, 1.0],
+        10: [0.99, 0.01, 0.0, 0.0],
+        11: [0.55, 0.2, 0.1, 0.0],
+        12: [0.1, 0.9, 0.3, 0.0],
+        13: [0.0, 0.0, 0.71, 0.70],
+        14: [0.0, 0.0, 0.70, 0.72],
+        15: [-0.5, -0.5, -0.5, -0.5],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in sorted(vecs.items())],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["cluster"], r["rep_id"], r["kept"])
+        for r in semantic_dedup(df, n_clusters=4, tau_num=9, tau_den=10).collect()
+    }
+
+    # numpy replay of the same law (float->double cast first, like the
+    # operator's cast(x as double))
+    ids = np.array(sorted(vecs), dtype=np.int64)
+    m = np.floor(
+        np.asarray([vecs[i] for i in ids], dtype=np.float32).astype(np.float64) * 1000
+    ).astype(np.int64)
+    seeds = m[:4]
+    d2 = (m * m).sum(1)[:, None] - 2 * (m @ seeds.T) + (seeds * seeds).sum(1)[None, :]
+    cl = ids[d2.argmin(1)]
+    n2 = (m * m).sum(1)
+    want = {}
+    for j, vid in enumerate(ids):
+        rep, kept = int(vid), True
+        for i in range(j):
+            if cl[i] != cl[j]:
+                continue
+            dot = int(m[i] @ m[j])
+            if dot > 0 and 100 * dot * dot >= 81 * int(n2[i]) * int(n2[j]):
+                rep, kept = int(ids[i]), False
+                break
+        want[int(vid)] = (int(cl[j]), rep, kept)
+    assert got == want
+    # the planted same-cluster dup is dropped with the seed as rep
+    assert got[10] == (0, 0, False)
+    # the planted cross-cluster near-identical pair is NOT dropped
+    assert got[13][2] and got[14][2] and got[13][0] != got[14][0]
+
+
+def test_logreg_minibatch_matches_numpy_reference(spark):
+    """Differential: the 2-step mini-batch SGD must equal a dense numpy
+    replay of the same integer update law with the same md5-fold
+    per-step draws, normalized by each step's SAMPLE count."""
+    import hashlib
+
+    import numpy as np
+
+    from mapreducehs_spark.operators.ml import LR_DEN, MICRO, logreg_train_minibatch
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range((i % 5) + 2)), "en", "s", 250 + 20 * (i % 7))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        int(r["bucket"]): (int(r["w_step1"]), int(r["w_final"]))
+        for r in logreg_train_minibatch(
+            docs, n_buckets=8, n_steps=2, label_chars=300, sample_mod=2
+        ).collect()
+    }
+
+    n_b = 8
+    X = np.zeros((60, n_b), dtype=np.int64)
+    y = np.zeros(60, dtype=np.int64)
+    for i, text, _l, _s, n_chars in rows:
+        y[i] = 1 if n_chars >= 300 else 0
+        for tok in text.split():
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:12], 16) % n_b
+            X[i, b] += 1
+
+    def drawn(i, step):
+        return int(hashlib.md5(f"{i}:{step}".encode()).hexdigest()[:12], 16) % 2 == 0
+
+    def trunc(v, d):
+        return np.sign(v) * (np.abs(v) // d)
+
+    w = np.zeros(n_b, dtype=np.int64)
+    bias = 0
+    snaps = []
+    for step in (1, 2):
+        sel = np.array([drawn(i, step) for i in range(60)])
+        n_s = int(sel.sum())
+        assert n_s > 0, "degenerate test draw"
+        z = X[sel] @ w + bias
+        p = np.clip(trunc(z, 4) + MICRO // 2, 0, MICRO)
+        r = p - y[sel] * MICRO
+        g = X[sel].T @ r
+        gb = int(r.sum())
+        w = w - trunc(trunc(g, n_s), LR_DEN)
+        bias = bias - int(trunc(trunc(gb, n_s), LR_DEN))
+        snaps.append((w.copy(), bias))
+    (w1, b1), (w2, b2) = snaps
+    want = {b: (int(w1[b]), int(w2[b])) for b in range(n_b)}
+    want[-1] = (b1, b2)
+    assert got == want
+    assert any(wf != 0 for _, wf in got.values())

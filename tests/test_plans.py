@@ -591,3 +591,59 @@ def test_t28_gradient_step_broadcast_model_no_extra_exchange(spark):
     finally:
         features.unpersist(blocking=False)
         labels.unpersist(blocking=False)
+
+
+def test_d22_single_cluster_shuffle_no_cartesian(q):
+    """d22's scale contract: assignment is a scan-shaped Arrow pass
+    (no shuffle), dominance runs inside ONE exchange on the cluster
+    key (FlatMapGroupsInPandas) — the within-cluster pair matrix never
+    surfaces as a join, so no cartesian product can appear."""
+    df = q("d22_semantic_dedup")
+    plan = I.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert I.exchange_count(df) == 1
+
+
+def test_t29_sample_filter_prunes_before_model_join(spark):
+    """t29's per-step contract: the md5-fold sample predicate is a
+    FILTER on the persisted feature/label frames (prune BEFORE the
+    broadcast-model join — the sublinear-per-step property), the model
+    still broadcasts, and the filter preserves the doc_id partitioning
+    (no exchange re-appears between the margin HashAggregate pair)."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from mapreducehs_spark.operators.ml import (
+        gradient_frames,
+        hashed_features,
+        sample_pred,
+    )
+    from mapreducehs_spark.queries import _t
+
+    docs = _t(spark, SF, "documents")
+    features = hashed_features(docs, 64).repartition("doc_id").persist()
+    labels = (
+        docs.select("doc_id", (F.col("n_chars") >= 300).cast("bigint").alias("y"))
+        .repartition("doc_id")
+        .persist()
+    )
+    try:
+        features.count(), labels.count()
+        pred = sample_pred(1, 4)
+        grad_df, _resid = gradient_frames(
+            features.filter(pred), labels.filter(pred), {b: 0 for b in range(64)}, 0
+        )
+        plan = I.formatted_plan(grad_df)
+        assert "md5(" in plan, "sample predicate filter missing from the step plan"
+        assert I.broadcast_join_count(grad_df) >= 1
+        assert "CartesianProduct" not in plan
+        # filters don't disturb hash partitioning: the margin aggregation
+        # still lowers to a partial+final pair with no exchange between
+        assert re.search(
+            r"HashAggregate \(\d+\)\n[\s:+*-]*HashAggregate \(\d+\)", plan
+        ), "sampled margin aggregation no longer reuses the features partitioning"
+    finally:
+        features.unpersist(blocking=False)
+        labels.unpersist(blocking=False)

@@ -64,10 +64,11 @@ def skew_documents(src: str, dst: str) -> None:
     doc_id = t.column("doc_id").to_numpy(zero_copy_only=False)
     text = t.column("text").to_pylist()
     n = len(text)
+    dmin = int(doc_id.min())
     base = text[int(np.argmin(doc_id))]  # document with the minimum id
     n_dup = n_hot = 0
     for i in range(n):
-        if doc_id[i] != doc_id.min() and doc_id[i] % 100 == 13:
+        if doc_id[i] != dmin and doc_id[i] % 100 == 13:
             text[i] = base  # hot duplicate class (~1%)
             n_dup += 1
         elif doc_id[i] % 8 == 3:

@@ -8,13 +8,18 @@ anywhere in the headline (a broadcast degrading to SMJ, an extra
 exchange creeping into an iteration) shows up as a one-line diff in
 review even where no pin test exists yet.
 
-Plans are BUILT, never executed (a few seconds for the whole headline)
-— with known exceptions that EXECUTE during build: the iterative bodies
-that end in ``localCheckpoint`` (q96/q108/q111/d21/s05/s11/t18, the
-m11/m12 canonical dedup, d20) and q71, which runs a distinct-count at
-build time to size its Misra-Gries exact-regime capacity from the
-measured vocabulary (the sf1 correctness fix; ADVICE r05 notes the
-cost — it is the price of a capacity that cannot silently under-size).
+Plans are BUILT, never executed — with known exceptions that EXECUTE
+real cluster work during build (ADVICE r06: this list had gone stale),
+so a full-inventory audit is no longer "a few seconds":
+- the iterative bodies that end in ``localCheckpoint`` (q96/q108/
+  q111/d21/s05/s11/t18, the m11/m12 canonical dedup, d20);
+- q71, which runs a distinct-count at build time to size its
+  Misra-Gries exact-regime capacity from the measured vocabulary
+  (the sf1 correctness fix; ADVICE r05 notes the cost — it is the
+  price of a capacity that cannot silently under-size);
+- t28/t29 (full training loop: per-step counts + model collects),
+  s15 (executes all ANN arms plus the exact top-k), and the
+  seeded-codebook collects in s02/s04/s06/s07/s16/d22.
 Those report the plan of the materialized result; their interesting
 plan properties are pinned by dedicated tests instead (see
 test_plans.py's `_build()` convention).
