@@ -26,8 +26,10 @@ def test_oracle_parity(spark, con, name):
     assert_matches_oracle(df, con, ORACLE[name], name)
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
-def test_rows_only_queries_run(spark, name):
-    df = QUERIES[name](spark, SF_DIR)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_every_query_has_an_oracle():
+    """Round 6 flipped the last rows-only defaults to value-checked
+    kernels; this replaces the (then-vestigial, always-skipped)
+    rows-only runner with the invariant it proved: the oracle record
+    IS the spec, for EVERY declared query (reference discipline:
+    test/Generator.hs:83-92)."""
+    assert set(QUERIES) == set(ORACLE)
