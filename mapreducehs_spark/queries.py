@@ -9874,7 +9874,7 @@ def m11_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.hash64_canonical_dedup(ahash_64(payloads), max_hamming=3)
 
 
-#: s14's full oracle, a module constant so s15's three-arm recall
+#: s14's full oracle, a module constant so s15's multi-arm recall
 #: report can embed the same PQ replay as a subquery.
 _S14_ORACLE = """
     WITH e AS (
