@@ -10659,3 +10659,92 @@ def t29_logreg_minibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_train_minibatch(
         docs, n_buckets=64, n_steps=2, label_chars=300, sample_mod=4
     )
+
+
+def _st18_oracle(n_chunks: int = 4, n_buckets: int = 64) -> str:
+    """Unrolled online-SGD oracle: one integer gradient step per replay
+    chunk, chunk membership replayed from the fixture's positional law
+    (doc_id rank r -> chunk (r*n_chunks) div n; exact because every
+    fixture SF's doc count divides by n_chunks).  Same truncating
+    update law as t28/t29."""
+    steps = []
+    for s in range(n_chunks):
+        steps.append(f"""
+    zf{s} AS (
+      SELECT f.doc_id, CAST(sum(w{s}.w * f.x) AS BIGINT) AS zf
+      FROM feats f JOIN chunk c USING (doc_id) JOIN w{s} USING (bucket)
+      WHERE c.step = {s} GROUP BY 1
+    ), r{s} AS (
+      SELECT lab.doc_id,
+             CAST(greatest(0, least(1000000,
+                    ((coalesce(z.zf, 0) + b{s}.b) // 4) + 500000))
+                  - lab.y * 1000000 AS BIGINT) AS r
+      FROM lab JOIN chunk c USING (doc_id) LEFT JOIN zf{s} z USING (doc_id), b{s}
+      WHERE c.step = {s}
+    ), g{s} AS (
+      SELECT f.bucket, CAST(sum(r.r * f.x) AS BIGINT) AS g
+      FROM r{s} r JOIN feats f USING (doc_id) GROUP BY 1
+    ), gb{s} AS (SELECT CAST(sum(r) AS BIGINT) AS g FROM r{s}),
+    n{s} AS (SELECT n FROM cnt WHERE step = {s}),
+    w{s + 1} AS (
+      SELECT w{s}.bucket,
+             CAST(w{s}.w - (coalesce(g{s}.g, 0) // n{s}.n) // 50 AS BIGINT) AS w
+      FROM w{s} LEFT JOIN g{s} USING (bucket), n{s}
+    ), b{s + 1} AS (
+      SELECT CAST(b{s}.b - (gb{s}.g // n{s}.n) // 50 AS BIGINT) AS b
+      FROM b{s}, gb{s}, n{s}
+    )""")
+    unions = "\n    UNION ALL\n".join(
+        f"""SELECT CAST({s + 1} AS BIGINT) AS step, bucket, w FROM w{s + 1}
+    UNION ALL
+    SELECT CAST({s + 1} AS BIGINT) AS step, CAST(-1 AS BIGINT) AS bucket, b AS w FROM b{s + 1}"""
+        for s in range(n_chunks)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+      FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(term), 1, 12))::BIGINT % {n_buckets} AS bucket,
+             CAST(count(*) AS BIGINT) AS x
+      FROM toks GROUP BY 1, 2
+    ), lab AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= 300 THEN 1::BIGINT ELSE 0::BIGINT END AS y
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id ASC) - 1 AS rk FROM documents
+    ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    chunk AS (
+      SELECT doc_id, CAST((rk * {n_chunks}) // nn.n AS BIGINT) AS step
+      FROM ranked, nn
+    ), cnt AS (
+      SELECT step, CAST(count(*) AS BIGINT) AS n FROM chunk GROUP BY 1
+    ), grid AS (SELECT CAST(unnest(range(0, {n_buckets})) AS BIGINT) AS bucket),
+    w0 AS (SELECT bucket, CAST(0 AS BIGINT) AS w FROM grid),
+    b0 AS (SELECT CAST(0 AS BIGINT) AS b),
+    {",".join(steps)}
+    {unions}
+    """
+
+
+@query("st18_stream_train", oracle=_st18_oracle())
+def st18_stream_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING (online) model training (round 7) — completes the
+    train/infer × batch/stream matrix: t28 batch-train, t29 mini-batch
+    train, t26 batch-infer, st17 stream-infer, and HERE online SGD
+    where each replayed micro-batch (st15/st17's deterministic 4-chunk
+    doc_id-ordered fixture) is one integer-law gradient step
+    (streaming/ops.streaming_logreg_train via foreachBatch — the
+    Spark-native online-learning topology).  Per batch: ONE scan of
+    the new data with the current 64-weight model broadcast, one
+    64-key gradient shuffle, a dim+1-int driver update; the output is
+    the full per-step weight audit trail (step, bucket, w).  The
+    oracle unrolls all four steps with chunk membership replayed from
+    the fixture's positional law — the whole ONLINE trajectory,
+    batch boundaries included, value-checks bit-for-bit."""
+    from mapreducehs_spark import streaming as st
+
+    return st.streaming_logreg_train(_replayed_docs(spark, sf_dir))

@@ -1311,3 +1311,79 @@ def hashed_linear_score_stream(docs: DataFrame, n_buckets: int = 4096) -> DataFr
         )
         .withColumn("keep", F.col("score") > 0)
     )
+
+
+def streaming_logreg_train(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    label_chars: int = 300,
+) -> DataFrame:
+    """STREAMING (online) model TRAINING — the missing cell of the
+    train/infer × batch/stream matrix (t28 batch-train, t29 mini-batch
+    train, t26 batch-infer, st17 stream-infer, HERE stream-train): each
+    arriving micro-batch is one integer-law gradient step of the
+    hashed-feature logistic regression (``operators/ml``), i.e. online
+    SGD where the STREAM defines the mini-batches.
+
+    Topology: ``foreachBatch`` — the Spark-native online-learning shape
+    (per micro-batch: hashed features + labels for THIS batch only, one
+    broadcast-model join, one dim-sized gradient aggregation, an
+    integer update of driver-held weights).  State is dim+1 ints on the
+    driver, exactly t28's discipline; no state store is involved
+    because the model is the state and it is model-sized.  Micro-batch
+    ORDER is the replay fixture's deterministic chunk order (file
+    source, maxFilesPerTrigger=1, mtime-ascending), so the whole
+    training trajectory is replayable: the oracle unrolls one step per
+    chunk, with chunk membership derived from the fixture's positional
+    law (doc_id rank r → chunk (r·n_chunks) div n; integral bounds at
+    every fixture SF since doc counts divide by 4).
+
+    Label: y = (length(text) ≥ label_chars) — identical to t28's
+    n_chars law (the generator sets n_chars = len(text); verified
+    ASCII, so Spark/DuckDB/Python length agree).
+
+    Returns one weight snapshot per processed batch:
+    (step, bucket, w) with bias as bucket −1, step 1-based in arrival
+    order — the audit trail an online-learning serving layer keeps.
+
+    At 100 TB/day this is the always-on trainer: per batch ONE scan of
+    the new data, a 64-key shuffle, and a model-sized driver update —
+    cost tracks ingest volume, never history."""
+    from mapreducehs_spark.operators.ml import hashed_features, logreg_gradient_step
+
+    spark = docs.sparkSession
+    weights = {b: 0 for b in range(n_buckets)}
+    bias = 0
+    snaps: list[tuple[int, dict[int, int], int]] = []
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal weights, bias
+        rows = batch_df.select(
+            "doc_id",
+            "text",
+            (F.length("text") >= label_chars).cast("bigint").alias("y"),
+        ).persist()
+        try:
+            n = rows.count()
+            if n == 0:  # trailing empty batch: no step
+                return
+            feats = hashed_features(rows.select("doc_id", "text"), n_buckets)
+            labels = rows.select("doc_id", "y")
+            weights, bias = logreg_gradient_step(feats, labels, weights, bias, n)
+            snaps.append((int(batch_id), dict(weights), bias))
+        finally:
+            rows.unpersist(blocking=False)
+
+    q = docs.writeStream.foreachBatch(step).trigger(availableNow=True).start()
+    try:
+        if not q.awaitTermination(timeout=600):
+            raise TimeoutError("streaming_logreg_train did not finish in 600s")
+    finally:
+        if q.isActive:
+            q.stop()
+
+    out_rows: list[tuple[int, int, int]] = []
+    for step_i, (_bid, w, b) in enumerate(sorted(snaps, key=lambda t: t[0]), start=1):
+        out_rows.append((step_i, -1, b))
+        out_rows.extend((step_i, k, w[k]) for k in range(n_buckets))
+    return spark.createDataFrame(out_rows, "step bigint, bucket bigint, w bigint")

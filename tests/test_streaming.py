@@ -498,3 +498,74 @@ def test_minhash_stream_checkpoint_restart_same_pairs(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_logreg_train_matches_numpy_online_replay(spark, tmp_path):
+    """st18's online trajectory must equal a dense numpy replay of the
+    same integer update law stepped over the SAME chunks in the SAME
+    order — including the order-dependence online SGD has that batch
+    training does not (chunk order is part of the contract: the replay
+    fixture is doc_id-ordered, mtime-ascending)."""
+    import os
+    import time as _time
+
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from mapreducehs_spark.operators.ml import LR_DEN, MICRO
+    from mapreducehs_spark.streaming.ops import docs_stream, streaming_logreg_train
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range((i % 5) + 2)) + ("x" * 300 if i % 3 == 0 else ""))
+        for i in range(30)
+    ]
+    # three doc_id-ordered chunks with ascending mtimes (the fixture law)
+    replay = tmp_path / "replay"
+    os.makedirs(replay)
+    now = _time.time()
+    for c in range(3):
+        chunk = pd.DataFrame(rows[c * 10 : (c + 1) * 10], columns=["doc_id", "text"])
+        chunk["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(chunk["doc_id"], unit="s")
+        p = str(replay / f"chunk_{c:04d}.parquet")
+        chunk[["doc_id", "ts", "text"]].to_parquet(p, index=False, coerce_timestamps="us")
+        os.utime(p, (now + c * 10, now + c * 10))
+
+    got = {
+        (int(r["step"]), int(r["bucket"])): int(r["w"])
+        for r in streaming_logreg_train(
+            docs_stream(spark, str(replay)), n_buckets=8, label_chars=300
+        ).collect()
+    }
+
+    # numpy replay: one step per chunk, normalized by the CHUNK size
+    n_b = 8
+    X = np.zeros((30, n_b), dtype=np.int64)
+    y = np.zeros(30, dtype=np.int64)
+    for i, text in rows:
+        y[i] = 1 if len(text) >= 300 else 0
+        for tok in text.split():
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:12], 16) % n_b
+            X[i, b] += 1
+
+    def trunc(v, d):
+        return np.sign(v) * (np.abs(v) // d)
+
+    w = np.zeros(n_b, dtype=np.int64)
+    bias = 0
+    want = {}
+    for step in range(3):
+        sel = slice(step * 10, (step + 1) * 10)
+        z = X[sel] @ w + bias
+        p = np.clip(trunc(z, 4) + MICRO // 2, 0, MICRO)
+        r = p - y[sel] * MICRO
+        w = w - trunc(trunc(X[sel].T @ r, 10), LR_DEN)
+        bias = bias - int(trunc(trunc(int(r.sum()), 10), LR_DEN))
+        want[(step + 1, -1)] = bias
+        for b in range(n_b):
+            want[(step + 1, b)] = int(w[b])
+    assert got == want
+    # the trajectory must actually evolve across steps (online, not
+    # a repeated first step)
+    assert any(want[(1, b)] != want[(3, b)] for b in range(n_b))
