@@ -153,9 +153,10 @@ HEADLINE = [
     "s15_ann_recall_report",
     "s16_ivfpq_adc_topk",
     # round-7 additions: semantic (embedding-space) dedup, mini-batch
-    # sampled-gradient training
+    # sampled-gradient training, 128-bit-fingerprint dedup
     "d22_semantic_dedup",
     "t29_logreg_minibatch",
+    "m13_phash128_dedup",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
@@ -170,6 +171,7 @@ POST_R5_ADDITIONS = [
     "s16_ivfpq_adc_topk",
     "d22_semantic_dedup",
     "t29_logreg_minibatch",
+    "m13_phash128_dedup",
 ]
 
 #: the 91-query round-5 series subset (everything except the post-r5

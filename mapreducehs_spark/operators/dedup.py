@@ -1320,3 +1320,78 @@ def hash64_canonical_dedup(
             grp.unpersist(blocking=False)
     finally:
         h.unpersist(blocking=False)
+
+
+def hash128_canonical_dedup(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "id",
+) -> DataFrame:
+    """``hash64_canonical_dedup`` at 128-bit fingerprint width — the
+    band-occupancy mitigation SCALE.md's round-7 probe recorded: the
+    four pigeonhole bands ARE the four 32-bit words (w0..w3), so a
+    band's key space is 2³² instead of 2¹⁶ and the candidate stage
+    over N distinct hashes is ~N²/2³³ pairs (feasible at N = 10⁹,
+    where 16-bit bands are not).  Same guarantee (≤ max_hamming < 4
+    differing bits cannot touch all four words), same composition:
+    exact-dup contraction → banding over DISTINCT hashes → popcount
+    verify → star-CC → linear (member, rep, class_size) emit, same
+    checkpoint-before-unpersist ordering."""
+    h = hashes.select(F.col(id_col).alias("id"), "w0", "w1", "w2", "w3").persist()
+    try:
+        grp = (
+            h.groupBy("w0", "w1", "w2", "w3")
+            .agg(F.min("id").alias("hrep"), F.count(F.lit(1)).alias("cnt"))
+            .persist()
+        )
+        try:
+            banded = grp.select(
+                "hrep", F.posexplode(F.array("w0", "w1", "w2", "w3")).alias("b", "bk")
+            )
+            cand = (
+                banded.select(F.col("hrep").alias("ra"), "b", "bk")
+                .join(banded.select(F.col("hrep").alias("rb"), "b", "bk"), ["b", "bk"])
+                .filter(F.col("ra") < F.col("rb"))
+                .select("ra", "rb")
+                .distinct()
+            )
+            ga = grp.select(
+                F.col("hrep").alias("ra"),
+                *[F.col(f"w{j}").alias(f"a{j}") for j in range(4)],
+            )
+            gb = grp.select(
+                F.col("hrep").alias("rb"),
+                *[F.col(f"w{j}").alias(f"b{j}") for j in range(4)],
+            )
+            hamming = sum(
+                F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}")))
+                for j in range(4)
+            )
+            edges = (
+                cand.join(ga, "ra")
+                .join(gb, "rb")
+                .filter(hamming <= max_hamming)
+                .select(F.col("ra").alias("id_a"), F.col("rb").alias("id_b"))
+            )
+            cc = connected_components_star(edges)  # (node, rep); executes here
+            crep = grp.join(cc, grp.hrep == cc.node, "left").select(
+                "w0", "w1", "w2", "w3", "cnt", F.coalesce("rep", "hrep").alias("comp")
+            )
+            sizes = crep.groupBy("comp").agg(
+                F.sum("cnt").cast("bigint").alias("class_size")
+            )
+            out = (
+                h.join(crep.select("w0", "w1", "w2", "w3", "comp"), ["w0", "w1", "w2", "w3"])
+                .join(sizes, "comp")
+                .filter(F.col("id") != F.col("comp"))
+                .select(
+                    F.col("id").alias("member"),
+                    F.col("comp").cast("bigint").alias("rep"),
+                    "class_size",
+                )
+            )
+            return out.localCheckpoint()
+        finally:
+            grp.unpersist(blocking=False)
+    finally:
+        h.unpersist(blocking=False)

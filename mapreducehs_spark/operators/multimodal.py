@@ -637,3 +637,49 @@ def audio_fingerprint_64(
             yield pd.DataFrame({"id": ids, "lo": los, "hi": his})
 
     return df.mapInPandas(batches, schema="id long, lo long, hi long")
+
+
+def ahash_128(
+    df: DataFrame, id_col: str = "id", payload_col: str = "payload"
+) -> DataFrame:
+    """128-bit average hash — ``ahash_64`` at double fingerprint width,
+    the band-occupancy MITIGATION recorded in SCALE.md's round-7 probe:
+    4 bands over a 128-bit hash are 32 bits wide, capping per-band
+    bucket keys at 2³² instead of 2¹⁶, so the candidate stage over N
+    DISTINCT hashes shrinks from ~N²/2¹⁷ to ~N²/2³³ pairs — the
+    billion-scale posture (at N = 10⁹: ~10⁸ candidates instead of
+    ~10¹³).  Same recipe, 8×16 block grid: decode (real PGM parse),
+    integer block sums, bit k (row-major cell k) set iff
+    128·cell_sum > total_sum.  Emits (id, w0, w1, w2, w3) — four
+    non-negative 32-bit words, bits 0-31 in w0 through bits 96-127 in
+    w3 (the ahash_64 sign-bit discipline, four ways)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list[int]] = {"id": [], "w0": [], "w1": [], "w2": [], "w3": []}
+        for pdf in it:
+            for i, pl in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_image(bytes(pl))
+                h, w = img.shape
+                if h % 8 or w % 16:
+                    raise ValueError(f"ahash_128: dims {h}x{w} not divisible by 8x16")
+                cells = (
+                    img.astype(np.int64)
+                    .reshape(8, h // 8, 16, w // 16)
+                    .sum(axis=(1, 3))
+                    .ravel()
+                )
+                total = int(cells.sum())
+                bits = cells * 128 > total
+                words = [0, 0, 0, 0]
+                for k in range(128):
+                    if bits[k]:
+                        words[k // 32] |= 1 << (k % 32)
+                out["id"].append(int(i))
+                for j in range(4):
+                    out[f"w{j}"].append(words[j])
+            yield pd.DataFrame(out)
+            out = {"id": [], "w0": [], "w1": [], "w2": [], "w3": []}
+
+    return df.mapInPandas(
+        batches, schema="id long, w0 long, w1 long, w2 long, w3 long"
+    )

@@ -10748,3 +10748,92 @@ def st18_stream_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducehs_spark import streaming as st
 
     return st.streaming_logreg_train(_replayed_docs(spark, sf_dir))
+
+
+#: hash128_canonical_dedup's oracle tail: takes a CTE ``h`` of
+#: (doc_id, w0..w3) 32-bit words and replays the 4x32-bit-band
+#: composition — same closure-over-distinct-hashes shape as
+#: _HASH64_CANONICAL_TAIL, wider bands.
+_HASH128_CANONICAL_TAIL = """grp AS (
+      SELECT w0, w1, w2, w3, min(doc_id) AS hrep, CAST(count(*) AS BIGINT) AS cnt
+      FROM h GROUP BY w0, w1, w2, w3
+    ), gbanded AS (
+      SELECT hrep, b,
+             CASE b WHEN 0 THEN w0 WHEN 1 THEN w1 WHEN 2 THEN w2 ELSE w3 END AS bk
+      FROM grp, unnest(range(4)) tb(b)
+    ), gcand AS (
+      SELECT DISTINCT a.hrep AS ra, b.hrep AS rb
+      FROM gbanded a JOIN gbanded b ON a.b = b.b AND a.bk = b.bk AND a.hrep < b.hrep
+    ), pe AS (
+      SELECT c.ra, c.rb
+      FROM gcand c JOIN grp ga ON ga.hrep = c.ra JOIN grp gb ON gb.hrep = c.rb
+      WHERE bit_count(xor(ga.w0, gb.w0)) + bit_count(xor(ga.w1, gb.w1))
+            + bit_count(xor(ga.w2, gb.w2)) + bit_count(xor(ga.w3, gb.w3)) <= 3
+    ), edges AS (
+      SELECT ra AS src, rb AS dst FROM pe UNION SELECT rb, ra FROM pe
+    ), reach(src, dst) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
+    ), comp AS (
+      SELECT src AS hrep, min(dst) AS comp FROM reach GROUP BY src
+    ), crep AS (
+      SELECT g.w0, g.w1, g.w2, g.w3, g.cnt, coalesce(c.comp, g.hrep) AS comp
+      FROM grp g LEFT JOIN comp c ON c.hrep = g.hrep
+    ), sizes AS (
+      SELECT comp, CAST(sum(cnt) AS BIGINT) AS class_size FROM crep GROUP BY comp
+    )
+    SELECT h.doc_id AS member, CAST(cr.comp AS BIGINT) AS rep, s.class_size
+    FROM h JOIN crep cr ON cr.w0 = h.w0 AND cr.w1 = h.w1 AND cr.w2 = h.w2 AND cr.w3 = h.w3
+    JOIN sizes s ON s.comp = cr.comp
+    WHERE h.doc_id != cr.comp
+    """
+
+
+@query(
+    "m13_phash128_dedup",
+    oracle="""
+    WITH RECURSIVE cells AS (
+      SELECT doc_id, r, c,
+             CAST(sum((doc_id * 31 + ((4 * r + br) * 64 + (4 * c + bc)) * 7) % 256)
+                  AS BIGINT) AS cs
+      FROM documents,
+           unnest(range(8)) tr(r), unnest(range(16)) tc(c),
+           unnest(range(4)) tbr(br), unnest(range(4)) tbc(bc)
+      GROUP BY doc_id, r, c
+    ), tot AS (
+      SELECT doc_id, CAST(sum(cs) AS BIGINT) AS total FROM cells GROUP BY doc_id
+    ), bits AS (
+      SELECT cells.doc_id, (r * 16 + c) AS k,
+             CASE WHEN cs * 128 > total THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      FROM cells JOIN tot USING (doc_id)
+    ), h AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN k // 32 = 0 THEN bit << (k % 32) ELSE 0 END) AS BIGINT) AS w0,
+             CAST(sum(CASE WHEN k // 32 = 1 THEN bit << (k % 32) ELSE 0 END) AS BIGINT) AS w1,
+             CAST(sum(CASE WHEN k // 32 = 2 THEN bit << (k % 32) ELSE 0 END) AS BIGINT) AS w2,
+             CAST(sum(CASE WHEN k // 32 = 3 THEN bit << (k % 32) ELSE 0 END) AS BIGINT) AS w3
+      FROM bits GROUP BY doc_id
+    ), """
+    + _HASH128_CANONICAL_TAIL,
+)
+def m13_phash128_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-BIT perceptual-hash dedup (round 7) — m11's composition at
+    the fingerprint width SCALE.md's round-7 band-occupancy probe
+    recorded as the billion-scale mitigation: the four pigeonhole
+    bands are 32-bit words (multimodal.ahash_128 over a 64x32 render,
+    8x16 block grid), so per-band bucket keys cap at 2^32 instead of
+    2^16 and the candidate stage over N DISTINCT hashes is ~N^2/2^33
+    pairs (~10^8 at N = 10^9, where the 16-bit-band law is ~10^13 —
+    infeasible).  Same exact-recall guarantee (hamming <= 3 cannot
+    touch all four words), same linear contract
+    (dedup.hash128_canonical_dedup: contraction -> banding over
+    distinct hashes -> popcount verify -> star-CC -> (member, rep,
+    class_size)), and the whole pipeline — pixel law, 128 block sums,
+    threshold bits, word packing, banding, closure — replays
+    bit-for-bit in DuckDB."""
+    from mapreducehs_spark.operators.multimodal import ahash_128, render_pgm_payloads
+
+    docs = _t(spark, sf_dir, "documents")
+    payloads = render_pgm_payloads(docs, "doc_id", width=64, height=32)
+    return dedup.hash128_canonical_dedup(ahash_128(payloads), max_hamming=3)

@@ -1909,3 +1909,56 @@ def test_logreg_minibatch_matches_numpy_reference(spark):
     want[-1] = (b1, b2)
     assert got == want
     assert any(wf != 0 for _, wf in got.values())
+
+
+def test_hash128_canonical_dedup_vs_bruteforce(spark):
+    """4x32-bit-band variant: components of the 'hamming <= 3' graph
+    over 128-bit hashes (four 32-bit words) — exact-dup classes,
+    transitive chains through an intermediate hash, singletons."""
+    import itertools
+
+    from mapreducehs_spark.operators.dedup import hash128_canonical_dedup
+
+    rows = [
+        # A: exact-dup class x3
+        (0, 0xAAAA, 0x5555, 0x00FF, 0x7F00), (1, 0xAAAA, 0x5555, 0x00FF, 0x7F00),
+        (2, 0xAAAA, 0x5555, 0x00FF, 0x7F00),
+        # B: 3-link chain (adjacent hamming 3, ends 6) spread across words
+        (10, 0x0, 0x0, 0x0, 0x0), (11, 0x1, 0x2, 0x4, 0x0), (12, 0x3, 0x6, 0xC, 0x0),
+        # C: singleton far away
+        (20, 0x7FFFFFFF, 0x7FFFFFFF, 0x7FFFFFFF, 0x7FFFFFFF),
+        # D: two exact-dup groups one bit apart
+        (30, 0xF0, 0x0, 0x0, 0x1), (31, 0xF0, 0x0, 0x0, 0x1), (32, 0xF1, 0x0, 0x0, 0x1),
+    ]
+    df = spark.createDataFrame(rows, "id long, w0 long, w1 long, w2 long, w3 long")
+    got = {
+        (r["member"], r["rep"], r["class_size"])
+        for r in hash128_canonical_dedup(df, max_hamming=3).collect()
+    }
+
+    ids = {r[0]: r[1:] for r in rows}
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(ids, 2):
+        ham = sum(bin(wa ^ wb).count("1") for wa, wb in zip(ids[a], ids[b]))
+        if ham <= 3:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, list[int]] = {}
+    for i in ids:
+        comps.setdefault(find(i), []).append(i)
+    want = {
+        (m, min(ms), len(ms))
+        for ms in comps.values()
+        if len(ms) > 1
+        for m in ms
+        if m != min(ms)
+    }
+    assert got == want
+    assert (12, 10, 3) in got  # chain B closes transitively
