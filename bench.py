@@ -157,6 +157,10 @@ HEADLINE = [
     "d22_semantic_dedup",
     "t29_logreg_minibatch",
     "m13_phash128_dedup",
+    # round-7 additions (2): data-dependent corpus mixture, PCA
+    # projection of the corpus onto s11's dominant eigenvector
+    "t30_domain_mixture_sample",
+    "s17_pca_projection",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
@@ -172,6 +176,8 @@ POST_R5_ADDITIONS = [
     "d22_semantic_dedup",
     "t29_logreg_minibatch",
     "m13_phash128_dedup",
+    "t30_domain_mixture_sample",
+    "s17_pca_projection",
 ]
 
 #: the 91-query round-5 series subset (everything except the post-r5

@@ -8617,11 +8617,13 @@ def t24_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         big.unpersist(blocking=False)
 
 
-def _s11_oracle(iters: int = 3) -> str:
-    """Unrolled integer power-iteration replay on the symmetrized Gram
-    matrix: int64 matvec + truncating integer renormalization — both
-    engines truncate BIGINT division identically (Spark `div`, DuckDB
-    `//`: -7/3 → -2 in both), so every iterate is engine-exact."""
+def _s11_ctes(iters: int = 3) -> str:
+    """Unrolled integer power-iteration CTE chain on the symmetrized
+    Gram matrix: int64 matvec + truncating integer renormalization —
+    both engines truncate BIGINT division identically (Spark `div`,
+    DuckDB `//`: -7/3 → -2 in both), so every iterate is engine-exact.
+    Shared by _s11_oracle (emits the iterate) and _s17_oracle (projects
+    the corpus onto it)."""
     head = """
     WITH q AS (
       SELECT [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS qv
@@ -8653,10 +8655,13 @@ def _s11_oracle(iters: int = 3) -> str:
     ), v{k} AS (
       SELECT i AS j, CAST((w * 1024) // m AS BIGINT) AS v FROM w{k}, m{k}
     )""")
-    tail = f"""
+    return head + "".join(parts)
+
+
+def _s11_oracle(iters: int = 3) -> str:
+    return _s11_ctes(iters) + f"""
     SELECT j AS i, v FROM v{iters}
     """
-    return head + "".join(parts) + tail
 
 
 @query("s11_power_iteration", oracle=_s11_oracle())
@@ -8676,9 +8681,21 @@ def s11_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically — so all three iterates value-check bit-for-bit
     against the unrolled oracle (q96's fixed-point discipline applied
     to linear algebra)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim, v = _dominant_eigvec(emb)
+    return spark.createDataFrame(
+        [(int(i + 1), int(v[i])) for i in range(dim)], "i long, v long"
+    )
+
+
+def _dominant_eigvec(emb: DataFrame, iters: int = 3):
+    """(dim, v): 3 integer power iterations on the s09 distributed Gram
+    matrix.  Driver state is the dim×dim int64 matrix + the dim-vector
+    iterate (model-sized, the s05/t18 discipline — the driver never
+    sees a corpus row).  Shared by s11 (emits the iterate) and s17
+    (projects the corpus onto it)."""
     import numpy as np
 
-    emb = _t(spark, sf_dir, "embeddings")
     rows = similarity.gram_matrix(emb, vec_col="embedding", scale=1000).collect()
     dim = max(r["j"] for r in rows)
     G = np.zeros((dim, dim), dtype=np.int64)
@@ -8686,15 +8703,13 @@ def s11_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         G[r["i"] - 1, r["j"] - 1] = r["g"]
         G[r["j"] - 1, r["i"] - 1] = r["g"]
     v = np.full(dim, 1024, dtype=np.int64)
-    for _ in range(3):
+    for _ in range(iters):
         w = G @ v
         scaled = w * 1024
         m = np.abs(w).max()
         # TRUNCATING div (numpy // floors): sign * (abs // m)
         v = np.sign(scaled) * (np.abs(scaled) // m)
-    return spark.createDataFrame(
-        [(int(i + 1), int(v[i])) for i in range(dim)], "i long, v long"
-    )
+    return dim, v
 
 
 #: d20/t27's shared quality-dominance rule: the SINGLE definition of
@@ -10837,3 +10852,170 @@ def m13_phash128_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     payloads = render_pgm_payloads(docs, "doc_id", width=64, height=32)
     return dedup.hash128_canonical_dedup(ahash_128(payloads), max_hamming=3)
+
+
+@query(
+    "t30_domain_mixture_sample",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ), src AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+      FROM tok GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(tokens_total) AS BIGINT) AS total_tokens,
+             CAST(count(*) AS BIGINT) AS n_sources
+      FROM src
+    ), rates AS (
+      SELECT s.source, s.tokens_total,
+             CAST(least(s.tokens_total, t.total_tokens // t.n_sources) AS BIGINT)
+               AS target_tokens,
+             CAST((least(s.tokens_total, t.total_tokens // t.n_sources) * 1000000)
+                  // s.tokens_total AS BIGINT) AS accept_ppm
+      FROM src s, tot t
+    ), draws AS (
+      SELECT doc_id, source, n_tokens,
+             ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               % 1000000 AS draw
+      FROM tok
+    )
+    SELECT r.source, r.tokens_total, r.target_tokens, r.accept_ppm,
+           CAST(coalesce(sum(CASE WHEN d.draw < r.accept_ppm THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS docs_kept,
+           CAST(coalesce(sum(CASE WHEN d.draw < r.accept_ppm THEN d.n_tokens ELSE 0 END), 0)
+                AS BIGINT) AS tokens_kept,
+           CAST(coalesce(sum(CASE WHEN d.draw < r.accept_ppm THEN d.doc_id ELSE 0 END), 0)
+                AS BIGINT) AS kept_id_sum
+    FROM rates r JOIN draws d USING (source)
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def t30_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-DEPENDENT corpus mixture rebalancing — the domain-reweighting
+    step of a pretraining pipeline (the DoReMi / temperature-resampling
+    family), where q38's fixed per-stratum rates are instead COMPUTED
+    from the corpus itself: each source's acceptance rate is derived
+    from its token share so no domain exceeds an equal share of the
+    total token budget (over-represented domains are downsampled to
+    total/n_sources tokens; under-represented ones keep everything).
+    Two-pass shape that survives 100 TB: pass 1 aggregates per-source
+    token totals (n_sources rows — a tiny shuffle), the rates come back
+    as a BROADCAST (never a driver constant — the t28/s10 discipline),
+    and pass 2 re-scans the narrow (doc_id, source, n_tokens) projection
+    applying the md5-fold acceptance draw (d11 discipline, 'mix:' salt
+    so the draw is independent of every other sampling law in the repo)
+    as a pure per-row predicate.  Everything is integer fixed-point
+    (ppm rates, truncating div — Spark `div` == DuckDB `//` here, both
+    operands non-negative), so the whole mixture — rates, membership,
+    and the kept-set witness sums — replays bit-for-bit in the oracle.
+    Output is n_sources rows (sublinear), with docs_kept / tokens_kept /
+    kept_id_sum witnessing the per-doc draws in aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.size(text.tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    src = tok.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("tokens_total")
+    )
+    # totals via an unpartitioned window over the ALREADY-AGGREGATED
+    # n_sources-row frame (bounded: domains, not docs — the single
+    # partition holds n_sources rows, never corpus rows), so the corpus
+    # is scanned exactly twice, not three times
+    everything = Window.partitionBy()
+    rates = (
+        src.select(
+            "source",
+            "tokens_total",
+            F.sum("tokens_total").over(everything).cast("bigint").alias("total_tokens"),
+            F.count(F.lit(1)).over(everything).cast("bigint").alias("n_sources"),
+        )
+        .select(
+            "source",
+            "tokens_total",
+            F.least(
+                F.col("tokens_total"), F.expr("total_tokens div n_sources")
+            ).cast("bigint").alias("target_tokens"),
+        )
+        .select(
+            "source",
+            "tokens_total",
+            "target_tokens",
+            F.expr("cast((target_tokens * 1000000L) div tokens_total as bigint)").alias(
+                "accept_ppm"
+            ),
+        )
+    )
+    draw = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit("mix"), F.col("doc_id"))), 1, 12),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    kept = F.col("__draw") < F.col("accept_ppm")
+    return (
+        tok.join(F.broadcast(rates), "source")
+        .withColumn("__draw", draw)
+        .groupBy("source", "tokens_total", "target_tokens", "accept_ppm")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("docs_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.sum(F.when(kept, F.col("doc_id")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_id_sum"),
+        )
+    )
+
+
+def _s17_oracle(iters: int = 3) -> str:
+    """s11's unrolled power-iteration chain + a projection tail: every
+    corpus vector's quantized dot product with the final iterate."""
+    return _s11_ctes(iters) + f"""
+    , qe AS (
+      SELECT vec_id,
+             [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS qv
+      FROM embeddings
+    )
+    SELECT e.vec_id,
+           CAST(sum(e.qv[p.j] * p.v) AS BIGINT) AS pc1_score
+    FROM qe e, v{iters} p
+    GROUP BY e.vec_id
+    """
+
+
+@query("s17_pca_projection", oracle=_s17_oracle())
+def s17_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA PROJECTION — s11's dominant eigenvector actually APPLIED to
+    the corpus (the use-the-model step, as t26 is to t28): every
+    embedding's first-principal-component score, the primitive behind
+    PCA-based embedding compression, whitening, and drift monitoring.
+    The eigenvector comes from _dominant_eigvec (s09 distributed Gram
+    pass + 3 integer power iterations on model-sized driver state);
+    the projection is ONE codegen scan — the dim int64 component
+    coefficients are inlined as a literal array (model-sized broadcast,
+    t26 discipline) and each row computes an exact int64
+    zip_with/aggregate dot product against its quantized vector.  No
+    shuffle at all after the Gram pass; output is linear (vec_id,
+    pc1_score).  At 100 TB: Gram is O(batches·dim²) independent of
+    corpus size, and the projection is scan-throughput-bound.
+    Determinism: floor(x*1000) quantization + int64 arithmetic — the
+    same law as the s11 oracle, so the projection value-checks
+    bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim, v = _dominant_eigvec(emb)
+    varr = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    q = F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * 1000).cast("long")
+    )
+    score = F.aggregate(
+        F.zip_with(q, varr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return emb.select("vec_id", score.alias("pc1_score"))

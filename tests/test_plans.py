@@ -647,3 +647,38 @@ def test_t29_sample_filter_prunes_before_model_join(spark):
     finally:
         features.unpersist(blocking=False)
         labels.unpersist(blocking=False)
+
+
+def test_t30_rates_broadcast_doc_side_never_shuffles_wide(q):
+    """t30's scale contract: the data-dependent mixture rates come back
+    to the doc stream as BROADCASTS (the corpus-sized side must never
+    shuffle on the skewed source key), all joins are broadcast-hash,
+    and the only exchanges are the three tiny source-keyed/global
+    aggregations (n_sources-row state)."""
+    df = q("t30_domain_mixture_sample")
+    plan = I.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert I.broadcast_join_count(df) >= 1
+    assert I.sort_merge_join_count(df) == 0
+    # exactly: source-agg shuffle, n_sources-row window exchange,
+    # final source-keyed agg — and the corpus scans exactly twice
+    assert I.exchange_count(df) <= 3
+    import re as _re
+
+    # numbered detail nodes only — the formatted tree renders each node
+    # twice (tree header + detail block)
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+
+
+def test_s17_projection_is_pure_scan(q):
+    """s17's projection contract: after the Gram/power-iteration phase
+    (driver-held, model-sized), the emitted projection plan is ONE
+    codegen scan over (vec_id, embedding) — zero joins, zero
+    exchanges; the component coefficients are inlined literals."""
+    df = q("s17_pca_projection")
+    plan = I.formatted_plan(df)
+    assert I.exchange_count(df) == 0
+    assert I.broadcast_join_count(df) == 0
+    assert I.sort_merge_join_count(df) == 0
+    cols = set(I.scan_columns(df, "embeddings"))
+    assert cols == {"vec_id", "embedding"}
