@@ -90,10 +90,36 @@ def occupancy(h: "np.ndarray") -> dict:
     return out
 
 
+def occupancy128(w0: "np.ndarray", w1: "np.ndarray") -> dict:
+    """m13's banding law: 4×32-bit bands over a 128-bit fingerprint
+    (two uint64 words, 2 bands each) — the recorded mitigation,
+    measured instead of argued."""
+    n = len(w0)
+    out = {"n_distinct": int(n), "bands": []}
+    total_cand = 0
+    for b in range(4):
+        word = w0 if b < 2 else w1
+        keys = (word >> np.uint64(32 * (b % 2))) & np.uint64(0xFFFFFFFF)
+        _, counts = np.unique(keys, return_counts=True)
+        cand = int((counts.astype(np.int64) * (counts - 1) // 2).sum())
+        total_cand += cand
+        out["bands"].append(
+            {
+                "band": b,
+                "buckets_used": int(len(counts)),
+                "max_bucket": int(counts.max()),
+                "candidate_pairs": cand,
+            }
+        )
+    out["total_candidate_pairs"] = total_cand
+    out["model_pairs_n2_over_2e33"] = int(n * n / 2**33)
+    return out
+
+
 def main() -> None:
     sizes = [int(float(a)) for a in sys.argv[1:]] or [100_000, 1_000_000, 4_000_000]
     rng = np.random.default_rng(42)
-    report = {"synthetic": [], "m11_empirical": None}
+    report = {"synthetic": [], "synthetic_128": [], "m11_empirical": None}
     for n in sizes:
         h = rng.integers(0, 2**63, size=n, dtype=np.int64).astype(np.uint64)
         h = np.unique(h)
@@ -101,6 +127,19 @@ def main() -> None:
         occ = occupancy(h)
         occ["probe_sec"] = round(time.perf_counter() - t0, 3)
         report["synthetic"].append(occ)
+        # the same adversarial distinct-hash volume under m13's
+        # 128-bit / 4×32-bit-band law (full-width uniform words: both
+        # uint64 halves drawn over [0, 2^64))
+        w0 = rng.integers(0, 2**63, size=n, dtype=np.int64).astype(np.uint64) * np.uint64(2) + (
+            rng.integers(0, 2, size=n, dtype=np.int64).astype(np.uint64)
+        )
+        w1 = rng.integers(0, 2**63, size=n, dtype=np.int64).astype(np.uint64) * np.uint64(2) + (
+            rng.integers(0, 2, size=n, dtype=np.int64).astype(np.uint64)
+        )
+        t0 = time.perf_counter()
+        occ128 = occupancy128(w0, w1)
+        occ128["probe_sec"] = round(time.perf_counter() - t0, 3)
+        report["synthetic_128"].append(occ128)
     try:
         report["m11_empirical"] = m11_empirical(50_000)
     except ImportError:
