@@ -10854,10 +10854,11 @@ def m13_phash128_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.hash128_canonical_dedup(ahash_128(payloads), max_hamming=3)
 
 
-@query(
-    "t30_domain_mixture_sample",
-    oracle="""
-    WITH tok AS (
+#: t30/st19's shared mixture law, ONE definition (the d20/_quality_losers
+#: discipline): per-source token totals → uniform-capped targets → ppm
+#: acceptance rates → salted md5-fold per-doc draws.
+_MIX_CTES = """
+    tok AS (
       SELECT doc_id, source,
              CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
                   AS BIGINT) AS n_tokens
@@ -10881,7 +10882,70 @@ def m13_phash128_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
                % 1000000 AS draw
       FROM tok
+    )"""
+
+
+def _mixture_tok(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, n_tokens) — the narrow mixture projection."""
+    return docs.select(
+        "doc_id", "source", F.size(text.tokens("text")).cast("bigint").alias("n_tokens")
     )
+
+
+def _mixture_rates(tok: DataFrame) -> DataFrame:
+    """(source, tokens_total, target_tokens, accept_ppm) — the
+    data-dependent uniform-capped mixture rates.  Totals via an
+    unpartitioned window over the ALREADY-AGGREGATED n_sources-row
+    frame (bounded: domains, not docs — the single partition holds
+    n_sources rows, never corpus rows), so building rates costs ONE
+    corpus scan + one tiny shuffle."""
+    src = tok.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("tokens_total")
+    )
+    everything = Window.partitionBy()
+    return (
+        src.select(
+            "source",
+            "tokens_total",
+            F.sum("tokens_total").over(everything).cast("bigint").alias("total_tokens"),
+            F.count(F.lit(1)).over(everything).cast("bigint").alias("n_sources"),
+        )
+        .select(
+            "source",
+            "tokens_total",
+            F.least(
+                F.col("tokens_total"), F.expr("total_tokens div n_sources")
+            ).cast("bigint").alias("target_tokens"),
+        )
+        .select(
+            "source",
+            "tokens_total",
+            "target_tokens",
+            F.expr("cast((target_tokens * 1000000L) div tokens_total as bigint)").alias(
+                "accept_ppm"
+            ),
+        )
+    )
+
+
+def _mix_draw():
+    """The per-doc acceptance draw: md5-fold of 'mix:<doc_id>' mod 1e6
+    ('mix:' salt so the draw is independent of every other sampling law
+    in the repo)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit("mix"), F.col("doc_id"))), 1, 12),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+
+
+@query(
+    "t30_domain_mixture_sample",
+    oracle=f"""
+    WITH {_MIX_CTES}
     SELECT r.source, r.tokens_total, r.target_tokens, r.accept_ppm,
            CAST(coalesce(sum(CASE WHEN d.draw < r.accept_ppm THEN 1 ELSE 0 END), 0)
                 AS BIGINT) AS docs_kept,
@@ -10912,54 +10976,16 @@ def t30_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands non-negative), so the whole mixture — rates, membership,
     and the kept-set witness sums — replays bit-for-bit in the oracle.
     Output is n_sources rows (sublinear), with docs_kept / tokens_kept /
-    kept_id_sum witnessing the per-doc draws in aggregate."""
+    kept_id_sum witnessing the per-doc draws in aggregate.  (Law shared
+    with st19's streaming application via _mixture_rates/_mix_draw —
+    the rates and the draw live ONCE.)"""
     docs = _t(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", "source", F.size(text.tokens("text")).cast("bigint").alias("n_tokens")
-    )
-    src = tok.groupBy("source").agg(
-        F.sum("n_tokens").cast("bigint").alias("tokens_total")
-    )
-    # totals via an unpartitioned window over the ALREADY-AGGREGATED
-    # n_sources-row frame (bounded: domains, not docs — the single
-    # partition holds n_sources rows, never corpus rows), so the corpus
-    # is scanned exactly twice, not three times
-    everything = Window.partitionBy()
-    rates = (
-        src.select(
-            "source",
-            "tokens_total",
-            F.sum("tokens_total").over(everything).cast("bigint").alias("total_tokens"),
-            F.count(F.lit(1)).over(everything).cast("bigint").alias("n_sources"),
-        )
-        .select(
-            "source",
-            "tokens_total",
-            F.least(
-                F.col("tokens_total"), F.expr("total_tokens div n_sources")
-            ).cast("bigint").alias("target_tokens"),
-        )
-        .select(
-            "source",
-            "tokens_total",
-            "target_tokens",
-            F.expr("cast((target_tokens * 1000000L) div tokens_total as bigint)").alias(
-                "accept_ppm"
-            ),
-        )
-    )
-    draw = (
-        F.conv(
-            F.substring(F.md5(F.concat_ws(":", F.lit("mix"), F.col("doc_id"))), 1, 12),
-            16,
-            10,
-        ).cast("bigint")
-        % 1_000_000
-    )
+    tok = _mixture_tok(docs)
+    rates = _mixture_rates(tok)
     kept = F.col("__draw") < F.col("accept_ppm")
     return (
         tok.join(F.broadcast(rates), "source")
-        .withColumn("__draw", draw)
+        .withColumn("__draw", _mix_draw())
         .groupBy("source", "tokens_total", "target_tokens", "accept_ppm")
         .agg(
             F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("docs_kept"),
@@ -11019,3 +11045,35 @@ def s17_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     return emb.select("vec_id", score.alias("pc1_score"))
+
+
+@query(
+    "st19_stream_mixture",
+    oracle=f"""
+    WITH {_MIX_CTES}
+    SELECT d.doc_id, d.source, d.n_tokens
+    FROM draws d JOIN rates r USING (source)
+    WHERE d.draw < r.accept_ppm
+    """,
+)
+def st19_stream_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING corpus-mixture filtering — t30's domain-reweighting
+    rates applied to the document STREAM (the batch/stream pairing
+    st17 gave t26): rates come from the static corpus via
+    _mixture_rates (the ONE mixture law), broadcast into a stateless
+    stream-static join, and each arriving doc passes or drops on its
+    salted md5-fold draw.  No state store, no watermark, no wide
+    shuffle — corpus curation at stream ingest is a scan-bound map,
+    which is the 100 TB posture for continuous data intake (rates
+    re-derived in batch at whatever cadence, intake filtered against
+    the current broadcast).  The replay fixture streams the SAME
+    documents table the rates were built from, so t30's oracle CTEs
+    value-check the stream's kept set bit-for-bit (the st13/st15/st17
+    stream==batch discipline); output is linear in KEPT docs."""
+    from mapreducehs_spark import streaming as st
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = _mixture_rates(_mixture_tok(docs))
+    kept = st.mixture_filter_stream(_replayed_docs(spark, sf_dir), rates)
+    log = st.run_to_batch(kept, "st19_sink", output_mode="append")
+    return log.select("doc_id", "source", "n_tokens")

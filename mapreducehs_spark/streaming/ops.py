@@ -879,6 +879,7 @@ DOCS_STREAM_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("ts", TimestampType()),
+        StructField("source", StringType()),
         StructField("text", StringType()),
     ]
 )
@@ -915,7 +916,7 @@ def prepare_docs_stream_dir(
     from mapreducehs_spark.sources.catalog import build_fixture_once, source_fingerprint
 
     key = (
-        f"{os.path.basename(os.path.normpath(sf_dir))}_c{n_chunks}_v1"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_c{n_chunks}_v2"
         f"_{source_fingerprint(sf_dir, 'documents')}"
     )
     return build_fixture_once(
@@ -930,11 +931,11 @@ def _build_docs_stream_chunks(
     from mapreducehs_spark.sources.catalog import guard_driver_fixture
 
     os.makedirs(out, exist_ok=True)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     guard_driver_fixture(docs, f"docs stream replay chunks ({sf_dir})")
     pdf = docs.toPandas().sort_values("doc_id", ignore_index=True)
     pdf["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(pdf["doc_id"], unit="s")
-    pdf = pdf[["doc_id", "ts", "text"]]
+    pdf = pdf[["doc_id", "ts", "source", "text"]]
     n = len(pdf)
     now = time.time()
     bounds = [round(i * n / n_chunks) for i in range(n_chunks + 1)]
@@ -1387,3 +1388,39 @@ def streaming_logreg_train(
         out_rows.append((step_i, -1, b))
         out_rows.extend((step_i, k, w[k]) for k in range(n_buckets))
     return spark.createDataFrame(out_rows, "step bigint, bucket bigint, w bigint")
+
+
+def mixture_filter_stream(docs: DataFrame, rates: DataFrame) -> DataFrame:
+    """STREAMING corpus-mixture filtering — t30's data-dependent domain
+    rates applied to the document stream as a STATELESS stream-static
+    broadcast join + per-row draw (the st17 posture for sampling: the
+    mixture model is n_sources rows, scoring is a map, so no state
+    store, no watermark, no wide shuffle — throughput is the scan).
+
+    ``rates`` is the STATIC (source, accept_ppm) frame built by the
+    batch pass (queries._mixture_rates — the ONE mixture law); at
+    100 TB it is domain-count-sized and broadcasts to every task, the
+    standard online-serving split: rates re-derived in batch at
+    whatever cadence, streamed docs filtered against the current
+    broadcast.  The md5-fold draw (queries._mix_draw law, inlined here
+    to avoid a circular import — agreement is oracle-pinned) keeps
+    membership deterministic, so batch and stream keep EXACTLY the
+    same documents and t30's oracle CTEs value-check the stream
+    (the st13/st15/st17 stream==batch discipline)."""
+    from mapreducehs_spark.operators.text import tokens
+
+    draw = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit("mix"), F.col("doc_id"))), 1, 12),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    return (
+        docs.withColumn("n_tokens", F.size(tokens(F.col("text"))).cast("bigint"))
+        .join(F.broadcast(rates.select("source", "accept_ppm")), "source")
+        .withColumn("__draw", draw)
+        .filter(F.col("__draw") < F.col("accept_ppm"))
+        .select("doc_id", "source", "n_tokens")
+    )
