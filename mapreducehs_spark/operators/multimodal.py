@@ -23,6 +23,7 @@ reference).  Conventions:
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -48,7 +49,21 @@ def attach_payload(df: DataFrame, text_col: str = "text", modality: str = "text"
 
 def read_binary_dir(spark, path: str) -> DataFrame:
     """Directory-of-files reader: Spark's ``binaryFile`` source
-    (path, modificationTime, length, content)."""
+    (path, modificationTime, length, content).
+
+    A glob BASENAME (``.../dir/*.bin``) is rewritten to
+    ``load(dir)`` + ``pathGlobFilter`` — passing the glob as the load
+    path expands it to one root PER FILE, and once the root count
+    crosses ``parallelPartitionDiscovery.threshold`` (32) Spark runs a
+    one-task-per-file LISTING job before the actual read (measured:
+    5,000 listing tasks ≈ 9 s for a 0.3 s scan at sf0.1 — and at
+    100 TB, one listing task per object).  One root directory lists in
+    a single pass and the files bin-pack into normal-size splits."""
+    base, name = os.path.split(path)
+    if any(c in name for c in "*?[") and base:
+        return (
+            spark.read.format("binaryFile").option("pathGlobFilter", name).load(base)
+        )
     return spark.read.format("binaryFile").load(path)
 
 
