@@ -1875,16 +1875,22 @@ def q34_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     give different raw estimates, so the declared result is the exact
     count plus a boolean "sketch landed within 10% of exact" — checking
     the property that makes the sketch usable at 100 TB (single pass,
-    fixed memory, mergeable across partitions)."""
+    fixed memory, mergeable across partitions).
+
+    Plan note (measured 2.4×): mixing countDistinct with the HLL in ONE
+    aggregate triggers the Expand-based multi-distinct rewrite and
+    demotes the whole pass to sort/object aggregation over expanded
+    rows (t20's law).  HLL register updates are idempotent, so the
+    estimate over the DEDUPED (flag, partkey) pairs is bit-identical to
+    the estimate over the raw multiset — dedup first in a codegen hash
+    aggregate, then count + sketch the small distinct frame."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").cast("bigint").alias("n_exact"),
+    dd = li.select("l_returnflag", "l_partkey").distinct()
+    return dd.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
         (
-            F.abs(
-                F.approx_count_distinct("l_partkey", rsd=0.01)
-                - F.countDistinct("l_partkey")
-            )
-            <= 0.1 * F.countDistinct("l_partkey")
+            F.abs(F.approx_count_distinct("l_partkey", rsd=0.01) - F.count(F.lit(1)))
+            <= 0.1 * F.count(F.lit(1))
         ).alias("sketch_within_10pct"),
     )
 
