@@ -10966,8 +10966,11 @@ def _mix_draw():
 def t30_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DATA-DEPENDENT corpus mixture rebalancing — the domain-reweighting
     step of a pretraining pipeline (the DoReMi / temperature-resampling
-    family), where q38's fixed per-stratum rates are instead COMPUTED
-    from the corpus itself: each source's acceptance rate is derived
+    family), completing the sampling axis: q38 has FIXED per-stratum
+    rates, q67 mixes with USER-GIVEN weights and target fraction —
+    here both the targets and the rates are COMPUTED from the corpus,
+    and the budget currency is TOKENS (what pretraining actually
+    meters), not document counts: each source's acceptance rate is derived
     from its token share so no domain exceeds an equal share of the
     total token budget (over-represented domains are downsampled to
     total/n_sources tokens; under-represented ones keep everything).
