@@ -161,6 +161,11 @@ HEADLINE = [
     # projection of the corpus onto s11's dominant eigenvector
     "t30_domain_mixture_sample",
     "s17_pca_projection",
+    # round-7 additions (3): BM25 lexical retrieval, weighted sampling
+    # without replacement, the end-to-end curation funnel
+    "s18_bm25_topk",
+    "t31_weighted_sample",
+    "t32_curation_funnel",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
@@ -178,6 +183,9 @@ POST_R5_ADDITIONS = [
     "m13_phash128_dedup",
     "t30_domain_mixture_sample",
     "s17_pca_projection",
+    "s18_bm25_topk",
+    "t31_weighted_sample",
+    "t32_curation_funnel",
 ]
 
 #: the 91-query round-5 series subset (everything except the post-r5

@@ -11086,3 +11086,339 @@ def st19_stream_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = st.mixture_filter_stream(_replayed_docs(spark, sf_dir), rates)
     log = st.run_to_batch(kept, "st19_sink", output_mode="append")
     return log.select("doc_id", "source", "n_tokens")
+
+
+# =========================================================================
+# Round 7 (3): BM25 retrieval, weighted sampling without replacement,
+# the end-to-end curation funnel, streaming mergeable moments
+# =========================================================================
+
+#: s18's fixed query-term set — chosen for IDF spread in the synthetic
+#: vocabulary ('dup' is rare, df ~5% of docs; 'vector'/'scan' are common,
+#: df ~76-80%), so the ranking is dominated by the rare term exactly as
+#: BM25 intends.
+_BM25_TERMS = ("dup", "vector", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter(tk, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    k1, b = _BM25_K1, _BM25_B
+    term_scores = " + ".join(
+        f"(ln(1 + (s.n_docs - s.df_{t} + 0.5) / (s.df_{t} + 0.5))"
+        f" * (p.tf_{t} * {k1 + 1.0}))"
+        f" / (p.tf_{t} + {k1} * ({1.0 - b} + {b} * ((p.dl * s.n_docs) / CAST(s.sum_dl AS DOUBLE))))"
+        for t in _BM25_TERMS
+    )
+    tf_out = ", ".join(f"p.tf_{t}" for t in _BM25_TERMS)
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tk
+      FROM documents
+    ), p AS (
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+             {tf_cols}
+      FROM t
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl,
+             {df_cols}
+      FROM p
+    )
+    SELECT p.doc_id, p.dl, {tf_out},
+           round({term_scores}, 6) AS bm25
+    FROM p, s
+    WHERE {" + ".join(f"p.tf_{t}" for t in _BM25_TERMS)} > 0
+    ORDER BY {term_scores} DESC, p.doc_id ASC
+    LIMIT 20
+    """
+
+
+@query("s18_bm25_topk", oracle=_bm25_oracle())
+def s18_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (Robertson-Sparck Jones Okapi weighting,
+    k1=1.2 b=0.75) — the lexical-ranking baseline every RAG stack pairs
+    with the dense arms (s01 exact / s02-s16 ANN): score =
+    sum_t idf(t) * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)), idf the
+    non-negative ln(1+(N-df+0.5)/(df+0.5)) form.  The plan is built for
+    a FIXED small query-term set, which is what retrieval serves: per-
+    term tf comes from size(filter(tokens, =term)) — a codegen
+    expression per term, NO explode and NO per-term scan, so the
+    tokenize+project pass reads the corpus exactly once into a narrow
+    (doc_id, dl, tf...) frame (checkpointed: 4 ints/doc, ~per-mille of
+    corpus width).  Corpus statistics (N, sum_dl, per-term df) are ONE
+    single-row aggregate of that frame, crossJoin-BROADCAST back (the
+    t28/s10 no-driver-constants discipline), and the final ranking is
+    TakeOrderedAndProject on candidates only (docs containing >=1 query
+    term — the tf>0 disjunction filter), never a global sort.  At
+    100 TB: scan-bound pass 1, statistics O(1), top-k via per-partition
+    heaps; avgdl enters as (dl*N)/sum_dl in BOTH engines so float
+    evaluation order is identical and the score replays bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    k1, b = _BM25_K1, _BM25_B
+    toks = docs.select("doc_id", text.tokens("text").alias("tk"))
+    proj = toks.select(
+        "doc_id",
+        F.size("tk").cast("bigint").alias("dl"),
+        # NB: the lambda must be unary — F.filter reads a 2-arg lambda as
+        # (element, index), so a `t=t` default-capture would compare
+        # tokens against the array INDEX.  Hence the closure factory.
+        *[
+            F.size(F.filter("tk", (lambda term: lambda x: x == term)(t)))
+            .cast("bigint")
+            .alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    ).localCheckpoint()
+    stats = proj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    score = None
+    for t in _BM25_TERMS:
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5))
+            / (F.col(f"df_{t}") + F.lit(0.5))
+        )
+        norm = F.col(f"tf_{t}") + F.lit(k1) * (
+            F.lit(1.0 - b)
+            + F.lit(b) * ((F.col("dl") * F.col("n_docs")) / F.col("sum_dl").cast("double"))
+        )
+        term = (idf * (F.col(f"tf_{t}") * F.lit(k1 + 1.0))) / norm
+        score = term if score is None else score + term
+    any_tf = sum(F.col(f"tf_{t}") for t in _BM25_TERMS)
+    return (
+        proj.crossJoin(F.broadcast(stats))
+        .filter(any_tf > 0)
+        .withColumn("__score", score)
+        .orderBy(F.col("__score").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select(
+            "doc_id",
+            "dl",
+            *[f"tf_{t}" for t in _BM25_TERMS],
+            F.round("__score", 6).alias("bm25"),
+        )
+    )
+
+
+@query(
+    "t31_weighted_sample",
+    oracle="""
+    WITH d AS (
+      SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+             ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+      FROM documents
+    ), keyed AS (
+      SELECT source, doc_id, w,
+             -ln((h + 1) / 4294967296.0) / w AS key
+      FROM d
+    )
+    SELECT source, doc_id, w, round(key * 1000000, 4) AS cost_micro
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY key ASC, doc_id ASC) AS rk
+      FROM keyed
+    )
+    WHERE rk <= 25
+    """,
+)
+def t31_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling without replacement (Efraimidis-Spirakis A-ES
+    via exponential races): per source, the 25 docs with the smallest
+    key = -ln(u)/w, where u is the 32-bit content-hash draw (q37/q38's
+    md5-prefix law, +1 so u is in (0,1]) and the weight w is n_chars —
+    equivalent to drawing 25 docs sequentially with probability
+    proportional to length, the length/quality-weighted variant of q38's
+    uniform-rate stratified sample that curation pipelines use when
+    "keep 25 per domain, preferring substantial documents".  No RNG and
+    no transcendental ambiguity: u's mantissa is exact (power-of-two
+    divisor), both engines evaluate the same -ln(u)/w with the platform
+    libm (t17's discipline), and exact-duplicate texts (identical keys
+    by construction) break ties on doc_id.  The plan is scan → per-row
+    key → per-group top-k: Spark 4 plans the rank<=25 predicate as
+    WindowGroupLimit (per-partition per-group heaps BEFORE the
+    single exchange on source), so at 100 TB the shuffle carries
+    ~25 rows per (input partition x source), never the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("bigint")
+    key = -F.log((h + F.lit(1)) / F.lit(4294967296.0)) / F.col("w")
+    keyed = docs.select(
+        "source", "doc_id", F.col("n_chars").cast("bigint").alias("w"), F.col("text")
+    ).withColumn("__key", key).drop("text")
+    w_src = Window.partitionBy("source").orderBy(F.col("__key").asc(), F.col("doc_id").asc())
+    return (
+        keyed.withColumn("__rk", F.row_number().over(w_src))
+        .filter(F.col("__rk") <= 25)
+        .select(
+            "source",
+            "doc_id",
+            "w",
+            F.round(F.col("__key") * 1_000_000, 4).alias("cost_micro"),
+        )
+    )
+
+
+#: t32's per-language mixture keep-rates (the q38 hash-threshold law,
+#: applied AFTER quality + dedup instead of to the raw corpus).
+_T32_RATES = {"en": 0.5, "de": 1.0, "fr": 0.75, "es": 0.75, "zh": 0.25}
+
+
+def _t32_oracle() -> str:
+    thr = _sampling.stratified_threshold_case_sql(_T32_RATES)
+    return f"""
+    WITH flagged AS (
+      SELECT source, lang, doc_id, md5(text) AS h,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
+                                                x -> x != ''))) AS BIGINT) AS n_uniq,
+             CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents
+    ), q AS (
+      SELECT *, (n_chars >= 200 AND n_tok >= 40 AND 2 * n_uniq >= n_tok) AS q_ok
+      FROM flagged
+    ), canon AS (
+      SELECT *,
+             coalesce(q_ok AND doc_id = min(CASE WHEN q_ok THEN doc_id END)
+                                       OVER (PARTITION BY h), FALSE) AS is_canon
+      FROM q
+    ), sampled AS (
+      SELECT *, is_canon AND substr(h, 1, 8) < {thr} AS is_sampled
+      FROM canon
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(sum(CASE WHEN is_canon THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+           CAST(sum(CASE WHEN is_sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(sum(CASE WHEN is_sampled THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_final
+    FROM sampled
+    GROUP BY source
+    """
+
+
+@query("t32_curation_funnel", oracle=_t32_oracle())
+def t32_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE END-TO-END CURATION PIPELINE in one plan — quality filter →
+    exact dedup → mixture downsample → token budget, the four-stage
+    composition a user of the reference runs as their whole corpus
+    build, each stage reusing a law already value-checked in isolation:
+    t12's integer-exact quality rules (length >= 200 chars, >= 40
+    tokens, 2*distinct >= tokens), d01's canonical-per-content-hash
+    (min doc_id, applied among quality SURVIVORS — stage order
+    matters and is part of the checked semantics), q38's per-language
+    hash-threshold mixture rates, and t27's surviving-token metering.
+    The whole funnel is ONE pass over the corpus: tokens staged once
+    per row (shared by two rules + the budget), stage flags computed as
+    columns, canonical selection as a conditional-min window on the
+    content hash, then a per-source conditional rollup — exactly TWO
+    exchanges total (hash-partition by content hash, then the tiny
+    source rollup), no joins, no recomputation of any stage.  At
+    100 TB the window's partition key IS the dedup key (bounded groups
+    — identical texts), so nothing skews beyond the duplicate-class
+    size that exact dedup is built to collapse; every stage is
+    integer-exact, so the funnel replays bit-for-bit in the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "source",
+        "lang",
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.md5("text").alias("h"),
+        text.tokens("text").alias("__tk"),
+    ).select(
+        "source",
+        "lang",
+        "doc_id",
+        "n_chars",
+        "h",
+        F.size("__tk").cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct("__tk")).cast("bigint").alias("n_uniq"),
+    )
+    q_ok = (
+        (F.col("n_chars") >= 200)
+        & (F.col("n_tok") >= 40)
+        & (2 * F.col("n_uniq") >= F.col("n_tok"))
+    )
+    flagged = staged.withColumn("q_ok", q_ok)
+    w_h = Window.partitionBy("h")
+    canon = flagged.withColumn(
+        "is_canon",
+        F.coalesce(
+            F.col("q_ok")
+            & (F.col("doc_id") == F.min(F.when(F.col("q_ok"), F.col("doc_id"))).over(w_h)),
+            F.lit(False),
+        ),
+    )
+    thr_expr = F.lit(_sampling.fraction_to_hex(0.0))
+    for lang, rate in _T32_RATES.items():
+        thr_expr = F.when(
+            F.col("lang") == lang, F.lit(_sampling.fraction_to_hex(rate))
+        ).otherwise(thr_expr)
+    sampled = canon.withColumn(
+        "is_sampled", F.col("is_canon") & (F.substring("h", 1, 8) < thr_expr)
+    )
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+        F.sum(F.when(F.col("q_ok"), 1).otherwise(0)).cast("bigint").alias("n_quality"),
+        F.sum(F.when(F.col("is_canon"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_canonical"),
+        F.sum(F.when(F.col("is_sampled"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sampled"),
+        F.sum(F.when(F.col("is_sampled"), F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_final"),
+    )
+
+
+@query(
+    "st20_stream_moments",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(coalesce(value, 0)), 4) AS mean_value,
+           round(var_pop(coalesce(value, 0)), 4) AS var_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def st20_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGEABLE MOMENTS (applyInPandasWithState): per-event-
+    type running count/mean/M2 folded with the Chan-Golub-LeVeque
+    pairwise merge — st03 proves the SUM law survives arbitrary trigger
+    slicing; this proves the numerically-delicate VARIANCE law does
+    (the naive E[x^2]-E[x]^2 form cancels catastrophically at large
+    means; the Welford/Chan merge never subtracts large near-equal
+    numbers, so the final state equals the batch two-pass var_pop to
+    ~1 ulp no matter how the replay chunks the stream).  This is the
+    drift-monitoring primitive of a continuous ingest pipeline —
+    per-slice feature moments kept as THREE numbers per key, mergeable
+    across executors, checkpoint-restartable like every state-backed op
+    here.  Final snapshot (argmax update_seq per key) == the batch
+    aggregate, value-checked against DuckDB's var_pop."""
+    from mapreducehs_spark import streaming as st
+
+    updates = st.stateful_moments(_replayed_events(spark, sf_dir))
+    log = st.run_to_batch(updates, "st20_sink", output_mode="append")
+    from mapreducehs_spark.streaming.ops import latest_moments
+
+    return latest_moments(log)

@@ -338,6 +338,109 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+_MOMENTS_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("mean_value", DoubleType()),
+        StructField("m2", DoubleType()),
+        StructField("update_seq", LongType()),
+    ]
+)
+
+_MOMENTS_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("mean", DoubleType()),
+        StructField("m2", DoubleType()),
+        StructField("seq", LongType()),
+    ]
+)
+
+
+def _moments_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Numerically stable streaming moments (Welford/Chan): per key,
+    fold each Arrow batch's (count, mean, M2) into the running state
+    with the pairwise merge law
+
+        delta = mean_b - mean
+        mean += delta * n_b / (n + n_b)
+        M2   += M2_b + delta^2 * n * n_b / (n + n_b)
+
+    (Chan, Golub & LeVeque 1979) — the MERGEABLE formulation, so the
+    same three numbers flow whether a batch holds one row or a million,
+    and the final state equals the batch-mode two-pass moments to
+    ~1 ulp regardless of trigger slicing.  State per key is THREE
+    numbers + a seq — O(#keys), never O(stream)."""
+    (event_type,) = key
+    n, mean, m2, seq = state.get if state.exists else (0, 0.0, 0.0, 0)
+    for pdf in batches:
+        v = pdf["value"].fillna(0.0).to_numpy(dtype="float64")
+        nb = int(v.size)
+        if nb == 0:
+            continue
+        mb = float(v.mean())
+        m2b = float(((v - mb) ** 2).sum())
+        tot = n + nb
+        delta = mb - mean
+        mean += delta * nb / tot
+        m2 += m2b + delta * delta * n * nb / tot
+        n = tot
+    seq += 1
+    state.update((n, mean, m2, seq))
+    yield pd.DataFrame(
+        {
+            "event_type": [event_type],
+            "n_events": [n],
+            "mean_value": [mean],
+            "m2": [m2],
+            "update_seq": [seq],
+        }
+    )
+
+
+def stateful_moments(events: DataFrame) -> DataFrame:
+    """Per-event-type streaming running moments (count / mean / M2) via
+    ``applyInPandasWithState`` — the mergeable-statistics analogue of
+    ``stateful_user_totals``: st03 proves the SUM law survives arbitrary
+    trigger slicing, this proves the numerically-delicate VARIANCE law
+    does (naive sum-of-squares cancels catastrophically at large means;
+    the Chan merge never subtracts large near-equal numbers).  The last
+    update per key equals the batch ``var_pop`` to rounding, which is
+    what the oracle checks after an argmax-by-update_seq."""
+    return (
+        events.filter(F.col("event_type") != FLUSH_TYPE)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _moments_fn,
+            outputStructType=_MOMENTS_SCHEMA,
+            stateStructType=_MOMENTS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def latest_moments(updates: DataFrame) -> DataFrame:
+    """Final snapshot from the moments update log: argmax(update_seq)
+    per event_type, variance derived as M2/n."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("update_seq").desc())
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "event_type",
+            "n_events",
+            F.round("mean_value", 4).alias("mean_value"),
+            F.round(F.col("m2") / F.col("n_events"), 4).alias("var_value"),
+        )
+    )
+
+
 def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
     """Spark 4 successor-API twin of ``stateful_user_totals``:
     per-user running totals via ``transformWithStateInPandas`` (the

@@ -682,3 +682,50 @@ def test_s17_projection_is_pure_scan(q):
     assert I.sort_merge_join_count(df) == 0
     cols = set(I.scan_columns(df, "embeddings"))
     assert cols == {"vec_id", "embedding"}
+
+
+def test_t31_weighted_topk_partial_group_limit(q):
+    """t31's scale contract: the rank<=25 predicate plans as
+    WindowGroupLimit BOTH below and above the single source exchange —
+    per-partition per-group heaps run map-side, so the shuffle carries
+    ~25 rows per (partition x source), never the corpus."""
+    df = q("t31_weighted_sample")
+    plan = I.formatted_plan(df)
+    import re as _re
+
+    limits = _re.findall(r"\(\d+\) WindowGroupLimit", plan)
+    assert len(limits) == 2  # partial (map-side) + final
+    assert I.exchange_count(df) == 1
+    assert I.broadcast_join_count(df) == 0
+    assert I.sort_merge_join_count(df) == 0
+
+
+def test_t32_funnel_single_pass_two_exchanges(q):
+    """t32's scale contract: the four-stage curation funnel is ONE scan
+    of documents (tokens staged once, stage flags as columns) and
+    exactly TWO exchanges — the content-hash window partition and the
+    tiny per-source rollup.  No joins, no recomputation of any stage."""
+    df = q("t32_curation_funnel")
+    plan = I.formatted_plan(df)
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert I.exchange_count(df) == 2
+    assert I.broadcast_join_count(df) == 0
+    assert I.sort_merge_join_count(df) == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_s18_bm25_stats_broadcast_topk_heap(q):
+    """s18's scale contract: corpus statistics (N, sum_dl, per-term df)
+    come back as a single-row BROADCAST (never a driver constant), the
+    candidate filter and scoring stay in the scan stage, and the final
+    ranking is TakeOrderedAndProject (per-partition heaps), never a
+    global sort."""
+    df = q("s18_bm25_topk")
+    plan = I.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats x corpus
+    assert I.sort_merge_join_count(df) == 0
+    # one exchange: the single-row statistics aggregate
+    assert I.exchange_count(df) == 1

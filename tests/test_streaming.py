@@ -569,3 +569,39 @@ def test_streaming_logreg_train_matches_numpy_online_replay(spark, tmp_path):
     # the trajectory must actually evolve across steps (online, not
     # a repeated first step)
     assert any(want[(1, b)] != want[(3, b)] for b in range(n_b))
+
+
+def test_moments_stream_equals_batch_var_pop(spark):
+    """st20's law, pinned directly: the Chan-merged streaming moments'
+    final snapshot equals the batch count/mean/var_pop per event_type
+    at the oracle's rounding — regardless of how the replay slices the
+    stream into triggers (4 chunks here; the merge is associative so
+    any slicing folds to the same three numbers)."""
+    from pyspark.sql import functions as F
+
+    from mapreducehs_spark.sources.catalog import load_table
+    from mapreducehs_spark.streaming.ops import latest_moments
+
+    replay = st.prepare_stream_dir(spark, "/root/testdata/sf0.001", n_chunks=4)
+    updates = st.stateful_moments(st.events_stream(spark, replay))
+    log = st.run_to_batch(updates, "st20_test_sink", output_mode="append")
+    got = {r["event_type"]: r for r in latest_moments(log).collect()}
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    want = {
+        r["event_type"]: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg(F.coalesce("value", F.lit(0.0))), 4).alias("mean_value"),
+            F.round(F.var_pop(F.coalesce("value", F.lit(0.0))), 4).alias("var_value"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["n_events"] == want[k]["n_events"]
+        assert got[k]["mean_value"] == pytest.approx(want[k]["mean_value"], abs=1e-3)
+        assert got[k]["var_value"] == pytest.approx(want[k]["var_value"], abs=1e-3)
+    # state is O(#event_types): one (n, mean, M2, seq) row per key
+    assert len(got) <= 8
