@@ -962,7 +962,13 @@ def simhash_checked(
         F.when(F.col(f"s{k}") > 0, F.lit(1).cast("bigint")).otherwise(0) * F.lit(1 << k).cast("bigint")
         for k in range(bits)
     )
-    sigs = bitsums.select("id", sig.alias("sig"))
+    # The signature frame is referenced THREE times downstream (banding
+    # + both verify sides) and Catalyst does not reuse the exchange
+    # across those subtrees — without a barrier the token explode + the
+    # 32-column bit-sum aggregation (the dominant cost) re-runs once per
+    # reference (measured: 4 scans, 0 ReusedExchange).  The checkpoint
+    # materializes 2 longs/doc — per-mille of corpus width — once.
+    sigs = bitsums.select("id", sig.alias("sig")).localCheckpoint()
     band_keys = F.array(
         *[
             F.shiftright(F.col("sig"), band_width * b).bitwiseAND(F.lit((1 << band_width) - 1))

@@ -6745,10 +6745,14 @@ def d17_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducehs_spark.operators.sampling import global_positions_cached
 
     docs = _t(spark, sf_dir, "documents")
+    # Tokenized once: the distinct-token frame feeds the key projection
+    # AND both verify sides, and without a barrier the regex tokenize +
+    # array_sort(array_distinct(...)) chain re-runs per reference
+    # (measured: 2 extra corpus scans for ta/tb).
     toks = docs.select(
         "doc_id",
         F.array_sort(F.array_distinct(text.tokens("text"))).alias("dt"),
-    )
+    ).localCheckpoint()
     keyed = toks.select(
         "doc_id",
         F.concat_ws("|", F.slice("dt", 1, 3)).alias("snm_key"),

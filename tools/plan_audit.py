@@ -19,7 +19,12 @@ so a full-inventory audit is no longer "a few seconds":
   price of a capacity that cannot silently under-size);
 - t28/t29 (full training loop: per-step counts + model collects),
   s15 (executes all ANN arms plus the exact top-k), and the
-  seeded-codebook collects in s02/s04/s06/s07/s16/d22.
+  seeded-codebook collects in s02/s04/s06/s07/s16/d22;
+- the mid-pipeline reuse barriers added round 7: the checked-simhash
+  signature frame (d04/d12), d17's tokenized-corpus frame, and s18's
+  per-term tf projection — each materializes a narrow frame once
+  instead of recomputing a scan-heavy subtree per downstream
+  reference.
 Those report the plan of the materialized result; their interesting
 plan properties are pinned by dedicated tests instead (see
 test_plans.py's `_build()` convention).
