@@ -166,6 +166,7 @@ HEADLINE = [
     "s18_bm25_topk",
     "t31_weighted_sample",
     "t32_curation_funnel",
+    "q116_calibration_report",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
@@ -186,6 +187,7 @@ POST_R5_ADDITIONS = [
     "s18_bm25_topk",
     "t31_weighted_sample",
     "t32_curation_funnel",
+    "q116_calibration_report",
 ]
 
 #: the 91-query round-5 series subset (everything except the post-r5

@@ -11426,3 +11426,89 @@ def st20_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducehs_spark.streaming.ops import latest_moments
 
     return latest_moments(log)
+
+
+@query(
+    "q116_calibration_report",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, ('0x' || substr(md5(term), 1, 12))::BIGINT % 4096 AS bucket
+      FROM toks
+    ), weights AS (
+      SELECT b.b AS bucket, (b.b * 2654435761) % 1000 - 500 AS w
+      FROM (SELECT unnest(range(0, 4096)) AS b) b
+    ), sc AS (
+      SELECT doc_id, CAST(sum(w) AS BIGINT) AS score
+      FROM feats JOIN weights USING (bucket) GROUP BY doc_id
+    ), lab AS (
+      SELECT s.doc_id, s.score,
+             CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS y,
+             greatest(-2, least(5, s.score // 2000)) AS bin
+      FROM sc s JOIN documents d USING (doc_id)
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST((sum(y) * 1000000) // count(*) AS BIGINT) AS pos_rate_micro,
+           CAST(sum(score) // count(*) AS BIGINT) AS avg_score
+    FROM lab
+    GROUP BY bin
+    """,
+)
+def q116_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL CALIBRATION / LIFT report — the evaluation step that closes
+    the classifier loop alongside accuracy-style readouts (q112's A/B,
+    s13/s15's recall): bin the corpus by t26's integer margin score
+    (fixed-width 2000-unit bins, clamped to [-2, 5] so the report
+    width is data-independent) and compare each bin's OBSERVED positive
+    rate (t28's label law, n_chars >= 300, in integer micro-units
+    against the truncating-div discipline) with its average score — a
+    monotone observed-rate column is what "the score ranks quality"
+    actually means, and per-bin lift is what curation thresholds are
+    chosen from.  Plan shape: t26's scan-side feature hashing +
+    broadcast weights + per-doc partial-agg sum, one narrow self-join
+    back to (doc_id, n_chars), then an 8-row rollup — the report costs
+    one token-scale pass exactly like the inference it evaluates.
+    Everything integer (scores, labels, micro-rates, truncating div ==
+    DuckDB // toward zero on BOTH signs), so it replays bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = (
+        docs.select("doc_id", F.explode_outer(text.tokens("text")).alias("term"))
+        .filter(F.col("term").isNotNull())
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("term"), 1, 12), 16, 10).cast("bigint") % 4096
+            ).alias("bucket"),
+        )
+    )
+    weights = spark.range(4096).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * F.lit(2654435761)) % 1000 - 500).alias("w"),
+    )
+    sc = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("w").cast("bigint").alias("score"))
+    )
+    lab = sc.join(
+        docs.select(
+            "doc_id",
+            F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("y"),
+        ),
+        "doc_id",
+    ).withColumn(
+        "bin", F.greatest(F.lit(-2), F.least(F.lit(5), F.expr("score div 2000")))
+    )
+    return lab.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.expr("cast((sum(y) * 1000000L) div count(*) as bigint)").alias(
+            "pos_rate_micro"
+        ),
+        F.expr("cast(sum(score) div count(*) as bigint)").alias("avg_score"),
+    )
