@@ -11106,7 +11106,10 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-def _bm25_oracle() -> str:
+def _bm25_sql_pieces() -> tuple[str, str, str]:
+    """The three SQL fragments of the BM25 law, shared by s18's oracle
+    and s19's retrieve-then-rerank oracle so both replay the ONE
+    scoring expression (the _T26_ORACLE sharing discipline)."""
     tf_cols = ",\n             ".join(
         f"CAST(len(list_filter(tk, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
         for t in _BM25_TERMS
@@ -11122,6 +11125,11 @@ def _bm25_oracle() -> str:
         f" / (p.tf_{t} + {k1} * ({1.0 - b} + {b} * ((p.dl * s.n_docs) / CAST(s.sum_dl AS DOUBLE))))"
         for t in _BM25_TERMS
     )
+    return tf_cols, df_cols, term_scores
+
+
+def _bm25_oracle() -> str:
+    tf_cols, df_cols, term_scores = _bm25_sql_pieces()
     tf_out = ", ".join(f"p.tf_{t}" for t in _BM25_TERMS)
     return f"""
     WITH t AS (
@@ -11168,6 +11176,27 @@ def s18_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     heaps; avgdl enters as (dl*N)/sum_dl in BOTH engines so float
     evaluation order is identical and the score replays bit-for-bit."""
     docs = _t(spark, sf_dir, "documents")
+    scored, score, any_tf = _bm25_scored(docs)
+    return (
+        scored.filter(any_tf > 0)
+        .withColumn("__score", score)
+        .orderBy(F.col("__score").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select(
+            "doc_id",
+            "dl",
+            *[f"tf_{t}" for t in _BM25_TERMS],
+            F.round("__score", 6).alias("bm25"),
+        )
+    )
+
+
+def _bm25_scored(docs: DataFrame):
+    """s18's BM25 machinery, shared with s19's retrieve-then-rerank:
+    returns (the checkpointed narrow per-doc frame cross-broadcast with
+    the corpus statistics, the score column, the any-term filter) —
+    exactly the expression tree s18 built inline before round 7, so the
+    plan fingerprint is unchanged."""
     k1, b = _BM25_K1, _BM25_B
     toks = docs.select("doc_id", text.tokens("text").alias("tk"))
     proj = toks.select(
@@ -11207,19 +11236,7 @@ def s18_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = (idf * (F.col(f"tf_{t}") * F.lit(k1 + 1.0))) / norm
         score = term if score is None else score + term
     any_tf = sum(F.col(f"tf_{t}") for t in _BM25_TERMS)
-    return (
-        proj.crossJoin(F.broadcast(stats))
-        .filter(any_tf > 0)
-        .withColumn("__score", score)
-        .orderBy(F.col("__score").desc(), F.col("doc_id").asc())
-        .limit(20)
-        .select(
-            "doc_id",
-            "dl",
-            *[f"tf_{t}" for t in _BM25_TERMS],
-            F.round("__score", 6).alias("bm25"),
-        )
-    )
+    return proj.crossJoin(F.broadcast(stats)), score, any_tf
 
 
 @query(
@@ -11512,3 +11529,258 @@ def q116_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("cast(sum(score) div count(*) as bigint)").alias("avg_score"),
     )
+
+
+# =========================================================================
+# Round 7 (4): two-stage retrieval, leakage-safe corpus splitting,
+# streaming bounded-ring anomaly detection
+# =========================================================================
+
+
+def _s19_oracle(n_cand: int = 100, k: int = 20) -> str:
+    """Retrieve-then-rerank replay: s18's BM25 pieces rank the candidate
+    pool (LIMIT ``n_cand`` under the identical float total order), then
+    t26's hashed-linear law rescores EXACTLY those docs and the final
+    top-``k`` comes from the integer rerank score — both stage laws are
+    the committed s18/t26 oracles, composed."""
+    tf_cols, df_cols, term_scores = _bm25_sql_pieces()
+    any_tf = " + ".join(f"p.tf_{t}" for t in _BM25_TERMS)
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tk
+      FROM documents
+    ), p AS (
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+             {tf_cols}
+      FROM t
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl,
+             {df_cols}
+      FROM p
+    ), cand AS (
+      SELECT p.doc_id, {term_scores} AS bm25f
+      FROM p, s
+      WHERE {any_tf} > 0
+      ORDER BY bm25f DESC, p.doc_id ASC
+      LIMIT {n_cand}
+    ), ranked AS (
+      SELECT doc_id, bm25f,
+             CAST(row_number() OVER (ORDER BY bm25f DESC, doc_id ASC) AS BIGINT)
+               AS bm25_rank
+      FROM cand
+    ), toks AS (
+      SELECT d.doc_id,
+             unnest(list_filter(regexp_split_to_array(d.text, '\\s+'), x -> x != ''))
+               AS term
+      FROM documents d JOIN ranked r ON r.doc_id = d.doc_id
+    ), feats AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(term), 1, 12))::BIGINT % 4096 AS bucket
+      FROM toks
+    ), weights AS (
+      SELECT b.b AS bucket, (b.b * 2654435761) % 1000 - 500 AS w
+      FROM (SELECT unnest(range(0, 4096)) AS b) b
+    ), rr AS (
+      SELECT doc_id, CAST(sum(w) AS BIGINT) AS rerank_score
+      FROM feats JOIN weights USING (bucket)
+      GROUP BY doc_id
+    )
+    SELECT r.doc_id, r.bm25_rank, round(r.bm25f, 6) AS bm25,
+           rr.rerank_score,
+           CAST(row_number() OVER (ORDER BY rr.rerank_score DESC, r.doc_id ASC)
+                AS BIGINT) AS final_rank
+    FROM ranked r JOIN rr USING (doc_id)
+    ORDER BY rr.rerank_score DESC, r.doc_id ASC
+    LIMIT {k}
+    """
+
+
+@query("s19_retrieve_rerank", oracle=_s19_oracle())
+def s19_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STAGE retrieval — the retrieve-then-rerank pipeline every
+    production RAG/search stack runs (cheap recall stage, expensive
+    precision stage on candidates only): s18's BM25 law pulls the
+    top-100 lexical candidates, then t26's hashed-linear model rescores
+    ONLY those 100 and the final top-20 ranks by the model margin.
+    The output carries both ranks, so the rerank's reordering (the
+    whole point of the stage) is visible and value-checked.  The scale
+    contract is the composition itself: stage 1 is s18's scan-bound
+    pass + TakeOrdered (never a global sort), and stage 2's model pass
+    touches candidate docs ONLY — the 100-row candidate set broadcasts
+    into a semi-join against the corpus scan, so the expensive scorer
+    costs O(candidates), not O(corpus), exactly how a cross-encoder
+    rerank is deployed at 100 TB (the model here is t26's deterministic
+    weight law so DuckDB can replay both stages bit-for-bit; a real
+    cross-encoder swaps into the same candidate-bounded plan).  The
+    rank windows run on the 100-row candidate frame — single-partition
+    by construction and bounded by n_cand, never corpus-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    scored, score, any_tf = _bm25_scored(docs)
+    cand = (
+        scored.filter(any_tf > 0)
+        .withColumn("__score", score)
+        .orderBy(F.col("__score").desc(), F.col("doc_id").asc())
+        .limit(100)
+        .select("doc_id", "__score")
+    )
+    cand = cand.withColumn(
+        "bm25_rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("__score").desc(), F.col("doc_id").asc()))
+        .cast("bigint"),
+    ).localCheckpoint()  # 100 rows: pin the candidate set, broadcast below
+    feats = (
+        docs.join(F.broadcast(cand.select("doc_id")), "doc_id")
+        .select("doc_id", F.explode_outer(text.tokens("text")).alias("term"))
+        .filter(F.col("term").isNotNull())
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("term"), 1, 12), 16, 10).cast("bigint") % 4096
+            ).alias("bucket"),
+        )
+    )
+    weights = spark.range(4096).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * F.lit(2654435761)) % 1000 - 500).alias("w"),
+    )
+    rr = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("w").cast("bigint").alias("rerank_score"))
+    )
+    return (
+        cand.join(rr, "doc_id")
+        .withColumn(
+            "final_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("rerank_score").desc(), F.col("doc_id").asc()))
+            .cast("bigint"),
+        )
+        .orderBy(F.col("rerank_score").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select(
+            "doc_id",
+            "bm25_rank",
+            F.round("__score", 6).alias("bm25"),
+            "rerank_score",
+            "final_rank",
+        )
+    )
+
+
+def _d23_oracle() -> str:
+    """d23: d07's committed drop-list law (the full checked-minhash →
+    exact-Jaccard → recursive-closure composition) wrapped as a CTE,
+    every document's class representative = coalesce(rep, self), and
+    the split is the md5-fold of the REP (never the member) mod 10 —
+    so the whole near-dup class lands in one split by construction."""
+    inner = _d15_oracle(est_threshold=0.25, jaccard_threshold=0.6)
+    fold = (
+        "('0x' || substr(md5(CAST(coalesce(dl.rep_id, d.doc_id) AS VARCHAR)"
+        " || ':split'), 1, 12))::BIGINT % 10"
+    )
+    return f"""
+    WITH dl AS (
+      SELECT * FROM ({inner}) AS q
+    )
+    SELECT d.doc_id,
+           coalesce(dl.rep_id, d.doc_id) AS rep_id,
+           CASE
+             WHEN {fold} < 8 THEN 'train'
+             WHEN {fold} = 8 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents d LEFT JOIN dl USING (doc_id)
+    """
+
+
+@query("d23_leakage_safe_split", oracle=_d23_oracle())
+def d23_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split — the assignment every honest
+    eval pipeline needs: splitting by per-document hash leaks whenever
+    two near-duplicates straddle the boundary (the train/test
+    contamination d08 measures after the fact), so the split key here
+    is the NEAR-DUP CLASS REPRESENTATIVE, not the document.  d07's
+    value-checked pipeline (checked MinHash-LSH candidates → exact
+    Jaccard ≥ 0.6 → connected components) resolves each doc to its
+    class rep; the md5-fold of the rep mod 10 buckets 80/10/10 into
+    train/val/test; every member inherits its rep's bucket, so no
+    near-dup pair can ever cross splits — the guarantee is structural,
+    not statistical.  Output is one row per document (doc_id, rep_id,
+    split): linear, the d20/d22 contract.  At 100 TB this adds ONE
+    broadcast-sized left join onto the dedup pipeline the corpus
+    already runs — the split is free once dedup exists, which is the
+    operational argument for doing it this way (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    observed test-set leakage motivation)."""
+    docs = _t(spark, sf_dir, "documents")
+    drop = dedup.near_dedup_drop_list_checked(
+        docs, est_threshold=0.25, jaccard_threshold=0.6
+    )
+    rep = F.coalesce(F.col("rep_id"), F.col("doc_id"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(rep.cast("string"), F.lit(":split"))), 1, 12),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+    return (
+        docs.select("doc_id")
+        .join(drop, "doc_id", "left")
+        .select(
+            "doc_id",
+            rep.alias("rep_id"),
+            F.when(bucket < 8, "train")
+            .when(bucket == 8, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
+@query(
+    "st21_stream_anomaly",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER
+               (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS BIGINT) AS trail_sum,
+             count(*) OVER
+               (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS n_prev
+      FROM events
+    )
+    SELECT user_id, event_id, cents, trail_sum
+    FROM w
+    WHERE n_prev = 8 AND cents * 8 > 3 * trail_sum
+    """,
+)
+def st21_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING anomaly detection with a BOUNDED RING BUFFER — the
+    always-on spike monitor: per user, flag any event whose integer-
+    cents amount exceeds 3× its trailing-8-event mean, tested as the
+    exact cross-multiplication cents*8 > 3*sum(ring) (no division, no
+    float state).  The state store holds exactly 8 longs per user —
+    the st12/st13 bounded-state discipline — and emitted rows are
+    linear in ANOMALIES.  Because the replay is event-time ordered and
+    (user_id, ts) is unique, the sequential fold sees the batch
+    window-frame order exactly, so the streaming topology value-checks
+    against the batch ROWS-frame window aggregate (the st16
+    order-sensitive stream==batch discipline).  This is the streaming
+    twin of q36's trailing ROWS frames — the same law, held as live
+    per-key state instead of a sort (streaming/ops.
+    stateful_trailing_anomaly)."""
+    from mapreducehs_spark import streaming as st
+
+    flagged = st.stateful_trailing_anomaly(
+        _replayed_events(spark, sf_dir), window=8, num=3
+    )
+    log = st.run_to_batch(flagged, "st21_sink", output_mode="append")
+    return log.select("user_id", "event_id", "cents", "trail_sum")

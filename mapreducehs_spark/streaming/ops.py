@@ -1527,3 +1527,86 @@ def mixture_filter_stream(docs: DataFrame, rates: DataFrame) -> DataFrame:
         .filter(F.col("__draw") < F.col("accept_ppm"))
         .select("doc_id", "source", "n_tokens")
     )
+
+
+_ANOMALY_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("cents", LongType()),
+        StructField("trail_sum", LongType()),
+    ]
+)
+_ANOMALY_STATE = StructType([StructField("ring", ArrayType(LongType()))])
+
+
+def stateful_trailing_anomaly(
+    events: DataFrame, window: int = 8, num: int = 3
+) -> DataFrame:
+    """Streaming anomaly detection over a BOUNDED RING BUFFER of the
+    last ``window`` per-user amounts — the always-on spike monitor
+    (fraud / rate-anomaly topology): an event is anomalous when its
+    integer-cents amount exceeds ``num``× the trailing-window mean,
+    tested as the exact cross-multiplication
+    ``cents * window > num * sum(ring)`` so no division ever happens
+    and the law replays bit-for-bit in any engine.
+
+    State per user is exactly ``window`` longs — independent of stream
+    length, the st12/st13 bounded-state discipline — and the emitted
+    rows are linear in ANOMALIES, not events.  Because the replay is
+    event-time ordered and (user_id, ts) is unique in the corpus, the
+    sequential fold sees each user's events in the batch window-frame
+    order (ROWS BETWEEN ``window`` PRECEDING AND 1 PRECEDING), so the
+    streaming topology value-checks against the batch window aggregate
+    (st16's order-sensitive stream==batch discipline).  At 100 TB/day
+    the state store holds |active users| × ``window`` longs and the
+    only shuffle is the groupBy(user_id) route — no watermark needed
+    for correctness (add EventTimeTimeout to bound the user population
+    when it is unbounded).  The reference has no streaming at all
+    (batch-only, src/Core/Std.hs:49-50)."""
+    import math
+
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        ring = list(state.get[0]) if state.exists else []
+        out_eid: list[int] = []
+        out_c: list[int] = []
+        out_s: list[int] = []
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, v in zip(pdf["event_id"], pdf["value"]):
+                c = int(math.floor(float(v) * 100.0))
+                if len(ring) == window:
+                    s = sum(ring)
+                    if c * window > num * s:
+                        out_eid.append(int(eid))
+                        out_c.append(c)
+                        out_s.append(s)
+                ring.append(c)
+                if len(ring) > window:
+                    ring.pop(0)
+        state.update((ring,))
+        if out_eid:
+            yield pd.DataFrame(
+                {
+                    "user_id": user,
+                    "event_id": out_eid,
+                    "cents": out_c,
+                    "trail_sum": out_s,
+                }
+            )
+
+    return (
+        events.filter(F.col("event_type") != FLUSH_TYPE)
+        .select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_ANOMALY_OUT,
+            stateStructType=_ANOMALY_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

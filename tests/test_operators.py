@@ -1962,3 +1962,47 @@ def test_hash128_canonical_dedup_vs_bruteforce(spark):
     }
     assert got == want
     assert (12, 10, 3) in got  # chain B closes transitively
+
+
+def test_d23_split_is_class_consistent(spark):
+    """d23's structural guarantee: the split is a TOTAL function of the
+    near-dup class representative — every document appears exactly
+    once, every rep maps to itself, and every member lands in its
+    rep's split, so no near-dup pair can cross train/val/test."""
+    from mapreducehs_spark.queries import QUERIES
+
+    rows = QUERIES["d23_leakage_safe_split"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    split_of = {r["doc_id"]: r["split"] for r in rows}
+    rep_of = {r["doc_id"]: r["rep_id"] for r in rows}
+    assert len(split_of) == len(rows)  # one row per doc
+    for d, rp in rep_of.items():
+        assert rep_of[rp] == rp  # reps are fixed points
+        assert split_of[d] == split_of[rp]  # members inherit the rep's split
+        assert rp <= d  # min-id representative convention
+    assert set(split_of.values()) <= {"train", "val", "test"}
+    # 80/10/10 law: train is the large bucket by construction
+    n_train = sum(1 for s in split_of.values() if s == "train")
+    assert n_train > len(rows) // 2
+
+
+def test_s19_rerank_composes_the_committed_laws(spark):
+    """s19 differential: the final rows must (a) be a subset of the
+    BM25 candidate pool, (b) carry EXACTLY t26's score as the rerank
+    margin, and (c) rank 1..k by (rerank_score desc, doc_id asc) —
+    the composition law, checked against the two component queries."""
+    from mapreducehs_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["s19_retrieve_rerank"](spark, sf).collect()
+    assert 1 <= len(out) <= 20
+    t26 = {
+        r["doc_id"]: r["score"]
+        for r in QUERIES["t26_hashed_linear_score"](spark, sf).collect()
+    }
+    for r in out:
+        assert r["rerank_score"] == t26[r["doc_id"]]
+        assert 1 <= r["bm25_rank"] <= 100
+    ordered = sorted(out, key=lambda r: (-r["rerank_score"], r["doc_id"]))
+    assert [r["final_rank"] for r in ordered] == list(range(1, len(out) + 1))

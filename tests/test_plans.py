@@ -729,3 +729,15 @@ def test_s18_bm25_stats_broadcast_topk_heap(q):
     assert I.sort_merge_join_count(df) == 0
     # one exchange: the single-row statistics aggregate
     assert I.exchange_count(df) == 1
+
+
+def test_s19_rerank_candidate_bounded(q):
+    """s19's scale contract: the rerank stage costs O(candidates), not
+    O(corpus) — the 100-row candidate set reaches the corpus scan as a
+    BroadcastHashJoin (with the model weight table broadcast too,
+    t26's pin), and no join ever degrades to a cartesian product."""
+    df = q("s19_retrieve_rerank")
+    plan = I.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # candidates ⋈ corpus AND feats ⋈ weights both broadcast
+    assert plan.count("BroadcastHashJoin") >= 2

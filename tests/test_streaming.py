@@ -605,3 +605,47 @@ def test_moments_stream_equals_batch_var_pop(spark):
         assert got[k]["var_value"] == pytest.approx(want[k]["var_value"], abs=1e-3)
     # state is O(#event_types): one (n, mean, M2, seq) row per key
     assert len(got) <= 8
+
+
+def test_trailing_anomaly_stream_equals_batch_window(spark):
+    """st21's law, pinned directly: the ring-buffer fold's flagged set
+    equals the batch ROWS-frame window computation (8 PRECEDING .. 1
+    PRECEDING, full windows only) — the order-sensitive stream==batch
+    check, valid because the replay is ts-ordered and (user_id, ts) is
+    unique in the corpus."""
+    from pyspark.sql import Window
+
+    from mapreducehs_spark.sources.catalog import load_table
+
+    replay = st.prepare_stream_dir(spark, "/root/testdata/sf0.001", n_chunks=4)
+    flagged = st.stateful_trailing_anomaly(
+        st.events_stream(spark, replay), window=8, num=3
+    )
+    log = st.run_to_batch(flagged, "st21_test_sink", output_mode="append")
+    got = {
+        (r["user_id"], r["event_id"]): (r["cents"], r["trail_sum"])
+        for r in log.collect()
+    }
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    wspec = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-8, -1)
+    )
+    cents = F.floor(F.col("value") * 100).cast("long")
+    frame = events.select(
+        "user_id",
+        "event_id",
+        cents.alias("cents"),
+        F.sum(cents).over(wspec).alias("trail_sum"),
+        F.count(F.lit(1)).over(wspec).alias("n_prev"),
+    )
+    want = {
+        (r["user_id"], r["event_id"]): (r["cents"], r["trail_sum"])
+        for r in frame.filter(
+            (F.col("n_prev") == 8) & (F.col("cents") * 8 > 3 * F.col("trail_sum"))
+        ).collect()
+    }
+    assert len(want) > 0  # the law is exercised, not vacuous
+    assert got == want

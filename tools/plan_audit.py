@@ -24,7 +24,10 @@ so a full-inventory audit is no longer "a few seconds":
   signature frame (d04/d12), d17's tokenized-corpus frame, and s18's
   per-term tf projection — each materializes a narrow frame once
   instead of recomputing a scan-heavy subtree per downstream
-  reference.
+  reference;
+- s19, which executes its entire BM25 retrieval stage at build time
+  (the 100-row candidate set localCheckpoints so the rerank joins
+  against a pinned frame, never a recomputed sort).
 Those report the plan of the materialized result; their interesting
 plan properties are pinned by dedicated tests instead (see
 test_plans.py's `_build()` convention).
