@@ -1324,12 +1324,21 @@ def p01_wordcount_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel (mapInPandas/applyInPandas lowering) over documents.text.
     The oracle re-derives the run-length algebra relationally: a run of
     length L contributes L+1, so each char's total is its occurrence
-    count plus its run count."""
+    count plus its run count.
+
+    Runs the declared-associative lowering (``assoc=True``): the char
+    alphabet is tiny, so the per-group reduce would funnel the whole
+    corpus through ~25 tasks — ``reduce_agg`` gets map-side partials
+    instead.  The input is spread to the session's parallelism first
+    because the sf0.1 parquet arrives as one split and the Python map
+    stage would otherwise run single-threaded (at real scale the scan
+    is already wide and the repartition collapses to a cheap rebalance
+    of small files)."""
     docs = _t(spark, sf_dir, "documents")
     kv = docs.select(
         F.col("doc_id").cast("string").alias("key"), F.col("text").alias("value")
-    )
-    return word_count_pipeline().run(kv)
+    ).repartition(spark.sparkContext.defaultParallelism)
+    return word_count_pipeline(assoc=True).run(kv)
 
 
 @query(

@@ -143,6 +143,40 @@ def test_reference_sample_result():
     assert out == {"e": 2, "h": 2, "l": 3, "o": 2}
 
 
+def test_rle_regex_matches_naive_loop():
+    """The compiled-regex run-length encoder must agree with the obvious
+    per-char loop on every shape: empty, singleton runs, newlines (the
+    DOTALL flag), and long runs."""
+    from mapreducehs_spark.pipeline import _run_length_encode
+
+    def naive(v):
+        out = []
+        for ch in str(v):
+            if out and out[-1][0] == ch:
+                out[-1] = (ch, out[-1][1] + 1)
+            else:
+                out.append((ch, 1))
+        return out
+
+    for s in ["", "a", "aaa", "ab\nb\n\ncc", "aaabbbaaa", "x" * 500 + "y"]:
+        assert _run_length_encode(None, s) == naive(s), repr(s)
+
+
+def test_wordcount_assoc_lowering_matches(spark):
+    """word_count_pipeline(assoc=True) — the reduce_agg 100 TB path —
+    must produce exactly the reduce_stage result (sum is associative)."""
+    rows = [("", "hello"), ("", "aabbb"), ("", ""), ("x", "zzz")]
+    df = spark.createDataFrame(rows, "key string, value string")
+    slow = sorted(
+        (r["key"], r["value"]) for r in word_count_pipeline().run(df).collect()
+    )
+    fast = sorted(
+        (r["key"], r["value"])
+        for r in word_count_pipeline(assoc=True).run(df).collect()
+    )
+    assert fast == slow
+
+
 def test_multi_emit_reducer_differential(spark):
     """Reducer may emit 0..n values per key (MapReduceC.hs:26)."""
     def spread(k, vs):
