@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mapreducehs_spark.operators.text import tokens
@@ -1401,3 +1401,106 @@ def hash128_canonical_dedup(
             grp.unpersist(blocking=False)
     finally:
         h.unpersist(blocking=False)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (Rabin/FastCDC discipline at token level)
+# ---------------------------------------------------------------------------
+
+#: Cut-decision divisor for ``content_defined_chunks``: a 3-gram whose
+#: md5-fold hash is ≡ 0 (mod this) ends a chunk, so expected chunk
+#: length is ~CDC_DIVISOR tokens.  Shared with the d24 oracle renderer.
+CDC_DIVISOR = 16
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    facet: str = "source",
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """Per-chunk frame under CONTENT-DEFINED chunking — the storage-dedup
+    boundary rule (Rabin fingerprinting / FastCDC) applied at token
+    level: a cut falls after token ``j`` exactly when the 3-gram ending
+    at ``j`` hashes to 0 mod ``divisor``.  Because the cut decision
+    depends only on a 3-token window of content, inserting or deleting
+    text early in a document shifts NO later chunk boundaries — every
+    chunk outside the edited neighborhood keeps its identity, which is
+    precisely what ``chunk_dup_stats``'s fixed-width chunks lose (one
+    leading token re-frames every downstream chunk).  The reference
+    could express the boundary pass as a Mapper and the chunk-frequency
+    pass as a Reducer (src/Core/MapReduceC.hs:22-26); here each is one
+    declarative stage.
+
+    Hashing is the d11 engine-portable md5-fold, so the whole pipeline
+    (boundaries → chunk ids → chunk hashes) replays bit-for-bit in the
+    DuckDB oracle.  Documents with no tokens vanish (no positions on
+    either engine); documents shorter than 3 tokens have no grams, hence
+    no cuts — one whole-document chunk.
+
+    Returns one row per chunk instance:
+    ``(id, facet, chunk_id, n_tokens, chunk_hash)``.
+
+    Scale shape: tokenize + gram hashing are scan-side; the cut→chunk_id
+    prefix sum is ONE per-document window (doc-keyed shuffle); the span
+    aggregation groups on (doc, chunk_id) and the text join is doc-keyed
+    against the already-staged token arrays.  Nothing is pairwise and no
+    shuffle key contains document text — chunk identity travels as a
+    16-hex-char hash.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(facet).alias("facet"),
+            tokens(F.col(text_col)).alias("t"),
+        )
+        .filter(F.size("t") >= 1)  # sequence(1, 0) would DESCEND (t21)
+        .repartition(par)
+    )
+    pos = (
+        toks.select(
+            "id",
+            "t",
+            F.explode_outer(F.sequence(F.lit(1), F.size("t"))).alias("j"),
+        )
+        .filter(F.col("j").isNotNull())
+    )
+    gram_hash = F.conv(
+        F.substring(F.md5(F.concat_ws(" ", F.slice("t", F.col("j") - 2, 3))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    cut = pos.select(
+        "id",
+        "j",
+        F.when((F.col("j") >= 3) & (gram_hash % divisor == 0), 1)
+        .otherwise(0)
+        .alias("c"),
+    )
+    w_prev = (
+        Window.partitionBy("id")
+        .orderBy(F.col("j").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cids = cut.select(
+        "id", "j", F.coalesce(F.sum("c").over(w_prev), F.lit(0)).alias("chunk_id")
+    )
+    spans = cids.groupBy("id", "chunk_id").agg(
+        F.min("j").alias("j0"), F.count(F.lit(1)).alias("n_tokens")
+    )
+    return (
+        spans.join(toks, "id")
+        .select(
+            "id",
+            "facet",
+            "chunk_id",
+            "n_tokens",
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice("t", F.col("j0"), F.col("n_tokens")))),
+                1,
+                16,
+            ).alias("chunk_hash"),
+        )
+    )

@@ -11793,3 +11793,91 @@ def st21_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     log = st.run_to_batch(flagged, "st21_sink", output_mode="append")
     return log.select("user_id", "event_id", "cents", "trail_sum")
+
+@query(
+    "d24_cdc_chunk_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), nt AS (
+      SELECT * FROM toks WHERE len(t) >= 1
+    ), pos AS (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS j FROM nt
+    ), cut AS (
+      SELECT doc_id, j,
+             CASE WHEN j >= 3 AND
+                  ('0x' || substr(md5(array_to_string(t[j-2:j], ' ')), 1, 12))::BIGINT
+                    % 16 = 0
+             THEN 1 ELSE 0 END AS c
+      FROM pos
+    ), cid AS (
+      SELECT doc_id, j,
+             coalesce(sum(c) OVER (PARTITION BY doc_id ORDER BY j
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+      FROM cut
+    ), spans AS (
+      SELECT doc_id, chunk_id, min(j) AS j0, count(*) AS n_tokens
+      FROM cid GROUP BY 1, 2
+    ), chunks AS (
+      SELECT s.doc_id, nt.source, s.n_tokens,
+             substr(md5(array_to_string(t[s.j0 : s.j0 + s.n_tokens - 1], ' ')), 1, 16)
+               AS chunk_hash
+      FROM spans s JOIN nt USING (doc_id)
+    ), docs_per AS (
+      SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs_with
+      FROM chunks GROUP BY 1
+    )
+    SELECT c.source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_chunks,
+           CAST(sum(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS dup_ratio_micro,
+           CAST(sum(n_tokens) * 1000000 // count(*) AS BIGINT)
+             AS avg_chunk_tokens_micro
+    FROM chunks c JOIN docs_per USING (chunk_hash)
+    GROUP BY 1
+    """,
+)
+def d24_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking duplication profile per source — the
+    storage-dedup boundary rule (Rabin fingerprinting; Xia et al. 2016
+    FastCDC) applied to training text: a chunk ends wherever the
+    3-gram ending at that token md5-folds to 0 mod 16 (expected chunk
+    ~16 tokens), so chunk identities are INSERTION-STABLE — editing a
+    document's opening paragraph reframes none of its later chunks,
+    which is exactly the failure mode of d10's fixed-width chunks.
+    Duplicated instance = chunk hash present in ≥ 2 distinct docs; the
+    per-source report mirrors d10 so the two chunking disciplines are
+    directly comparable on the same corpus.  All integer/md5-fold
+    arithmetic (d11 discipline) → bit-for-bit oracle replay.
+    Shape: scan-side gram hashing, ONE per-doc window for the
+    cut→chunk-id prefix sum, hash-keyed chunk-frequency aggregation —
+    zero pairwise work (operators/dedup.content_defined_chunks)."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = dedup.content_defined_chunks(docs, divisor=16)
+    docs_per = chunks.groupBy("chunk_hash").agg(
+        F.countDistinct("id").alias("n_docs_with")
+    )
+    return (
+        chunks.join(docs_per, "chunk_hash")
+        .groupBy(F.col("facet").alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs_with") >= 2, 1).otherwise(0)).alias(
+                "dup_chunks"
+            ),
+            F.sum("n_tokens").alias("__sum_tokens"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "dup_chunks",
+            F.expr("dup_chunks * 1000000L div n_chunks").alias("dup_ratio_micro"),
+            F.expr("__sum_tokens * 1000000L div n_chunks").alias(
+                "avg_chunk_tokens_micro"
+            ),
+        )
+    )

@@ -2040,3 +2040,32 @@ def test_s19_rerank_composes_the_committed_laws(spark):
         assert 1 <= r["bm25_rank"] <= 100
     ordered = sorted(out, key=lambda r: (-r["rerank_score"], r["doc_id"]))
     assert [r["final_rank"] for r in ordered] == list(range(1, len(out) + 1))
+
+
+def test_cdc_chunks_are_insertion_stable(spark):
+    """The content-defined-chunking guarantee: prepending tokens to a
+    document shifts NO chunk identity beyond the first boundary —
+    every chunk of the original after its first cut reappears verbatim
+    in the prefixed document (exactly what fixed-width chunking
+    loses).  Also pins the basic frame contract: chunk token counts
+    partition the document."""
+    from mapreducehs_spark.operators.dedup import content_defined_chunks
+
+    base = " ".join(f"w{i * 7 % 101}x{i}" for i in range(200))
+    rows = [(1, "a", base), (2, "a", "NEW PREFIX " + base)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    chunks = content_defined_chunks(df).collect()
+
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["id"], []).append(r)
+    # the chunking partitions each doc's tokens
+    assert sum(r["n_tokens"] for r in by_doc[1]) == 200
+    assert sum(r["n_tokens"] for r in by_doc[2]) == 202
+    # doc 1 must actually have cuts for the property to be non-vacuous
+    assert len(by_doc[1]) >= 3
+    tail_hashes = {
+        r["chunk_hash"] for r in by_doc[1] if r["chunk_id"] >= 1
+    }
+    prefixed_hashes = {r["chunk_hash"] for r in by_doc[2]}
+    assert tail_hashes <= prefixed_hashes
