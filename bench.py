@@ -167,6 +167,10 @@ HEADLINE = [
     "t31_weighted_sample",
     "t32_curation_funnel",
     "q116_calibration_report",
+    # round-7 additions (4): content-defined chunking, cross-modal
+    # (image ∪ caption) canonical dedup
+    "d24_cdc_chunk_dedup",
+    "m14_crossmodal_dedup",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
@@ -188,6 +192,8 @@ POST_R5_ADDITIONS = [
     "t31_weighted_sample",
     "t32_curation_funnel",
     "q116_calibration_report",
+    "d24_cdc_chunk_dedup",
+    "m14_crossmodal_dedup",
 ]
 
 #: the 91-query round-5 series subset (everything except the post-r5

@@ -9859,9 +9859,10 @@ _HASH64_CANONICAL_TAIL = """grp AS (
     """
 
 
-@query(
-    "m11_phash_dedup",
-    oracle="""
+#: m11's full oracle as a constant so m14's cross-modal composition can
+#: embed the identical image-class replay as a subquery.
+_M11_ORACLE = (
+    """
     WITH RECURSIVE cells AS (
       SELECT doc_id, r, c,
              CAST(sum((doc_id * 31 + ((2 * r + br) * 32 + (4 * c + bc)) * 7) % 256)
@@ -9882,8 +9883,11 @@ _HASH64_CANONICAL_TAIL = """grp AS (
              CAST(sum(CASE WHEN k >= 32 THEN bit << (k - 32) ELSE 0 END) AS BIGINT) AS hi
       FROM bits GROUP BY doc_id
     ), """
-    + _HASH64_CANONICAL_TAIL,
+    + _HASH64_CANONICAL_TAIL
 )
+
+
+@query("m11_phash_dedup", oracle=_M11_ORACLE)
 def m11_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERCEPTUAL-HASH image dedup — the multimodal member of the dedup
     suite (fifth blocking paradigm): real decode (PGM parse) + 8x8
@@ -11879,5 +11883,83 @@ def d24_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("__sum_tokens * 1000000L div n_chunks").alias(
                 "avg_chunk_tokens_micro"
             ),
+        )
+    )
+
+def _m14_oracle() -> str:
+    """m14: union of m11's image-phash class edges (the full m11 oracle
+    embedded as a subquery) and d07's checked near-dup caption class
+    edges (d15's renderer, the d23 embedding), closed with a
+    recursive-CTE component min over documents — the cross-modal merge
+    replayed relationally.  Outer CTE names are xm14_-prefixed because
+    BOTH embedded oracles define ``edges``/``reach`` internally and
+    DuckDB resolves an outer recursive CTE against the shadowing inner
+    name (measured: 404 vs the correct 476 rows at sf0.01)."""
+    txt = _d15_oracle(est_threshold=0.25, jaccard_threshold=0.6)
+    return f"""
+    WITH RECURSIVE xm14_img AS (
+      SELECT member AS a, rep AS b FROM ({_M11_ORACLE}) tim
+    ), xm14_txt AS (
+      SELECT doc_id AS a, rep_id AS b FROM ({txt}) ttx
+    ), xm14_e0 AS (
+      SELECT a, b FROM xm14_img UNION SELECT a, b FROM xm14_txt
+    ), xm14_edges AS (
+      SELECT a AS src, b AS dst FROM xm14_e0 UNION SELECT b, a FROM xm14_e0
+    ), xm14_reach(src, dst) AS (
+      SELECT DISTINCT src, src FROM xm14_edges
+      UNION
+      SELECT e.src, r.dst FROM xm14_edges e JOIN xm14_reach r ON e.dst = r.src
+    ), xm14_comp AS (
+      SELECT src AS member, min(dst) AS comp FROM xm14_reach GROUP BY src
+    ), xm14_sizes AS (
+      SELECT comp, CAST(count(*) AS BIGINT) AS class_size
+      FROM xm14_comp GROUP BY comp
+    )
+    SELECT c.member, CAST(c.comp AS BIGINT) AS rep, s.class_size
+    FROM xm14_comp c JOIN xm14_sizes s USING (comp)
+    WHERE c.member != c.comp
+    """
+
+
+@query("m14_crossmodal_dedup", oracle=_m14_oracle())
+def m14_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL pair dedup — the image-text-pair curation rule
+    (LAION-style corpora): two records are duplicates when EITHER the
+    caption text is a near-duplicate OR the image is a perceptual
+    near-duplicate, so each modality's class structure must be MERGED,
+    not intersected.  Composition: m11's canonical image classes
+    (real PGM decode → 64-bit ahash → hash64_canonical_dedup) and
+    d07's checked caption near-dup drop list (MinHash-LSH candidates →
+    exact Jaccard ≥ 0.6 → cluster resolution) are both already
+    star-shaped edge sets; their union is closed by
+    connected_components_star (d21's O(log² n)-round web-scale CC) and
+    emitted in the linear canonical contract (member, rep,
+    class_size).  A chain like "A shares a caption with B, B shares an
+    image with C" correctly lands A, C in one class — exactly what
+    per-modality dedup run separately misses.  Costs the sum of its
+    two arms plus the closure, by construction.  At 100 TB: both edge
+    sets carry ids/hashes only (never pixels or text), the union is
+    edge-count-sized, and the closure is the d21 algorithm whose
+    per-round cost is two aggregate+join passes."""
+    from mapreducehs_spark.operators.multimodal import ahash_64, render_pgm_payloads
+
+    docs = _t(spark, sf_dir, "documents")
+    payloads = render_pgm_payloads(docs, "doc_id", width=32, height=16)
+    img = dedup.hash64_canonical_dedup(ahash_64(payloads), max_hamming=3).select(
+        F.col("member").alias("id_a"), F.col("rep").alias("id_b")
+    )
+    txt = dedup.near_dedup_drop_list_checked(
+        docs, est_threshold=0.25, jaccard_threshold=0.6
+    ).select(F.col("doc_id").alias("id_a"), F.col("rep_id").alias("id_b"))
+    comp = dedup.connected_components_star(img.unionByName(txt))
+    sizes = comp.groupBy("rep").agg(
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("class_size")
+    )
+    return (
+        comp.join(sizes, "rep")
+        .select(
+            F.col("node").cast("bigint").alias("member"),
+            F.col("rep").cast("bigint").alias("rep"),
+            "class_size",
         )
     )
