@@ -171,6 +171,7 @@ HEADLINE = [
     # (image ∪ caption) canonical dedup
     "d24_cdc_chunk_dedup",
     "m14_crossmodal_dedup",
+    "d25_bloom_dedup",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
@@ -194,6 +195,7 @@ POST_R5_ADDITIONS = [
     "q116_calibration_report",
     "d24_cdc_chunk_dedup",
     "m14_crossmodal_dedup",
+    "d25_bloom_dedup",
 ]
 
 #: the 91-query round-5 series subset (everything except the post-r5

@@ -1504,3 +1504,55 @@ def content_defined_chunks(
             ).alias("chunk_hash"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter content index (space-bounded incremental dedup, d25)
+# ---------------------------------------------------------------------------
+
+#: Bloom parameters shared with the d25 oracle renderer: k seeded
+#: md5-fold hash functions into m bits, stored as 32-bit words so every
+#: bit value stays positive in a signed BIGINT on both engines.
+BLOOM_K = 4
+BLOOM_M_BITS = 1 << 20
+BLOOM_WORD_BITS = 32
+
+
+def _bloom_positions(text_col, k: int = BLOOM_K, m_bits: int = BLOOM_M_BITS):
+    """The k bit positions of ``text_col`` — seeded md5-folds
+    ``md5("<j>:" || text) % m`` (engine-portable: the d11 discipline)."""
+    return [
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), text_col)), 1, 12), 16, 10
+        ).cast("bigint")
+        % m_bits
+        for j in range(k)
+    ]
+
+
+def bloom_text_index(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = BLOOM_K,
+    m_bits: int = BLOOM_M_BITS,
+) -> DataFrame:
+    """Build a Bloom filter over ``df``'s text as a (word, w) frame of
+    32-bit words — the SPACE-BOUNDED historical content index: O(m)
+    bits regardless of corpus size, built with one partial-aggregatable
+    ``bit_or`` shuffle (each executor ORs its partition's bits map-side
+    first), and broadcastable to any probe scan.  The exact-index
+    alternative (d09) keeps one 128-bit hash PER DOCUMENT and probes by
+    shuffle join; this trades a measured false-positive rate for an
+    index that always fits in a broadcast — the standard move when the
+    history is 100 TB but the nightly increment is GBs."""
+    pos = df.select(
+        F.explode(F.array(*_bloom_positions(F.col(text_col), k, m_bits))).alias("p")
+    )
+    return (
+        pos.select(
+            F.expr(f"p div {BLOOM_WORD_BITS}").alias("word"),
+            F.expr(f"shiftleft(1L, CAST(p % {BLOOM_WORD_BITS} AS INT))").alias("bv"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bv").alias("w"))
+    )

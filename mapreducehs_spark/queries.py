@@ -11963,3 +11963,118 @@ def m14_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "class_size",
         )
     )
+
+#: d09's derived re-ingest batch (re-crawls + edits), shared by d25.
+_D25_BATCH_CTE = """
+    batch AS (
+      SELECT doc_id + 1000000 AS doc_id, source,
+             CASE WHEN doc_id % 3 = 1 THEN text || ' updated' ELSE text END AS text
+      FROM documents WHERE doc_id % 3 IN (0, 1)
+    )"""
+
+
+@query(
+    "d25_bloom_dedup",
+    oracle="""
+    WITH """ + _D25_BATCH_CTE + """,
+    hist AS (
+      SELECT DISTINCT md5(text) AS h FROM documents
+    ), hpos AS (
+      SELECT ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || text), 1, 12))::BIGINT
+               % 1048576 AS p
+      FROM documents, unnest(range(4)) tj(j)
+    ), bloom AS (
+      SELECT p // 32 AS word, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS w
+      FROM hpos GROUP BY 1
+    ), probe AS (
+      SELECT b.doc_id, b.source,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || b.text), 1, 12))::BIGINT
+               % 1048576 AS p
+      FROM batch b, unnest(range(4)) tj(j)
+    ), hits AS (
+      SELECT doc_id, source,
+             min(CASE WHEN (bl.w >> CAST(p % 32 AS INT)) & 1 = 1
+                      THEN 1 ELSE 0 END) AS all_set
+      FROM probe LEFT JOIN bloom bl ON bl.word = p // 32
+      GROUP BY 1, 2
+    ), flags AS (
+      SELECT h2.doc_id, h2.source, h2.all_set,
+             CASE WHEN hist.h IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+      FROM hits h2
+      JOIN batch USING (doc_id)
+      LEFT JOIN hist ON md5(batch.text) = hist.h
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS batch_n,
+           CAST(sum(all_set) AS BIGINT) AS n_bloom_pos,
+           CAST(sum(is_dup) AS BIGINT) AS n_true_dup,
+           CAST(sum(CASE WHEN all_set = 1 AND is_dup = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST(sum(CASE WHEN all_set = 1 AND is_dup = 0 THEN 1 ELSE 0 END)
+                * 1000000
+                // greatest(count(*) - sum(is_dup), 1) AS BIGINT) AS fpr_micro
+    FROM flags
+    GROUP BY 1
+    """,
+)
+def d25_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a BLOOM-FILTER content index — the
+    space-bounded sibling of d09: where d09 probes the exact per-doc
+    hash index by shuffle join, d25 builds a k=4 / m=2^20-bit Bloom
+    filter over history (dedup.bloom_text_index: seeded md5-folds,
+    32-bit words, ONE partial-aggregatable bit_or shuffle) and
+    BROADCASTS it to the increment scan — the index is O(m) bits no
+    matter how big history grows, which is the play when history is
+    100 TB and the nightly increment is GBs (Bloom 1970; the q92
+    runtime-filter trick promoted to a persistent index).  Bloom
+    positives that the exact md5 join refutes are FALSE POSITIVES; the
+    report measures the realized FPR per source in integer micro-units
+    (no false negatives is structural — every true dup's bits were
+    set).  All integer/md5-fold arithmetic replays bit-for-bit in the
+    oracle, including the filter words themselves."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter((F.col("doc_id") % 3).isin(0, 1)).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "source",
+        F.when(F.col("doc_id") % 3 == 1, F.concat(F.col("text"), F.lit(" updated")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    bloom = dedup.bloom_text_index(docs)
+    probe = batch.select(
+        "doc_id",
+        "source",
+        F.explode(F.array(*dedup._bloom_positions(F.col("text")))).alias("p"),
+    ).withColumn("word", F.expr("p div 32"))
+    hits = (
+        probe.join(F.broadcast(bloom), "word", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.min(
+                F.when(
+                    F.expr("shiftright(w, CAST(p % 32 AS INT)) & 1") == 1, 1
+                ).otherwise(0)
+            ).alias("all_set")
+        )
+    )
+    hist = docs.select(F.md5("text").alias("h")).distinct()
+    flags = (
+        hits.join(batch, ["doc_id", "source"])
+        .join(hist, F.md5(F.col("text")) == F.col("h"), "left")
+        .select(
+            "source",
+            "all_set",
+            F.when(F.col("h").isNotNull(), 1).otherwise(0).alias("is_dup"),
+        )
+    )
+    fp = F.sum(F.when((F.col("all_set") == 1) & (F.col("is_dup") == 0), 1).otherwise(0))
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("batch_n"),
+        F.sum("all_set").cast("bigint").alias("n_bloom_pos"),
+        F.sum("is_dup").cast("bigint").alias("n_true_dup"),
+        fp.cast("bigint").alias("n_false_pos"),
+        F.expr(
+            "CAST(sum(CASE WHEN all_set = 1 AND is_dup = 0 THEN 1 ELSE 0 END)"
+            " * 1000000L div greatest(count(*) - sum(is_dup), 1) AS BIGINT)"
+        ).alias("fpr_micro"),
+    )

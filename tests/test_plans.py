@@ -741,3 +741,13 @@ def test_s19_rerank_candidate_bounded(q):
     assert "CartesianProduct" not in plan
     # candidates ⋈ corpus AND feats ⋈ weights both broadcast
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_d25_bloom_index_broadcasts_to_probe(q):
+    # the whole point of the Bloom index: the probe side never
+    # shuffles against history — the O(m)-bit word table broadcasts,
+    # and no sort-merge join appears anywhere in the plan
+    df = q("d25_bloom_dedup")
+    assert I.broadcast_join_count(df) >= 1
+    plan = I.formatted_plan(df)
+    assert "CartesianProduct" not in plan
