@@ -172,6 +172,9 @@ HEADLINE = [
     "d24_cdc_chunk_dedup",
     "m14_crossmodal_dedup",
     "d25_bloom_dedup",
+    # round-7 additions (5): fuzzy (paraphrase-catching) eval-set
+    # decontamination via bipartite broadcast MinHash
+    "d26_decontaminate_fuzzy",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
@@ -196,6 +199,7 @@ POST_R5_ADDITIONS = [
     "d24_cdc_chunk_dedup",
     "m14_crossmodal_dedup",
     "d25_bloom_dedup",
+    "d26_decontaminate_fuzzy",
 ]
 
 #: the 91-query round-5 series subset (everything except the post-r5

@@ -743,6 +743,161 @@ def decontaminate(
     )
 
 
+def minhash_sigs_scan_shaped(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Checked-law MinHash signatures computed WITHOUT a shuffle: the
+    16 permutation minima fold inside ONE row-local ``F.aggregate``
+    over the shingle-hash array, so the signature frame is a pure
+    scan+project (verified: the physical plan is Scan → Filter →
+    Project, zero exchanges).
+
+    Same law as ``minhash_lsh_pairs_checked``'s groupBy kernel —
+    md5-fold shingle ids, literal ``minhash_check_seeds`` universal
+    hashes mod 2^31-1 — property-pinned equal signature-for-signature.
+    The md5 runs once per shingle: the hash array is the aggregate's
+    INPUT argument (evaluated once), and only the cheap
+    ``least((a*v+b) % p)`` zip runs 16× per shingle inside the fold.
+    Docs with fewer than ``shingle_n`` tokens are dropped (no shingles
+    → no signature), matching the grouped kernel.
+
+    Returns (id, mins: array<bigint>[16]).  This is the shape a 100 TB
+    decontamination scan needs — signatures stream out of the scan
+    stage with no wide dependency at all."""
+    a_seeds, b_seeds = minhash_check_seeds()
+    p = F.lit(_H31).cast("bigint")
+    ab = F.array(
+        *[
+            F.struct(
+                F.lit(a_seeds[i]).cast("bigint").alias("a"),
+                F.lit(b_seeds[i]).cast("bigint").alias("b"),
+            )
+            for i in range(MINHASH_CHECK_NUM_PERM)
+        ]
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    staged = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        .repartition(par)
+        .select("id", tokens(F.col("__text")).alias("__toks"))
+        .filter(F.size("__toks") >= shingle_n)
+    )
+    xs = F.transform(
+        shingles_of("__toks", shingle_n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint") % p,
+    )
+    mins = F.aggregate(
+        xs,
+        F.array_repeat(F.lit(_H31).cast("bigint"), MINHASH_CHECK_NUM_PERM),
+        lambda acc, v: F.zip_with(
+            acc, ab, lambda m, s: F.least(m, (s["a"] * v + s["b"]) % p)
+        ),
+    )
+    return staged.select("id", mins.alias("mins"))
+
+
+def _minhash_band_keys(mins_col):
+    """The checked banding law (4 bands × 4 concatenated minima) lifted
+    to an array<string> expression over a ``mins`` array column."""
+    rows = MINHASH_CHECK_NUM_PERM // MINHASH_CHECK_BANDS
+    mins_col = F.col(mins_col) if isinstance(mins_col, str) else mins_col
+    return F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[
+                    F.element_at(mins_col, b * rows + r + 1).cast("string")
+                    for r in range(rows)
+                ],
+            )
+            for b in range(MINHASH_CHECK_BANDS)
+        ]
+    )
+
+
+def decontaminate_fuzzy(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    est_threshold: float = 0.25,
+) -> DataFrame:
+    """FUZZY train/eval decontamination — the MinHash sibling of
+    ``decontaminate``: where the exact pass catches verbatim n-gram
+    overlap, this catches PARAPHRASED benchmark leakage (reordered or
+    lightly edited eval questions) by near-dup similarity, the gap the
+    exact 8-gram law structurally misses.
+
+    Bipartite broadcast LSH, sized for eval-sets-are-MBs /
+    training-is-TBs asymmetry: both sides get scan-shaped checked-law
+    signatures (``minhash_sigs_scan_shaped`` — zero wide dependency),
+    the benchmark's banded keys AND signatures broadcast (two tiny
+    frames, localCheckpointed once), and the training side meets them
+    in map-side broadcast hash joins.  The only shuffle in the whole
+    plan is the final per-doc aggregate over CONTAMINATED candidates —
+    a vanishing fraction of the corpus.  Candidate pairs agreeing on
+    any band compare full signatures; est_jaccard = agreeing
+    permutations / 16 (dyadic, so the DuckDB oracle compares exactly).
+
+    Returns one row per contaminated training doc:
+    (id, n_eval_matches, top_eval_id, est_jaccard) where top_eval_id
+    is the lowest-id benchmark doc at the maximum estimate
+    (deterministic tie-break).
+    """
+    bench_sigs = minhash_sigs_scan_shaped(
+        benchmark, text_col, id_col, shingle_n
+    ).localCheckpoint()
+    bench_banded = bench_sigs.select(
+        F.col("id").alias("eval_id"),
+        F.posexplode(_minhash_band_keys("mins")).alias("band", "bk"),
+    )
+    train_sigs = minhash_sigs_scan_shaped(train, text_col, id_col, shingle_n)
+    cand = (
+        train_sigs.select(
+            "id", "mins", F.posexplode(_minhash_band_keys("mins")).alias("band", "bk")
+        )
+        .join(F.broadcast(bench_banded), ["band", "bk"])
+        .select("id", "mins", "eval_id")
+        .dropDuplicates(["id", "eval_id"])
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("mins"),
+            F.col("bmins"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        cand.join(
+            F.broadcast(bench_sigs.select(F.col("id").alias("eval_id"), F.col("mins").alias("bmins"))),
+            "eval_id",
+        )
+        .withColumn("est", F.round(agree / float(MINHASH_CHECK_NUM_PERM), 6))
+        .filter(F.col("est") >= est_threshold)
+        .select("id", "eval_id", "est")
+    )
+    best = F.max(F.struct(F.col("est").alias("e"), (-F.col("eval_id")).alias("nid")))
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_matches"),
+            best.alias("__best"),
+        )
+        .select(
+            "id",
+            "n_eval_matches",
+            (-F.col("__best.nid")).alias("top_eval_id"),
+            F.col("__best.e").alias("est_jaccard"),
+        )
+    )
+
+
 def chunk_dup_stats(
     df: DataFrame,
     text_col: str = "text",

@@ -12078,3 +12078,91 @@ def d25_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000L div greatest(count(*) - sum(is_dup), 1) AS BIGINT)"
         ).alias("fpr_micro"),
     )
+
+
+def _d26_oracle(threshold: float = 0.25) -> str:
+    """Bipartite checked-MinHash decontamination oracle: the d11 CTE
+    law (shingles → md5-fold ids → literal-seed signatures → banding)
+    over ALL documents, split train/eval at candidate time, with d26's
+    per-train-doc best-match tail.  ``threshold`` must be dyadic
+    (k/16) so both engines compare identically."""
+    from mapreducehs_spark.operators.dedup import (
+        MINHASH_CHECK_BANDS,
+        MINHASH_CHECK_NUM_PERM,
+        minhash_check_seeds,
+    )
+
+    a, b = minhash_check_seeds()
+    np_, nb = MINHASH_CHECK_NUM_PERM, MINHASH_CHECK_BANDS
+    rows = np_ // nb
+    mins = ",\n             ".join(
+        f"min(({a[i]}*x + {b[i]}) % 2147483647) AS m{i}" for i in range(np_)
+    )
+    bkeys = ", ".join(
+        "concat_ws('_', "
+        + ", ".join(f"m{bi * rows + r}" for r in range(rows))
+        + f") AS bk{bi}"
+        for bi in range(nb)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, bk{bi} AS bk FROM bandcols" for bi in range(nb)
+    )
+    agree = " + ".join(f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(np_))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i FROM toks
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s FROM pos
+    ), ids AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS x FROM sh
+    ), sigs AS (
+      SELECT doc_id, {mins}
+      FROM ids GROUP BY doc_id
+    ), bandcols AS (
+      SELECT doc_id, {bkeys} FROM sigs
+    ), banded AS ({unions}),
+    cand AS (
+      SELECT DISTINCT t.doc_id AS id, e.doc_id AS eval_id
+      FROM banded t JOIN banded e ON t.band = e.band AND t.bk = e.bk
+      WHERE t.doc_id % 50 <> 0 AND e.doc_id % 50 = 0
+    ), scored AS (
+      SELECT c.id, c.eval_id, round(({agree}) / {float(np_)}, 6) AS est
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.id
+      JOIN sigs sb ON sb.doc_id = c.eval_id
+      WHERE ({agree}) / {float(np_)} >= {threshold}
+    ), best AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS n_eval_matches, max(est) AS est_jaccard
+      FROM scored GROUP BY id
+    )
+    SELECT b.id, b.n_eval_matches, min(s.eval_id) AS top_eval_id, b.est_jaccard
+    FROM best b JOIN scored s ON s.id = b.id AND s.est = b.est_jaccard
+    GROUP BY b.id, b.n_eval_matches, b.est_jaccard
+    """
+
+
+@query("d26_decontaminate_fuzzy", oracle=_d26_oracle())
+def d26_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY eval-set decontamination — the MinHash complement of d08's
+    exact 8-gram pass: catches PARAPHRASED benchmark leakage (reordered
+    or lightly edited eval questions) that verbatim n-gram matching
+    structurally misses.  The scale shape is the decontamination ideal:
+    both sides build checked-law MinHash signatures with ZERO wide
+    dependency (one row-local F.aggregate fold per doc —
+    dedup.minhash_sigs_scan_shaped, plan is Scan→Filter→Project), the
+    MB-scale eval side broadcasts twice (banded keys + signatures), and
+    the TB-scale training scan meets it in map-side broadcast joins —
+    the only shuffle anywhere is the final per-doc aggregate over
+    contaminated candidates.  Per flagged training doc: match count,
+    best-matching eval doc (lowest id at max estimate — deterministic),
+    and the max estimated Jaccard.  Oracle replays signatures, banding,
+    the bipartite candidate join and the best-match tail bit-for-bit
+    (reference witness: the O1+O2 composition discipline,
+    src/Core/MapReduceC.hs:22-104)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return dedup.decontaminate_fuzzy(train, bench, est_threshold=0.25)

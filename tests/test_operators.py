@@ -2069,3 +2069,45 @@ def test_cdc_chunks_are_insertion_stable(spark):
     }
     prefixed_hashes = {r["chunk_hash"] for r in by_doc[2]}
     assert tail_hashes <= prefixed_hashes
+
+
+def test_scan_shaped_minhash_matches_grouped_kernel(spark):
+    """The row-local F.aggregate signature fold must reproduce the
+    grouped (explode + groupBy-min) checked kernel signature-for-
+    signature — same md5 fold, same literal seeds, same mod law."""
+    from pyspark.sql import functions as F
+
+    from mapreducehs_spark.operators.dedup import (
+        _H31,
+        MINHASH_CHECK_NUM_PERM,
+        minhash_check_seeds,
+        minhash_sigs_scan_shaped,
+        shingles_of,
+    )
+    from mapreducehs_spark.operators.text import tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r["id"]: list(r["mins"]) for r in minhash_sigs_scan_shaped(docs).collect()}
+
+    a, b = minhash_check_seeds()
+    p = F.lit(_H31).cast("bigint")
+    staged = (
+        docs.select(F.col("doc_id").alias("id"), tokens(F.col("text")).alias("__toks"))
+        .filter(F.size("__toks") >= 3)
+    )
+    x = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint") % p
+    ref = (
+        staged.select("id", F.explode(shingles_of("__toks", 3)).alias("s"))
+        .select("id", x.alias("x"))
+        .groupBy("id")
+        .agg(
+            *[
+                F.min((F.lit(a[i]).cast("bigint") * F.col("x") + F.lit(b[i])) % p).alias(f"m{i}")
+                for i in range(MINHASH_CHECK_NUM_PERM)
+            ]
+        )
+    )
+    want = {
+        r["id"]: [r[f"m{i}"] for i in range(MINHASH_CHECK_NUM_PERM)] for r in ref.collect()
+    }
+    assert got == want

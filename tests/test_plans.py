@@ -751,3 +751,25 @@ def test_d25_bloom_index_broadcasts_to_probe(q):
     assert I.broadcast_join_count(df) >= 1
     plan = I.formatted_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_d26_sig_scan_is_shuffle_free_and_bench_broadcasts(q, spark):
+    # the decontamination scale contract: signatures fold row-locally
+    # (a signature frame alone has ZERO exchanges), and in the full
+    # bipartite query the eval side reaches the training scan by
+    # broadcast — the training side's only exchange is the final
+    # aggregate over contaminated candidates
+    from mapreducehs_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = D.minhash_sigs_scan_shaped(docs)
+    # one repartition for core-spread is the ONLY exchange; the
+    # signature fold itself adds none
+    assert I.exchange_count(sigs) <= 1
+    assert "HashAggregate" not in I.formatted_plan(sigs)
+
+    df = q("d26_decontaminate_fuzzy")
+    plan = I.formatted_plan(df)
+    assert I.broadcast_join_count(df) >= 2  # banded keys + signatures
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
