@@ -175,6 +175,8 @@ HEADLINE = [
     # round-7 additions (5): fuzzy (paraphrase-catching) eval-set
     # decontamination via bipartite broadcast MinHash
     "d26_decontaminate_fuzzy",
+    # round-7 additions (6): token-balanced shard packing
+    "t33_balanced_shards",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
@@ -200,6 +202,7 @@ POST_R5_ADDITIONS = [
     "m14_crossmodal_dedup",
     "d25_bloom_dedup",
     "d26_decontaminate_fuzzy",
+    "t33_balanced_shards",
 ]
 
 #: the 91-query round-5 series subset (everything except the post-r5

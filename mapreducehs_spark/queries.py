@@ -12166,3 +12166,88 @@ def d26_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     train = docs.filter(F.col("doc_id") % 50 != 0)
     return dedup.decontaminate_fuzzy(train, bench, est_threshold=0.25)
+
+
+@query(
+    "t33_balanced_shards",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+               AS n_tokens
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS p
+      FROM toks
+    ), assigned AS (
+      SELECT n_tokens,
+             CASE WHEN (p // 8) % 2 = 0 THEN p % 8 ELSE 7 - (p % 8) END AS shard
+      FROM ranked
+    ), per AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM assigned GROUP BY shard
+    ), tot AS (
+      SELECT CAST(sum(total_tokens) AS BIGINT) AS grand FROM per
+    )
+    SELECT shard, n_docs, total_tokens,
+           CAST(total_tokens * 8 * 1000000 // grand AS BIGINT) AS share_micro
+    FROM per, tot
+    """,
+)
+def t33_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced shard packing — the token-budget-equalized export step
+    before distributed training: every data-parallel rank should get
+    the same token count, not the same FILE count (a size-skewed shard
+    straggles the whole step).  Docs sort by token count DESC (doc_id
+    tiebreak) and snake (boustrophedon) over K=8 shards — the classic
+    LPT-flavored balanced assignment that is pure ARITHMETIC on the
+    global position, hence deterministic and engine-replayable, unlike
+    greedy least-loaded-bin which is inherently sequential.  Positions
+    come from sampling.global_positions_cached (range-partitioned
+    distributed sort + per-partition offsets — never the single-task
+    gather a bare row_number() collapses to); per-shard rollup is a
+    K-row aggregate and the grand total meets it as a broadcast 1-row
+    crossJoin (t20 discipline).  Reported per shard: doc count, token
+    total, and its share in integer micro-units of the perfectly
+    balanced 1e6 (truncating div — engine-exact)."""
+    df, cache = _t33_build(spark, sf_dir)
+    try:
+        return df.localCheckpoint()  # materialize, then free the sorted cache
+    finally:
+        cache.unpersist(blocking=False)
+
+
+def _t33_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """t33 pre-checkpoint builder (q107 discipline: the query returns a
+    checkpointed 8-row result, so plan pins inspect THIS)."""
+    from mapreducehs_spark.operators.sampling import global_positions_cached
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", F.size(text.tokens("text")).alias("n_tokens")
+    ).withColumn("neg_tokens", -F.col("n_tokens"))
+    pos, cache = global_positions_cached(keyed, ["neg_tokens", "doc_id"])
+    p = F.col("pos") - 1
+    shard = F.when(
+        (p.cast("bigint") % 16) < 8, p.cast("bigint") % 8
+    ).otherwise(7 - (p.cast("bigint") % 8))
+    per = (
+        pos.select("n_tokens", shard.alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("total_tokens").cast("bigint").alias("grand"))
+    df = per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        F.expr("CAST(total_tokens * 8 * 1000000L div grand AS BIGINT)").alias(
+            "share_micro"
+        ),
+    )
+    return df, cache

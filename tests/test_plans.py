@@ -773,3 +773,21 @@ def test_d26_sig_scan_is_shuffle_free_and_bench_broadcasts(q, spark):
     assert I.broadcast_join_count(df) >= 2  # banded keys + signatures
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_t33_no_single_task_window(spark):
+    # the sharding sort is global_positions_cached's range-partitioned
+    # two-phase idiom — a bare row_number() OVER (ORDER BY ...) would
+    # appear as a Window over a single partition; assert none exists.
+    # (Inspect the PRE-checkpoint plan — the query itself returns a
+    # checkpointed 8-row result.)
+    from mapreducehs_spark.queries import _t33_build
+
+    df, cache = _t33_build(spark, SF)
+    try:
+        plan = I.formatted_plan(df)
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan  # the 1-row total meets per-shard broadcast
+    finally:
+        cache.unpersist(blocking=False)
