@@ -177,6 +177,8 @@ HEADLINE = [
     "d26_decontaminate_fuzzy",
     # round-7 additions (6): token-balanced shard packing
     "t33_balanced_shards",
+    # round-7 additions (7): CDC changelog merge (log compaction)
+    "q117_cdc_merge",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
@@ -203,6 +205,7 @@ POST_R5_ADDITIONS = [
     "d25_bloom_dedup",
     "d26_decontaminate_fuzzy",
     "t33_balanced_shards",
+    "q117_cdc_merge",
 ]
 
 #: the 91-query round-5 series subset (everything except the post-r5

@@ -12251,3 +12251,83 @@ def _t33_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         ),
     )
     return df, cache
+
+
+@query(
+    "q117_cdc_merge",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             0 AS seq, 'U' AS op
+      FROM orders WHERE o_orderkey % 10 < 8
+    ), chg AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) + e * 100 AS cents,
+             e AS seq,
+             CASE WHEN (o_orderkey * e) % 5 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders, unnest([1, 2, 3]) te(e)
+      WHERE (o_orderkey + e) % 4 = 0
+    ), log_ AS (
+      SELECT * FROM base UNION ALL SELECT * FROM chg
+    ), latest AS (
+      SELECT k, status, cents, seq, op,
+             row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      FROM log_
+    )
+    SELECT k AS o_orderkey, status, cents AS total_cents,
+           CAST(seq AS BIGINT) AS last_seq
+    FROM latest WHERE rn = 1 AND op = 'U'
+    """,
+)
+def q117_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog merge — MERGE INTO / log-compaction semantics (the
+    Delta/Hudi/Iceberg upsert primitive, Kafka compacted-topic law):
+    base snapshot + ordered change stream of upserts and deletes fold
+    to last-writer-wins per key.  The base rows enter the log as seq-0
+    upserts, so the WHOLE merge is ONE keyed window — no join at all:
+    row_number() per key over seq DESC, keep rn=1, drop tombstones.
+    At 100 TB this is the compaction shape every LSM store runs: one
+    key shuffle, and the rn<=1 filter lowers to WindowGroupLimit so
+    each map task keeps only its local latest row per key BEFORE the
+    exchange (plan-pinned) — the shuffle carries ~|live keys|, not
+    |log|.  Change ops are synthesized deterministically from orders
+    (3 epochs; (k+e)%4 selects, (k*e)%5 picks delete vs update) so the
+    oracle replays the exact merge."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.filter(F.col("o_orderkey") % 10 < 8).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        cents.alias("cents"),
+        F.lit(0).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    chg = (
+        orders.select(
+            "o_orderkey", "o_orderstatus", cents.alias("__cents"),
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("e"),
+        )
+        .filter((F.col("o_orderkey") + F.col("e")) % 4 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            (F.col("__cents") + F.col("e") * 100).alias("cents"),
+            F.col("e").alias("seq"),
+            F.when((F.col("o_orderkey") * F.col("e")) % 5 == 0, "D")
+            .otherwise("U")
+            .alias("op"),
+        )
+    )
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    return (
+        base.unionByName(chg)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            F.col("k").alias("o_orderkey"),
+            "status",
+            F.col("cents").alias("total_cents"),
+            F.col("seq").cast("bigint").alias("last_seq"),
+        )
+    )

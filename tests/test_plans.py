@@ -791,3 +791,14 @@ def test_t33_no_single_task_window(spark):
         assert "BroadcastNestedLoopJoin" in plan  # the 1-row total meets per-shard broadcast
     finally:
         cache.unpersist(blocking=False)
+
+
+def test_q117_compaction_window_group_limit(q):
+    # the CDC merge's scale contract: rn<=1 lowers to WindowGroupLimit
+    # (each map task keeps its local latest row per key BEFORE the
+    # exchange), the merge is one keyed window — no join anywhere
+    df = q("q117_cdc_merge")
+    plan = I.formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+    assert I.exchange_count(df) == 1
