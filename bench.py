@@ -179,6 +179,8 @@ HEADLINE = [
     "t33_balanced_shards",
     # round-7 additions (7): CDC changelog merge (log compaction)
     "q117_cdc_merge",
+    # round-7 additions (8): cross-modal alignment verification
+    "m15_alignment_verify",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
@@ -206,6 +208,7 @@ POST_R5_ADDITIONS = [
     "d26_decontaminate_fuzzy",
     "t33_balanced_shards",
     "q117_cdc_merge",
+    "m15_alignment_verify",
 ]
 
 #: the 91-query round-5 series subset (everything except the post-r5

@@ -9861,9 +9861,9 @@ _HASH64_CANONICAL_TAIL = """grp AS (
 
 #: m11's full oracle as a constant so m14's cross-modal composition can
 #: embed the identical image-class replay as a subquery.
-_M11_ORACLE = (
-    """
-    WITH RECURSIVE cells AS (
+#: The ahash-from-doc_id law (cells → tot → bits → h(lo,hi)) shared by
+#: m11's dedup oracle and m15's alignment-verification oracle.
+_AHASH_CTES = """cells AS (
       SELECT doc_id, r, c,
              CAST(sum((doc_id * 31 + ((2 * r + br) * 32 + (4 * c + bc)) * 7) % 256)
                   AS BIGINT) AS cs
@@ -9882,9 +9882,10 @@ _M11_ORACLE = (
              CAST(sum(CASE WHEN k < 32 THEN bit << k ELSE 0 END) AS BIGINT) AS lo,
              CAST(sum(CASE WHEN k >= 32 THEN bit << (k - 32) ELSE 0 END) AS BIGINT) AS hi
       FROM bits GROUP BY doc_id
-    ), """
-    + _HASH64_CANONICAL_TAIL
-)
+    )"""
+
+_M11_ORACLE = "\n    WITH RECURSIVE " + _AHASH_CTES + ", " + _HASH64_CANONICAL_TAIL
+
 
 
 @query("m11_phash_dedup", oracle=_M11_ORACLE)
@@ -12330,4 +12331,76 @@ def q117_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").alias("total_cents"),
             F.col("seq").cast("bigint").alias("last_seq"),
         )
+    )
+
+
+def _m15_oracle(max_hamming: int = 3) -> str:
+    """m15: the shared ahash-from-doc_id law (m11's _AHASH_CTES) joined
+    against the deterministic swapped-pairing rule; flagged pairs are
+    those whose decoded-image hash disagrees with the caption-derived
+    expectation by more than ``max_hamming`` bits."""
+    return f"""
+    WITH {_AHASH_CTES}, pairs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 3 THEN doc_id - 1 ELSE doc_id END AS img_of
+      FROM documents
+    )
+    SELECT p.doc_id, p.img_of,
+           CAST(bit_count(xor(ih.lo, ch.lo)) + bit_count(xor(ih.hi, ch.hi))
+                AS BIGINT) AS hamming
+    FROM pairs p
+    JOIN h ih ON ih.doc_id = p.img_of
+    JOIN h ch ON ch.doc_id = p.doc_id
+    WHERE bit_count(xor(ih.lo, ch.lo)) + bit_count(xor(ih.hi, ch.hi)) > {max_hamming}
+    """
+
+
+@query("m15_alignment_verify", oracle=_m15_oracle())
+def m15_alignment_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL ALIGNMENT VERIFICATION — the integrity filter an
+    image-text-pair corpus runs before training (LAION-style curation:
+    a crawl joins captions to images by URL, and join bugs / CDN
+    rot / page edits silently SWAP pairs): re-derive each image's
+    perceptual hash by actually DECODING the stored bytes (m11's fused
+    PGM-parse + 8x8 block-sum aHash Arrow stage), derive the EXPECTED
+    hash from the caption through the render law, and flag pairs
+    disagreeing by more than 3 bits — the m11 threshold, so legitimate
+    re-encodes survive and true swaps flag.  A deterministic corruption
+    (every doc_id % 7 == 3 pair carries its predecessor's image) plays
+    the broken crawl; swapped pairs whose two docs happen to be
+    near-dup images correctly DON'T flag (their content agrees — the
+    pairing is semantically fine), which the oracle reproduces because
+    it replays the full hash law, not the corruption rule.  At 100 TB:
+    one decode scan over the media store (hashes leave the Arrow
+    batch, never rasters), two hash-keyed equi-joins carrying
+    (id, 2x32-bit halves) only, output linear in FLAGGED pairs.  The
+    hash frame is localCheckpointed once — two joins consume it
+    without re-decoding the corpus (simhash_checked discipline)."""
+    from mapreducehs_spark.operators.multimodal import ahash_64, render_pgm_payloads
+
+    docs = _t(spark, sf_dir, "documents")
+    payloads = render_pgm_payloads(docs, "doc_id", width=32, height=16)
+    ih = ahash_64(payloads).localCheckpoint()
+    pairs = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 3, F.col("doc_id") - 1)
+        .otherwise(F.col("doc_id"))
+        .alias("img_of"),
+    )
+    img = ih.select(
+        F.col("id").alias("img_of"), F.col("lo").alias("ilo"), F.col("hi").alias("ihi")
+    )
+    cap = ih.select(
+        F.col("id").alias("doc_id"), F.col("lo").alias("clo"), F.col("hi").alias("chi")
+    )
+    hamming = (
+        F.bit_count(F.col("ilo").bitwiseXOR(F.col("clo")))
+        + F.bit_count(F.col("ihi").bitwiseXOR(F.col("chi")))
+    ).cast("bigint")
+    return (
+        pairs.join(img, "img_of")
+        .join(cap, "doc_id")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") > 3)
+        .select("doc_id", "img_of", "hamming")
     )

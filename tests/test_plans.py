@@ -802,3 +802,13 @@ def test_q117_compaction_window_group_limit(q):
     assert "WindowGroupLimit" in plan
     assert "Join" not in plan
     assert I.exchange_count(df) == 1
+
+
+def test_m15_hash_joins_never_cartesian(q):
+    # alignment verification joins two (id, lo, hi) hash frames on the
+    # pair key — equi-joins only, and the checkpointed hash frame means
+    # the decode scan is not in this plan at all (it ran once)
+    df = q("m15_alignment_verify")
+    plan = I.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan  # decode happened pre-checkpoint, once
