@@ -181,6 +181,8 @@ HEADLINE = [
     "q117_cdc_merge",
     # round-7 additions (8): cross-modal alignment verification
     "m15_alignment_verify",
+    # round-7 additions (9): CCNet perplexity tercile bucketing
+    "t34_perplexity_buckets",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
@@ -209,6 +211,7 @@ POST_R5_ADDITIONS = [
     "t33_balanced_shards",
     "q117_cdc_merge",
     "m15_alignment_verify",
+    "t34_perplexity_buckets",
 ]
 
 #: the 91-query round-5 series subset (everything except the post-r5

@@ -12404,3 +12404,119 @@ def m15_alignment_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") > 3)
         .select("doc_id", "img_of", "hamming")
     )
+
+
+@query(
+    "t34_perplexity_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+      FROM documents
+    ), doc_term AS (
+      SELECT doc_id, source, term, count(*) AS c FROM toks GROUP BY 1, 2, 3
+    ), freq AS (
+      SELECT term, count(*) AS f FROM toks GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(f) AS DOUBLE) AS n FROM freq
+    ), per_doc AS (
+      SELECT d.doc_id, d.source,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(c * CAST(floor(1e6 * ln(CAST(f AS DOUBLE) / n)) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM doc_term d JOIN freq USING (term), tot
+      GROUP BY d.doc_id, d.source
+    ), keyed AS (
+      SELECT doc_id, source, n_tokens, (s * 1000000) // n_tokens AS qk
+      FROM per_doc
+    ), ranked AS (
+      SELECT source, n_tokens, qk,
+             row_number() OVER (PARTITION BY source ORDER BY qk DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS ns
+      FROM keyed
+    )
+    SELECT source, CAST((rn - 1) * 3 // ns AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(qk) AS BIGINT) AS min_qk,
+           CAST(max(qk) AS BIGINT) AS max_qk,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+)
+def t34_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing — the head/middle/tail
+    curation split (Wenzek et al. 2020): per source, docs rank by
+    their unigram LM score (t17's exact law: libm micro-nats summed as
+    integers, truncating fixed-point per-token quotient so the sort
+    key is an engine-portable BIGINT) and split into fluency terciles
+    by RANK, not by a percentile estimate.  The scale trap here is the
+    obvious implementation — ntile(3) OVER (PARTITION BY source) puts
+    each source (possibly 30 TB of a 100 TB corpus) in ONE task; this
+    query instead ranks through sampling.global_positions_cached
+    ordered by (source, -score, doc_id) — positions within a source
+    are CONTIGUOUS in the global order, so local rank = pos − the
+    source's min position, recovered by a sources-sized broadcast
+    join.  Bucket = (rank−1)·3 div n_source: pure arithmetic,
+    deterministic, window-free (plan-pinned).  Reported per (source,
+    tercile): doc count, realized score boundaries (the min/max
+    micro-nat keys — these ARE the CCNet cutoffs downstream filters
+    reuse), token mass."""
+    df, cache = _t34_build(spark, sf_dir)
+    try:
+        return df.localCheckpoint()  # materialize, then free the sorted cache
+    finally:
+        cache.unpersist(blocking=False)
+
+
+def _t34_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """t34 pre-checkpoint builder (q107 discipline)."""
+    from mapreducehs_spark.operators.sampling import global_positions_cached
+
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        docs.select("doc_id", "source", text.tokens("text").alias("__t"))
+        .repartition(par)
+        .select("doc_id", "source", F.explode_outer("__t").alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
+    doc_term = toks.groupBy("doc_id", "source", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    total = freq.agg(F.sum("f").cast("double").alias("n"))
+    scored = (
+        freq.crossJoin(F.broadcast(total))
+        .withColumn(
+            "micro", text.micro_ln_udf()(F.col("f").cast("double") / F.col("n"))
+        )
+        .select("term", "micro")
+    )
+    keyed = (
+        doc_term.join(F.broadcast(scored), "term")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("micro")).cast("bigint").alias("__s"),
+        )
+        .withColumn("qk", F.expr("(__s * 1000000L) div n_tokens"))
+        .withColumn("neg_qk", -F.col("qk"))
+        .select("doc_id", "source", "n_tokens", "qk", "neg_qk")
+    )
+    pos, cache = global_positions_cached(keyed, ["source", "neg_qk", "doc_id"])
+    srcagg = pos.groupBy("source").agg(
+        F.min("pos").alias("p0"), F.count(F.lit(1)).alias("ns")
+    )
+    bucket = F.expr("(pos - p0) * 3 div ns")
+    df = (
+        pos.join(F.broadcast(srcagg), "source")
+        .groupBy("source", bucket.cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("qk").alias("min_qk"),
+            F.max("qk").alias("max_qk"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+    return df, cache

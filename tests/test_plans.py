@@ -812,3 +812,19 @@ def test_m15_hash_joins_never_cartesian(q):
     plan = I.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan  # decode happened pre-checkpoint, once
+
+
+def test_t34_tercile_bucketing_window_free(spark):
+    # CCNet bucketing must NOT use ntile/row_number OVER (PARTITION BY
+    # source) — a 30 TB source would collapse to one task; ranks come
+    # from the positions idiom + a sources-sized broadcast join.
+    # (Pre-checkpoint plan, q107 discipline.)
+    from mapreducehs_spark.queries import _t34_build
+
+    df, cache = _t34_build(spark, SF)
+    try:
+        plan = I.formatted_plan(df)
+        assert "Window" not in plan
+        assert "BroadcastHashJoin" in plan
+    finally:
+        cache.unpersist(blocking=False)
