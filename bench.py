@@ -183,6 +183,8 @@ HEADLINE = [
     "m15_alignment_verify",
     # round-7 additions (9): CCNet perplexity tercile bucketing
     "t34_perplexity_buckets",
+    # round-7 additions (10): DSIR importance selection
+    "t35_dsir_selection",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
@@ -212,6 +214,7 @@ POST_R5_ADDITIONS = [
     "q117_cdc_merge",
     "m15_alignment_verify",
     "t34_perplexity_buckets",
+    "t35_dsir_selection",
 ]
 
 #: the 91-query round-5 series subset (everything except the post-r5

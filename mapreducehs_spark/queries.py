@@ -12520,3 +12520,117 @@ def _t34_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         )
     )
     return df, cache
+
+
+@query(
+    "t35_dsir_selection",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+      FROM documents
+    ), b AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(term), 1, 12))::BIGINT % 1024 AS bk
+      FROM toks
+    ), tcnt AS (
+      SELECT bk, CAST(count(*) AS BIGINT) AS c FROM b WHERE source = 'src0' GROUP BY 1
+    ), rcnt AS (
+      SELECT bk, CAST(count(*) AS BIGINT) AS c FROM b WHERE source <> 'src0' GROUP BY 1
+    ), tn AS (
+      SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS n FROM tcnt
+    ), rn_ AS (
+      SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS n FROM rcnt
+    ), grid AS (
+      SELECT unnest(range(1024)) AS bk
+    ), w AS (
+      SELECT g.bk,
+             CAST(floor(1e6 * ln(CAST(coalesce(t.c, 0) + 1 AS DOUBLE) / (tn.n + 1024)))
+                  AS BIGINT)
+             - CAST(floor(1e6 * ln(CAST(coalesce(r.c, 0) + 1 AS DOUBLE) / (rn_.n + 1024)))
+                  AS BIGINT) AS wm
+      FROM grid g
+      LEFT JOIN tcnt t ON t.bk = g.bk
+      LEFT JOIN rcnt r ON r.bk = g.bk, tn, rn_
+    ), scored AS (
+      SELECT b.doc_id, b.source, CAST(sum(w.wm) AS BIGINT) AS importance_micro
+      FROM b JOIN w ON w.bk = b.bk
+      WHERE b.source <> 'src0'
+      GROUP BY b.doc_id, b.source
+    ), sel AS (
+      SELECT * FROM scored ORDER BY importance_micro DESC, doc_id LIMIT 500
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(sum(importance_micro) AS BIGINT) AS sum_importance_micro,
+           CAST(min(importance_micro) AS BIGINT) AS cutoff_micro
+    FROM sel
+    GROUP BY source
+    """,
+)
+def t35_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): rank raw-pool docs
+    by IMPORTANCE — the log-likelihood ratio between a target-domain
+    hashed-feature unigram LM (src0 plays the curated target) and the
+    raw-pool LM — and keep the top slice.  Features are md5-fold token
+    hashes into 1024 buckets, both LMs are add-one-smoothed bucket
+    distributions, and per-bucket log-ratios are exact integer
+    micro-nats (floor(1e6·ln p), evaluated via the libm-pinned Arrow
+    UDF on the 1024-row grid — t17's discipline), so every per-doc
+    importance is an exact BIGINT sum.  Scale shape: both LMs are
+    1024-row partial-aggregatable counts, the weight table BROADCASTS
+    to the token scan, per-doc importance is one hash shuffle, the
+    top-500 lowers to TakeOrderedAndProject (never a global sort), and
+    the per-source report is a 20-row rollup.  At 100 TB this is the
+    published recipe's exact shape: the target model is tiny, the raw
+    scan is one pass, selection state is k docs."""
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        docs.select("doc_id", "source", text.tokens("text").alias("__t"))
+        .repartition(par)
+        .select("doc_id", "source", F.explode_outer("__t").alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
+    bk = F.conv(F.substring(F.md5("term"), 1, 12), 16, 10).cast("bigint") % 1024
+    b = toks.select("doc_id", "source", bk.alias("bk"))
+    tcnt = b.filter(F.col("source") == "src0").groupBy("bk").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    rcnt = b.filter(F.col("source") != "src0").groupBy("bk").agg(
+        F.count(F.lit(1)).alias("rc")
+    )
+    tn = tcnt.agg(F.coalesce(F.sum("tc"), F.lit(0)).cast("double").alias("tn"))
+    rn = rcnt.agg(F.coalesce(F.sum("rc"), F.lit(0)).cast("double").alias("rn"))
+    grid = spark.range(1024).select(F.col("id").alias("bk"))
+    ml = text.micro_ln_udf()
+    w = (
+        grid.join(F.broadcast(tcnt), "bk", "left")
+        .join(F.broadcast(rcnt), "bk", "left")
+        .crossJoin(F.broadcast(tn))
+        .crossJoin(F.broadcast(rn))
+        .select(
+            "bk",
+            (
+                ml(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tn") + 1024)
+                )
+                - ml(
+                    (F.coalesce(F.col("rc"), F.lit(0)) + 1).cast("double")
+                    / (F.col("rn") + 1024)
+                )
+            ).alias("wm"),
+        )
+    )
+    scored = (
+        b.filter(F.col("source") != "src0")
+        .join(F.broadcast(w), "bk")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("wm").cast("bigint").alias("importance_micro"))
+    )
+    sel = scored.orderBy(F.col("importance_micro").desc(), "doc_id").limit(500)
+    return sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("importance_micro").cast("bigint").alias("sum_importance_micro"),
+        F.min("importance_micro").alias("cutoff_micro"),
+    )

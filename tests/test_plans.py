@@ -828,3 +828,14 @@ def test_t34_tercile_bucketing_window_free(spark):
         assert "BroadcastHashJoin" in plan
     finally:
         cache.unpersist(blocking=False)
+
+
+def test_t35_weight_table_broadcasts_topk_bounded(q):
+    # DSIR's scale contract: the 1024-bucket weight table reaches the
+    # token scan by broadcast, and the top-500 lowers to
+    # TakeOrderedAndProject — never a global sort of the scored pool
+    df = q("t35_dsir_selection")
+    plan = I.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
