@@ -185,6 +185,8 @@ HEADLINE = [
     "t34_perplexity_buckets",
     # round-7 additions (10): DSIR importance selection
     "t35_dsir_selection",
+    # round-7 additions (11): Gopher intra-doc repetition filter
+    "t36_repetition_filter",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
@@ -215,6 +217,7 @@ POST_R5_ADDITIONS = [
     "m15_alignment_verify",
     "t34_perplexity_buckets",
     "t35_dsir_selection",
+    "t36_repetition_filter",
 ]
 
 #: the 91-query round-5 series subset (everything except the post-r5

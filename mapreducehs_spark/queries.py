@@ -12634,3 +12634,119 @@ def t35_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("importance_micro").cast("bigint").alias("sum_importance_micro"),
         F.min("importance_micro").alias("cutoff_micro"),
     )
+
+
+@query(
+    "t36_repetition_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), term_inst AS (
+      SELECT doc_id, source, unnest(t) AS term FROM toks
+    ), tc AS (
+      SELECT doc_id, source, term, count(*) AS c FROM term_inst GROUP BY 1, 2, 3
+    ), tok_doc AS (
+      SELECT doc_id, source,
+             CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS toptok_micro,
+             CAST(sum(c) AS BIGINT) AS n_tokens
+      FROM tc GROUP BY 1, 2
+    ), pos AS (
+      SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i FROM toks
+    ), g AS (
+      SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram FROM pos
+    ), gc AS (
+      SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2
+    ), gram_doc AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1000000 // sum(c)
+                  AS BIGINT) AS dup3_micro
+      FROM gc GROUP BY 1
+    ), per AS (
+      SELECT td.doc_id, td.source, td.n_tokens, td.toptok_micro,
+             coalesce(gd.dup3_micro, 0) AS dup3_micro
+      FROM tok_doc td LEFT JOIN gram_doc gd ON gd.doc_id = td.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN dup3_micro > 100000 OR toptok_micro > 200000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(sum(CASE WHEN dup3_micro > 100000 OR toptok_micro > 200000
+                         THEN n_tokens ELSE 0 END) AS BIGINT) AS flagged_tokens,
+           CAST(max(dup3_micro) AS BIGINT) AS max_dup3_micro,
+           CAST(max(toptok_micro) AS BIGINT) AS max_toptok_micro
+    FROM per
+    GROUP BY source
+    """,
+)
+def t36_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style INTRA-document repetition filter (Rae et al. 2021
+    Table A1): the quality rules that catch boilerplate loops and
+    keyword-stuffed spam that cross-document dedup structurally
+    cannot — a doc flags when >10% of its 3-gram instances belong to
+    repeated grams OR its most frequent token occupies >20% of the
+    doc.  Both metrics are exact integer micro-units (truncating div),
+    so the flag boundary is engine-exact.  Scale shape: two
+    partial-aggregatable hash counts (per-doc term counts, per-doc
+    gram counts) over ONE tokenize pass each, an id-keyed narrow left
+    join to combine (docs too short for 3-grams repeat-score 0), and a
+    sources-sized rollup — no pairwise work anywhere, the intra-doc
+    complement of the d-series.  Reported per source: docs, flagged
+    docs, flagged token mass (what the filter would remove), and the
+    realized metric maxima."""
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    staged = docs.select(
+        "doc_id", "source", text.tokens("text").alias("__t")
+    ).repartition(par)
+    term_inst = staged.select(
+        "doc_id", "source", F.explode_outer("__t").alias("term")
+    ).filter(F.col("term").isNotNull())
+    tc = term_inst.groupBy("doc_id", "source", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tok_doc = tc.groupBy("doc_id", "source").agg(
+        F.expr("CAST(max(c) * 1000000L div sum(c) AS BIGINT)").alias("toptok_micro"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+    )
+    # gram INSTANCE counts need multiplicity, so shingles_of (which
+    # dedups) doesn't apply — positional transform instead, guarded by
+    # size >= 3 (sequence(1, 0) DESCENDS in Spark, the t21 trap)
+    gc = (
+        staged.filter(F.size("__t") >= 3)
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - 2),
+                    lambda i: F.concat_ws(" ", F.slice("__t", i, 3)),
+                )
+            ).alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull())
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    gram_doc = gc.groupBy("doc_id").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1000000L div sum(c)"
+            " AS BIGINT)"
+        ).alias("dup3_micro")
+    )
+    per = tok_doc.join(gram_doc, "doc_id", "left").select(
+        "source",
+        "n_tokens",
+        "toptok_micro",
+        F.coalesce(F.col("dup3_micro"), F.lit(0)).alias("dup3_micro"),
+    )
+    flagged = (F.col("dup3_micro") > 100000) | (F.col("toptok_micro") > 200000)
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(flagged, 1).otherwise(0)).cast("bigint").alias("n_flagged"),
+        F.sum(F.when(flagged, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("flagged_tokens"),
+        F.max("dup3_micro").alias("max_dup3_micro"),
+        F.max("toptok_micro").alias("max_toptok_micro"),
+    )
