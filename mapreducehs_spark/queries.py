@@ -12750,3 +12750,55 @@ def t36_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("dup3_micro").alias("max_dup3_micro"),
         F.max("toptok_micro").alias("max_toptok_micro"),
     )
+
+
+@query(
+    "st22_stream_bloom_dedup",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, ts, event_id,
+             user_id || ':' || event_type AS kstr
+      FROM events
+    ), seqd AS (
+      SELECT *,
+             row_number() OVER (ORDER BY ts, event_id) AS seq,
+             ('0x' || substr(md5('shard:' || kstr), 1, 12))::BIGINT % 8 AS shard
+      FROM ev
+    ), first_occ AS (
+      SELECT kstr, user_id, event_type, shard, min(seq) AS s
+      FROM seqd GROUP BY 1, 2, 3, 4
+    ), pos AS (
+      SELECT kstr, shard, s,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || kstr), 1, 12))::BIGINT
+               % 1048576 AS p
+      FROM first_occ, unnest(range(4)) tj(j)
+    ), first_set AS (
+      SELECT shard, p, min(s) AS fs FROM pos GROUP BY 1, 2
+    ), probe AS (
+      SELECT f.kstr, f.user_id, f.event_type,
+             min(CASE WHEN fs2.fs < f.s THEN 1 ELSE 0 END) AS all_prior
+      FROM first_occ f
+      JOIN pos p2 ON p2.kstr = f.kstr
+      JOIN first_set fs2 ON fs2.shard = p2.shard AND fs2.p = p2.p
+      GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type FROM probe WHERE all_prior = 0
+    """,
+)
+def st22_stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom-filter dedup (streaming/ops.stateful_bloom_dedup)
+    — the UNBOUNDED-key-space answer st12's watermark eviction can't
+    give: per-shard state is 2^20 bits forever (d25's space-bounded
+    index promoted to stream state), the trade being a measured
+    false-positive rate.  Probe-then-insert per event in (ts,
+    event_id) order makes the emitted set a deterministic function of
+    the replay, so the DuckDB oracle replays the FILTER ITSELF
+    relationally: a bit's set-time is the min first-occurrence seq
+    over keys sharing its (shard, position), and a key emits iff some
+    of its 4 bits was unset strictly before its own first occurrence.
+    Value-checks the bounded-state operator INCLUDING its false
+    positives — not just the happy path."""
+    from mapreducehs_spark import streaming as st
+
+    out = st.stateful_bloom_dedup(_replayed_events(spark, sf_dir), shards=8)
+    return st.run_to_batch(out, "st22_sink", output_mode="append")

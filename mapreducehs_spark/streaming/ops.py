@@ -1610,3 +1610,112 @@ def stateful_trailing_anomaly(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_BLOOM_DEDUP_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+    ]
+)
+_BLOOM_DEDUP_STATE = StructType([StructField("words", ArrayType(LongType()))])
+
+
+def stateful_bloom_dedup(
+    events: DataFrame, shards: int = 8, m_bits: int | None = None
+) -> DataFrame:
+    """Streaming first-occurrence dedup against a BLOOM-FILTER state —
+    the streaming sibling of d25's space-bounded history index, and the
+    bounded-state answer st12's watermark eviction can't give: st12's
+    state grows with |keys inside the redelivery horizon|, while a
+    Bloom filter is O(m) BITS per shard FOREVER, whatever the key
+    cardinality — the trade is a measured false-positive rate (a novel
+    key whose 4 bits were all set by earlier keys is silently dropped),
+    which is exactly how production stream dedup runs when the key
+    space is unbounded (Bloom 1970).
+
+    Law sharing: bit positions are d25's ``_bloom_positions`` md5-fold
+    seeds over ``user_id || ':' || event_type`` (computed VECTORIZED in
+    the JVM before the shuffle — the Python fold only tests/sets bits),
+    the shard route is an md5-fold of the same key string, and the
+    filter is probe-THEN-insert per event in (ts, event_id) order, so
+    the emitted set is a deterministic function of the replay and the
+    DuckDB oracle replays it relationally: a bit's set-time is the min
+    first-occurrence seq over keys sharing that (shard, position), and
+    a key emits iff NOT all of its positions were set strictly before
+    its own first occurrence.
+
+    State per shard: 2^20 bits as 32768 32-bit words — ~256 KB × shards
+    total, independent of stream length.  Emitted rows are linear in
+    NOVEL keys.  At 100 TB/day: the groupBy(shard) route is the only
+    shuffle, and shard count scales the state linearly while the
+    per-shard filter keeps its FPR (each shard sees 1/shards of the
+    keys against the same m)."""
+    import numpy as np
+
+    from mapreducehs_spark.operators.dedup import BLOOM_M_BITS, _bloom_positions
+
+    if m_bits is None:
+        m_bits = BLOOM_M_BITS
+    n_words = m_bits // 32
+
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        words = (
+            np.array(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.zeros(n_words, dtype=np.int64)
+        )
+        out_u: list[int] = []
+        out_t: list[str] = []
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            pos = pdf[["p0", "p1", "p2", "p3"]].to_numpy(dtype=np.int64)
+            users = pdf["user_id"].to_numpy()
+            types = pdf["event_type"].to_numpy()
+            for i in range(len(pdf)):
+                ps = pos[i]
+                novel = False
+                for p in ps:
+                    if not (int(words[p >> 5]) >> (p & 31)) & 1:
+                        novel = True
+                        break
+                for p in ps:
+                    words[p >> 5] |= np.int64(1 << (p & 31))
+                if novel:
+                    out_u.append(int(users[i]))
+                    out_t.append(str(types[i]))
+        state.update((words.tolist(),))
+        if out_u:
+            yield pd.DataFrame({"user_id": out_u, "event_type": out_t})
+
+    kstr = F.concat_ws(":", F.col("user_id").cast("string"), F.col("event_type"))
+    p0, p1, p2, p3 = _bloom_positions(kstr, m_bits=m_bits)
+    shard = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("shard:"), kstr)), 1, 12), 16, 10)
+        .cast("bigint")
+        % shards
+    )
+    return (
+        events.filter(F.col("event_type") != FLUSH_TYPE)
+        .select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            p0.alias("p0"),
+            p1.alias("p1"),
+            p2.alias("p2"),
+            p3.alias("p3"),
+            shard.alias("shard"),
+        )
+        .groupBy("shard")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_BLOOM_DEDUP_OUT,
+            stateStructType=_BLOOM_DEDUP_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -649,3 +649,49 @@ def test_trailing_anomaly_stream_equals_batch_window(spark):
     }
     assert len(want) > 0  # the law is exercised, not vacuous
     assert got == want
+
+
+def test_bloom_dedup_false_positive_regime(spark):
+    """st22's filter law under FORCED false positives: with m_bits=64
+    per shard the filter saturates, so novel keys get silently dropped
+    — the emitted set must equal a Python replay of the exact law
+    (probe-then-insert in (ts, event_id) order, md5-fold positions),
+    proving the operator's behavior is the Bloom law, not an
+    approximation of DISTINCT."""
+    import hashlib
+
+    from mapreducehs_spark.sources.catalog import load_table
+
+    replay = st.prepare_stream_dir(spark, "/root/testdata/sf0.001", n_chunks=4)
+    out = st.stateful_bloom_dedup(
+        st.events_stream(spark, replay), shards=4, m_bits=64
+    )
+    log = st.run_to_batch(out, "st22_fp_test_sink", output_mode="append")
+    got = {(r["user_id"], r["event_type"]) for r in log.collect()}
+
+    rows = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .collect()
+    )
+    rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+
+    def fold(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    filters = [0] * 4
+    want = set()
+    for r in rows:
+        kstr = f"{r['user_id']}:{r['event_type']}"
+        shard = fold("shard:" + kstr) % 4
+        ps = [fold(f"{j}:" + kstr) % 64 for j in range(4)]
+        novel = any(not (filters[shard] >> p) & 1 for p in ps)
+        for p in ps:
+            filters[shard] |= 1 << p
+        if novel:
+            want.add((r["user_id"], r["event_type"]))
+    assert got == want
+    # the saturated filter MUST have dropped some truly-novel keys —
+    # otherwise this test isn't exercising the FP regime
+    distinct = {(r["user_id"], r["event_type"]) for r in rows}
+    assert len(want) < len(distinct)
