@@ -187,6 +187,9 @@ HEADLINE = [
     "t35_dsir_selection",
     # round-7 additions (11): Gopher intra-doc repetition filter
     "t36_repetition_filter",
+    # round-7 additions (12): k-anonymity audit, CSV corrupt-record DLQ
+    "q118_k_anonymity",
+    "q119_csv_ingest_dlq",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
@@ -218,6 +221,8 @@ POST_R5_ADDITIONS = [
     "t34_perplexity_buckets",
     "t35_dsir_selection",
     "t36_repetition_filter",
+    "q118_k_anonymity",
+    "q119_csv_ingest_dlq",
 ]
 
 #: the 91-query round-5 series subset (everything except the post-r5

@@ -12802,3 +12802,168 @@ def st22_stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = st.stateful_bloom_dedup(_replayed_events(spark, sf_dir), shards=8)
     return st.run_to_batch(out, "st22_sink", output_mode="append")
+
+
+@query(
+    "q118_k_anonymity",
+    oracle="""
+    WITH l0 AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+             count(*) AS sz
+      FROM customer GROUP BY 1, 2, 3
+    ), l1 AS (
+      SELECT c_nationkey, CAST(floor(c_acctbal / 5000) AS BIGINT) AS band,
+             count(*) AS sz
+      FROM customer GROUP BY 1, 2
+    ), r0 AS (
+      SELECT 0 AS level, CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(sum(sz) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risk_classes,
+             CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS n_risk_rows,
+             CAST(max(sz) AS BIGINT) AS max_class_size
+      FROM l0
+    ), r1 AS (
+      SELECT 1 AS level, CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(sum(sz) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risk_classes,
+             CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS n_risk_rows,
+             CAST(max(sz) AS BIGINT) AS max_class_size
+      FROM l1
+    )
+    SELECT CAST(level AS BIGINT) AS level, n_classes, n_rows, n_risk_classes,
+           n_risk_rows, max_class_size
+    FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1)
+    """,
+)
+def q118_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY risk report (Sweeney 2002) — the re-identification
+    audit a compliance pipeline runs beside t16's PII scrubbing: rows
+    whose quasi-identifier combination (nation, market segment,
+    account-balance band) lands in an equivalence class smaller than
+    k=5 are re-identifiable by linkage.  Reported at two
+    GENERALIZATION levels (the k-anonymity mitigation): level 0 =
+    (nation, segment, $1000 bands), level 1 coarsens to (nation, $5000
+    bands) — the level-1 risk mass shrinking against level 0 is the
+    generalization working.  Scale shape: each level is ONE
+    partial-aggregatable groupBy at table scale producing a
+    classes-sized frame, the risk rollup is tiny, and no row-level
+    data leaves the aggregate — at 100 TB this is two scans (or one
+    with grouping sets if the QI lattice grows).  Band edges use
+    floor() (IEEE-exact on both engines), never round()."""
+    cust = _t(spark, sf_dir, "customer")
+
+    def level(cols, div, lvl):
+        classes = (
+            cust.select(
+                *cols, F.floor(F.col("c_acctbal") / div).cast("bigint").alias("band")
+            )
+            .groupBy(*cols, "band")
+            .agg(F.count(F.lit(1)).alias("sz"))
+        )
+        return classes.agg(
+            F.lit(lvl).cast("bigint").alias("level"),
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("sz").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("sz") < 5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_risk_classes"),
+            F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0))
+            .cast("bigint")
+            .alias("n_risk_rows"),
+            F.max("sz").cast("bigint").alias("max_class_size"),
+        )
+    return level(["c_nationkey", "c_mktsegment"], 1000, 0).unionByName(
+        level(["c_nationkey"], 5000, 1)
+    )
+
+
+@query(
+    "q119_csv_ingest_dlq",
+    oracle="""
+    WITH good AS (
+      SELECT c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer WHERE c_custkey % 11 <> 3
+    ), per AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM good GROUP BY 1
+    ), dlq AS (
+      SELECT CAST(-1 AS BIGINT) AS nationkey,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(0 AS BIGINT) AS sum_cents
+      FROM customer WHERE c_custkey % 11 = 3
+    )
+    SELECT * FROM per UNION ALL SELECT * FROM dlq
+    """,
+)
+def q119_csv_ingest_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERROR-TOLERANT text ingest with a dead-letter queue — m10's
+    decode-DLQ discipline applied to the TEXT side of the house: a CSV
+    export where every c_custkey % 11 == 3 row carries a malformed
+    integer field (the upstream-system corruption every real ingest
+    meets) is read back under PERMISSIVE mode with a declared
+    ``_corrupt`` column — malformed rows surface there instead of
+    failing the job (the FAILFAST alternative) or silently vanishing
+    (DROPMALFORMED), and route to the DLQ row while clean rows proceed
+    to the aggregate.  Exact-integer cents round-trip the text format
+    (doubles through CSV are a formatting lottery; integer columns are
+    not).  At 100 TB the CSV scan parallelizes per-split like any text
+    source, the corrupt predicate is a scan-side filter, and the DLQ
+    is linear in BAD rows.  The oracle replays the corruption rule
+    from the parquet table — so the whole CSV round trip, the
+    PERMISSIVE split, and the aggregate are value-checked."""
+    import os
+    import tempfile
+
+    from mapreducehs_spark.sources.catalog import build_fixture_once, source_fingerprint
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fp = source_fingerprint(sf_dir, "customer")
+    cust = _t(spark, sf_dir, "customer")
+
+    def build(tmp: str) -> None:
+        cents = F.round(F.col("c_acctbal") * 100).cast("bigint").cast("string")
+        bad = F.col("c_custkey") % 11 == 3
+        line = F.concat_ws(
+            ",",
+            F.col("c_custkey").cast("string"),
+            F.col("c_name"),
+            F.col("c_nationkey").cast("string"),
+            F.when(bad, F.lit("@@")).otherwise(cents),
+            F.col("c_mktsegment"),
+        )
+        cust.select(line.alias("value")).write.mode("overwrite").text(tmp)
+
+    base = build_fixture_once(
+        os.path.join(tempfile.gettempdir(), f"mapreducehs_csv_dlq_{tag}_{fp}"),
+        build,
+    )
+    parsed = (
+        spark.read.schema(
+            "custkey bigint, name string, nationkey bigint, cents bigint,"
+            " mktsegment string, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(base)
+    )
+    # ONE scan, one aggregate: good rows route by nationkey, corrupt
+    # rows route to the -1 DLQ bucket via a derived key — also dodges
+    # Spark's corrupt-column-only-query restriction without caching
+    route = (
+        F.when(F.col("_corrupt").isNull(), F.col("nationkey"))
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+    )
+    return parsed.groupBy(route.alias("nationkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("_corrupt").isNull(), F.col("cents")).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("sum_cents"),
+    )
