@@ -190,6 +190,8 @@ HEADLINE = [
     # round-7 additions (12): k-anonymity audit, CSV corrupt-record DLQ
     "q118_k_anonymity",
     "q119_csv_ingest_dlq",
+    # round-7 additions (13): video near-dup dedup (modality matrix closed)
+    "m16_video_dedup",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
@@ -223,6 +225,7 @@ POST_R5_ADDITIONS = [
     "t36_repetition_filter",
     "q118_k_anonymity",
     "q119_csv_ingest_dlq",
+    "m16_video_dedup",
 ]
 
 #: the 91-query round-5 series subset (everything except the post-r5

@@ -698,3 +698,59 @@ def ahash_128(
     return df.mapInPandas(
         batches, schema="id long, w0 long, w1 long, w2 long, w3 long"
     )
+
+
+def video_majority_ahash(
+    df: DataFrame, every_n: int = 3, id_col: str = "id", payload_col: str = "payload"
+) -> DataFrame:
+    """Temporally-pooled perceptual hash of a video payload — demux,
+    frame-sample, per-frame 8x8 block-sum aHash, and MAJORITY-VOTE the
+    bits across sampled frames, all fused in ONE Arrow stage (m08/m09
+    discipline: rasters never leave the batch).  Majority pooling is
+    the classic temporal aggregation for clip fingerprints: a bit
+    survives when most sampled frames agree, so per-frame noise
+    (re-encodes, single dropped frames) doesn't flip the signature
+    while a genuinely different clip does.
+
+    Emits (id, lo, hi) — ahash_64's two-halves contract — so the
+    canonical dedup tail (hash64_canonical_dedup: exact contraction →
+    pigeonhole banding → star-CC) composes unchanged; m16 is the video
+    member of the per-modality dedup matrix (text d-series, image m11,
+    audio m12)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, los, his = [], [], []
+        for pdf in it:
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                frames = decode_mrv_frames(bytes(p), every_n=every_n)
+                votes = np.zeros(64, dtype=np.int64)
+                for _fidx, img in frames:
+                    h, w = img.shape
+                    if h % 8 or w % 8:
+                        raise ValueError(
+                            f"video_majority_ahash: dims {h}x{w} not divisible by 8"
+                        )
+                    cells = (
+                        img.astype(np.int64)
+                        .reshape(8, h // 8, 8, w // 8)
+                        .sum(axis=(1, 3))
+                        .ravel()
+                    )
+                    total = int(cells.sum())
+                    votes += (cells * 64 > total).astype(np.int64)
+                maj = votes >= (len(frames) + 1) // 2
+                lo = hi = 0
+                for k in range(32):
+                    if maj[k]:
+                        lo |= 1 << k
+                    if maj[k + 32]:
+                        hi |= 1 << k
+                ids.append(int(i))
+                los.append(lo)
+                his.append(hi)
+        if ids:
+            yield pd.DataFrame({"id": ids, "lo": los, "hi": his})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, schema="id long, lo long, hi long"
+    )

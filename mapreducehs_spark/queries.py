@@ -12967,3 +12967,67 @@ def q119_csv_ingest_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_cents"),
     )
+
+
+#: m16's frame-term ahash CTEs: m09's pixel law (id·31 + f·101 + 7i mod
+#: 256) through the 8x8 block-sum bit rule per SAMPLED frame, majority-
+#: pooled across frames {0,3,6} into one 64-bit (lo, hi) pair that
+#: feeds the shared canonical-dedup tail.
+_VIDEO_AHASH_CTES = """cells AS (
+      SELECT doc_id, f, r, c,
+             CAST(sum((doc_id * 31 + f * 101 + (r * 16 + 2 * c + bc) * 7) % 256)
+                  AS BIGINT) AS cs
+      FROM documents,
+           unnest([0, 3, 6]) tf(f),
+           unnest(range(8)) tr(r), unnest(range(8)) tc(c),
+           unnest(range(2)) tbc(bc)
+      GROUP BY 1, 2, 3, 4
+    ), tot AS (
+      SELECT doc_id, f, CAST(sum(cs) AS BIGINT) AS total
+      FROM cells GROUP BY 1, 2
+    ), fbits AS (
+      SELECT cells.doc_id, cells.f, (r * 8 + c) AS k,
+             CASE WHEN cs * 64 > total THEN 1 ELSE 0 END AS bit
+      FROM cells JOIN tot ON tot.doc_id = cells.doc_id AND tot.f = cells.f
+    ), vbits AS (
+      SELECT doc_id, k,
+             CASE WHEN sum(bit) >= 2 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      FROM fbits GROUP BY 1, 2
+    ), h AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN k < 32 THEN bit << k ELSE 0 END) AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN k >= 32 THEN bit << (k - 32) ELSE 0 END) AS BIGINT) AS hi
+      FROM vbits GROUP BY 1
+    )"""
+
+_M16_ORACLE = "\n    WITH RECURSIVE " + _VIDEO_AHASH_CTES + ", " + _HASH64_CANONICAL_TAIL
+
+
+@query("m16_video_dedup", oracle=_M16_ORACLE)
+def m16_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-dup dedup — the last cell of the per-modality dedup
+    matrix (text d-series, image m11, audio m12): every doc's 8-frame
+    MRV clip (m09's real container) is demuxed, frame-sampled
+    (0, 3, 6 — skipped frames never decoded), per-frame aHashed, and
+    MAJORITY-POOLED into one 64-bit clip fingerprint inside a single
+    Arrow stage (multimodal.video_majority_ahash) — temporal pooling
+    is what makes it a VIDEO signature: per-frame noise can't flip a
+    bit that most frames agree on.  The canonical tail is m11's
+    unchanged (hash64_canonical_dedup: exact-hash contraction first,
+    pigeonhole 4x16-bit banding with exact recall at hamming ≤ 3,
+    star-CC resolution, linear (member, rep, class_size) output).  At
+    100 TB: demux+hash is one scan over the media manifest, shuffles
+    carry 64-bit fingerprints — never frames — and no stage is
+    quadratic in members.  The oracle replays pixel law → block sums →
+    per-frame bits → majority pool → banding → components
+    relationally, end to end."""
+    from mapreducehs_spark.operators.multimodal import (
+        render_mrv_payloads,
+        video_majority_ahash,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    payloads = render_mrv_payloads(docs, "doc_id", n_frames=8, width=16, height=8)
+    return dedup.hash64_canonical_dedup(
+        video_majority_ahash(payloads, every_n=3), max_hamming=3
+    )
