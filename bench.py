@@ -192,6 +192,8 @@ HEADLINE = [
     "q119_csv_ingest_dlq",
     # round-7 additions (13): video near-dup dedup (modality matrix closed)
     "m16_video_dedup",
+    # round-7 additions (14): late-interaction MaxSim retrieval
+    "s20_maxsim_topk",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
@@ -226,6 +228,7 @@ POST_R5_ADDITIONS = [
     "q118_k_anonymity",
     "q119_csv_ingest_dlq",
     "m16_video_dedup",
+    "s20_maxsim_topk",
 ]
 
 #: the 91-query round-5 series subset (everything except the post-r5

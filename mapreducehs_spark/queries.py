@@ -13031,3 +13031,112 @@ def m16_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.hash64_canonical_dedup(
         video_majority_ahash(payloads, every_n=3), max_hamming=3
     )
+
+
+# =========================================================================
+# Round 7 (6): late-interaction retrieval (MaxSim)
+# =========================================================================
+
+#: s20's embedding law: dim-4 integer token embeddings via the house
+#: md5-fold (component j of token x = fold8(x || ':' || j) % 21 - 10,
+#: range [-10, 10]) — the "hashing trick" stand-in for a learned token
+#: table, chosen integer so MaxSim replays bit-for-bit in both engines.
+_MAXSIM_DIM = 4
+_MAXSIM_TERMS = _BM25_TERMS  # same fixed queries as s18: lexical vs late-interaction on one ranking task
+
+
+def _maxsim_emb_sql(expr: str, j: int) -> str:
+    return f"(('0x' || substr(md5({expr} || ':{j}'), 1, 8))::BIGINT % 21 - 10)"
+
+
+def _maxsim_oracle() -> str:
+    et = ", ".join(_maxsim_emb_sql("x", j) for j in range(_MAXSIM_DIM))
+    mx_cols = ",\n             ".join(
+        "CAST(list_max(list_transform(et, v -> "
+        + " + ".join(
+            _maxsim_emb_sql(f"'{t}'", j) + f" * v[{j + 1}]"
+            for j in range(_MAXSIM_DIM)
+        )
+        + f")) AS BIGINT) AS mx_{t}"
+        for t in _MAXSIM_TERMS
+    )
+    total = " + ".join(f"mx_{t}" for t in _MAXSIM_TERMS)
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
+                                       x -> x != '')) AS tk
+      FROM documents
+    ), e AS (
+      SELECT doc_id, list_transform(tk, x -> [{et}]) AS et
+      FROM t WHERE len(tk) > 0
+    ), m AS (
+      SELECT doc_id,
+             {mx_cols}
+      FROM e
+    )
+    SELECT doc_id, mx_{_MAXSIM_TERMS[0]}, mx_{_MAXSIM_TERMS[1]}, mx_{_MAXSIM_TERMS[2]},
+           CAST({total} AS BIGINT) AS maxsim
+    FROM m
+    ORDER BY maxsim DESC, doc_id ASC
+    LIMIT 20
+    """
+
+
+@query("s20_maxsim_topk", oracle=_maxsim_oracle())
+def s20_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-INTERACTION retrieval (MaxSim, the ColBERT scoring rule:
+    Khattab & Zaharia 2020): score(q, d) = sum over query tokens of
+    max over doc tokens of <e_q, e_t> — token-level interaction, the
+    third retrieval paradigm next to lexical s18 (BM25) and
+    single-vector dense s01/s02-s16, run on the SAME fixed query terms
+    as s18 so the three paradigms rank one task.  Token embeddings are
+    the dim-4 integer hashing-trick law (per-component md5 fold), so
+    every score is an exact integer and the oracle replays bit-for-bit.
+    The plan is ONE codegen scan: tokenize -> array_distinct (MaxSim
+    over distinct tokens equals MaxSim over all tokens -- max is
+    duplicate-blind) -> per-token embedding array via transform ->
+    per-query-term array_max of the integer dot -> TakeOrderedAndProject
+    top-20.  NO explode, NO shuffle except the top-k heap merge, and the
+    per-token embedding array is built once and reused by all query
+    terms.  At 100 TB: scan-bound with per-partition heaps, exactly
+    s18's posture; swapping the hash law for a LEARNED token table is a
+    broadcast join on token id against this same plan shape (the
+    embedding column replaces the transform), which is why the
+    late-interaction arm stays linear while storing per-TOKEN vectors
+    is what ColBERT trades for its quality win."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def comp(x, j):
+        fold = F.conv(
+            F.substring(F.md5(F.concat(x, F.lit(f":{j}"))), 1, 8), 16, 10
+        ).cast("bigint")
+        return fold % 21 - 10
+
+    tk = F.array_distinct(text.tokens("text"))
+    # empty-doc guard on the CHEAP precursor (rlike '\S' <=> the \s+
+    # tokenizer yields >=1 token — same Java character class): a
+    # size(et) > 0 filter would be pushed below the projection with the
+    # embedding transform INLINED, running the 4-md5-per-token HOF
+    # twice per row (the verify-skill trap #1)
+    e = docs.filter(F.col("text").rlike(r"\S")).select(
+        "doc_id",
+        F.transform(
+            tk, lambda x: F.array(*[comp(x, j) for j in range(_MAXSIM_DIM)])
+        ).alias("et"),
+    )
+
+    def mx(term: str):
+        eq = [comp(F.lit(term), j) for j in range(_MAXSIM_DIM)]
+        dot = lambda v: sum(  # noqa: E731 — inline per-term dot
+            eq[j] * F.element_at(v, j + 1) for j in range(_MAXSIM_DIM)
+        )
+        return F.array_max(F.transform("et", dot)).cast("bigint").alias(f"mx_{term}")
+
+    scored = e.select("doc_id", *[mx(t) for t in _MAXSIM_TERMS])
+    total = sum(F.col(f"mx_{t}") for t in _MAXSIM_TERMS)
+    return (
+        scored.withColumn("maxsim", total.cast("bigint"))
+        .orderBy(F.col("maxsim").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )

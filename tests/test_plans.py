@@ -839,3 +839,16 @@ def test_t35_weight_table_broadcasts_topk_bounded(q):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_s20_maxsim_single_scan_topk(q):
+    # Late-interaction MaxSim is ONE codegen scan: no explode of the
+    # token array (Generate), no exchange except none at all pre-top-k,
+    # and the ranking lowers to TakeOrderedAndProject per-partition
+    # heaps — never a global sort of per-doc scores.
+    df = q("s20_maxsim_topk")
+    plan = I.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" not in plan
+    assert "Exchange" not in plan  # no shuffle at all: scan -> heaps -> driver merge
+    assert plan.count("(1) Scan parquet") == 1  # the detail section lists each scan once
