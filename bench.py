@@ -194,6 +194,8 @@ HEADLINE = [
     "m16_video_dedup",
     # round-7 additions (14): late-interaction MaxSim retrieval
     "s20_maxsim_topk",
+    # round-7 additions (15): BlinkDB-style sampled estimate + SE
+    "q120_aqp_estimates",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
@@ -229,6 +231,7 @@ POST_R5_ADDITIONS = [
     "q119_csv_ingest_dlq",
     "m16_video_dedup",
     "s20_maxsim_topk",
+    "q120_aqp_estimates",
 ]
 
 #: the 91-query round-5 series subset (everything except the post-r5

@@ -13140,3 +13140,86 @@ def s20_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("maxsim").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+# =========================================================================
+# Round 7 (7): approximate query processing (sampled estimate + SE)
+# =========================================================================
+
+#: q120's Bernoulli rate: p = 50/1000 = 1/20, chosen so the
+#: Horvitz-Thompson scale-up (x20) and the variance constant
+#: (1-p)/p^2 = (19/20)*400 = 380 are EXACT integers — the whole
+#: estimator replays bit-for-bit with no float boundary.
+_AQP_PERMILLE = 50
+
+
+@query(
+    "q120_aqp_estimates",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                                CAST(l_linenumber AS VARCHAR) || ':aqp'), 1, 12))::BIGINT
+            % 1000 < {_AQP_PERMILLE}
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_sample,
+           CAST(count(*) * 20 AS BIGINT) AS n_est,
+           CAST(sum(qty) * 20 AS BIGINT) AS sum_qty_est,
+           CAST(floor(sqrt(CAST(380 * sum(qty * qty) AS DOUBLE))) AS BIGINT)
+             AS se_floor
+    FROM s GROUP BY l_returnflag
+    """,
+)
+def q120_aqp_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE QUERY PROCESSING (BlinkDB-style sampled aggregation,
+    Agarwal et al. 2013) — the estimate-with-error-bars paradigm the
+    sketch tier (q34/q41/q53/q107) does not cover: those bound DISTINCT
+    or QUANTILE error; this estimates plain SUM/COUNT from a Bernoulli
+    sample with a per-group standard error.  The sample membership is
+    the house md5-fold draw on (l_orderkey, l_linenumber) at p = 1/20,
+    so the Horvitz-Thompson scale-up (*20) and the variance constant
+    (1-p)/p^2 = 380 are exact integers; the SE is floor(sqrt(380 *
+    sum(qty^2))) where the radicand stays integer-valued below 2^53, so
+    the IEEE-correctly-rounded sqrt and the floor are engine-exact (the
+    t17 transcendental discipline).  At 100 TB: the sample predicate is
+    a scan-side codegen filter — and the production posture PERSISTS the
+    sample (a bucket column or partition, exactly how BlinkDB stores
+    stratified samples) so the scan READS ~p of the data; either way the
+    shuffle carries only the sampled rows and the output is
+    groups-sized.  A 95% CI is est +- 2*se_floor*20/1e0 on the analyst's
+    side; the query emits the exact-integer ingredients."""
+    li = _t(spark, sf_dir, "lineitem")
+    fold = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                    F.lit("aqp"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    qty = F.round("l_quantity").cast("bigint")
+    return (
+        li.filter(fold % 1000 < _AQP_PERMILLE)
+        .select("l_returnflag", qty.alias("qty"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+            (F.count(F.lit(1)) * 20).cast("bigint").alias("n_est"),
+            (F.sum("qty") * 20).cast("bigint").alias("sum_qty_est"),
+            F.floor(
+                F.sqrt((F.lit(380) * F.sum(F.col("qty") * F.col("qty"))).cast("double"))
+            )
+            .cast("bigint")
+            .alias("se_floor"),
+        )
+    )

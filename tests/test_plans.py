@@ -852,3 +852,17 @@ def test_s20_maxsim_single_scan_topk(q):
     assert "Generate" not in plan
     assert "Exchange" not in plan  # no shuffle at all: scan -> heaps -> driver merge
     assert plan.count("(1) Scan parquet") == 1  # the detail section lists each scan once
+
+
+def test_q120_sample_filter_before_shuffle(q):
+    # AQP's whole point: the Bernoulli predicate is a SCAN-SIDE codegen
+    # filter, so only sampled rows reach the one group-by exchange —
+    # p of the data shuffles, not the corpus.
+    df = q("q120_aqp_estimates")
+    plan = I.formatted_plan(df)
+    assert I.exchange_count(df) == 1  # the single agg shuffle
+    assert "Join" not in plan
+    assert "partial_sum" in plan  # map-side combine runs on sampled rows
+    import re
+
+    assert re.search(r"^Condition : .*md5", plan, re.M)
