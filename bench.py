@@ -196,6 +196,8 @@ HEADLINE = [
     "s20_maxsim_topk",
     # round-7 additions (15): BlinkDB-style sampled estimate + SE
     "q120_aqp_estimates",
+    # round-7 additions (16): k-fold cross-validation readout
+    "t37_logreg_crossval",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
@@ -232,6 +234,7 @@ POST_R5_ADDITIONS = [
     "m16_video_dedup",
     "s20_maxsim_topk",
     "q120_aqp_estimates",
+    "t37_logreg_crossval",
 ]
 
 #: the 91-query round-5 series subset (everything except the post-r5

@@ -248,3 +248,104 @@ def logreg_train_hashed(
     finally:
         features.unpersist(blocking=False)
         labels.unpersist(blocking=False)
+
+
+def cv_fold_col(k: int):
+    """Deterministic fold assignment: md5-fold(doc_id ‖ ':cv') % k —
+    the q37/q38 hash-split law, so the oracle replays membership."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cv"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % k
+    )
+
+
+def logreg_crossval(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    n_steps: int = 2,
+    label_chars: int = 300,
+    k: int = 3,
+) -> DataFrame:
+    """K-FOLD CROSS-VALIDATION of the t28 trainer (round 7): for each
+    fold f, train ``n_steps`` full-batch steps on the other k-1 folds
+    (the exact t28 update law) and score the HELD-OUT fold with the
+    final weights (the t26 inference law: hard-sigmoid >= 1/2), emitting
+    (fold, n_eval, n_correct, acc_micro) — the model-selection readout
+    that closes the classifier tier (t28 train / t26+st17 infer / q116
+    calibrate / here evaluate honestly on unseen docs).
+
+    Scale shape: features and labels are computed ONCE, persisted
+    hash-partitioned on doc_id with the fold label attached; each
+    fold's training filters that frame (a partitioning-preserving
+    predicate — no re-shuffle), so the total cost is k * n_steps
+    scan-shaped gradient passes plus k broadcast-scored eval passes;
+    driver state stays dim+1 integers per fold.  Every quantity is
+    truncating-integer so all k training chains and eval tails replay
+    bit-for-bit in one unrolled SQL oracle."""
+    spark = docs.sparkSession
+    fold = cv_fold_col(k)
+    labels = docs.select(
+        "doc_id",
+        (F.col("n_chars") >= label_chars).cast("bigint").alias("y"),
+        fold.alias("fold"),
+    ).repartition("doc_id").persist()
+    features = (
+        hashed_features(docs, n_buckets)
+        .withColumn("fold", fold)
+        .repartition("doc_id")
+        .persist()
+    )
+    out = []
+    try:
+        for f in range(k):
+            lab_tr = labels.filter(F.col("fold") != f).select("doc_id", "y")
+            feats_tr = features.filter(F.col("fold") != f).select(
+                "doc_id", "bucket", "x"
+            )
+            n_tr = lab_tr.count()
+            w = {b: 0 for b in range(n_buckets)}
+            bias = 0
+            for _ in range(n_steps):
+                w, bias = logreg_gradient_step(feats_tr, lab_tr, w, bias, n_tr)
+            w_df = spark.createDataFrame(
+                sorted(w.items()), "bucket bigint, w bigint"
+            )
+            zfe = (
+                features.filter(F.col("fold") == f)
+                .join(F.broadcast(w_df), "bucket")
+                .groupBy("doc_id")
+                .agg(F.sum(F.col("w") * F.col("x")).alias("zf"))
+            )
+            ev = (
+                labels.filter(F.col("fold") == f)
+                .join(zfe, "doc_id", "left")
+                .select(
+                    "y",
+                    (
+                        hard_sigmoid_micro(f"coalesce(zf, 0) + {bias}")
+                        >= F.lit(MICRO // 2)
+                    )
+                    .cast("bigint")
+                    .alias("pred"),
+                )
+            )
+            row = ev.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+                F.sum((F.col("pred") == F.col("y")).cast("bigint"))
+                .cast("bigint")
+                .alias("n_correct"),
+            ).collect()[0]
+            ne, nc = int(row["n_eval"]), int(row["n_correct"])
+            out.append((f, ne, nc, (nc * MICRO) // ne))
+    finally:
+        features.unpersist(blocking=False)
+        labels.unpersist(blocking=False)
+    return spark.createDataFrame(
+        out, "fold bigint, n_eval bigint, n_correct bigint, acc_micro bigint"
+    )

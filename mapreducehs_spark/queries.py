@@ -13223,3 +13223,108 @@ def q120_aqp_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("se_floor"),
         )
     )
+
+
+# =========================================================================
+# Round 7 (8): k-fold cross-validation of the classifier
+# =========================================================================
+
+_CV_K = 3
+
+
+def _cv_fold_sql(f: int) -> str:
+    """One fold's unrolled chain: the EXACT t28 two-step training CTEs
+    restricted to fold != f, plus the t26-law eval tail on fold == f.
+    Shared-fragment discipline: this mirrors t28's oracle text — if the
+    update law ever changes there, it changes here."""
+    p = f"f{f}"
+    return f"""{p}lab AS (SELECT doc_id, y FROM lab WHERE fold != {f}),
+    {p}nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {p}lab),
+    {p}r1 AS (SELECT doc_id, CAST(500000 - y * 1000000 AS BIGINT) AS r FROM {p}lab),
+    {p}g1 AS (SELECT f.bucket, CAST(sum(r.r * f.x) AS BIGINT) AS g
+              FROM {p}r1 r JOIN feats f USING (doc_id) GROUP BY 1),
+    {p}gb1 AS (SELECT CAST(sum(r) AS BIGINT) AS g FROM {p}r1),
+    {p}w1 AS (SELECT grid.bucket,
+                     CAST(0 - (coalesce(g.g, 0) // nn.n) // 50 AS BIGINT) AS w
+              FROM grid LEFT JOIN {p}g1 g USING (bucket), {p}nn nn),
+    {p}b1 AS (SELECT CAST(0 - (g // n) // 50 AS BIGINT) AS b FROM {p}gb1, {p}nn),
+    {p}zf2 AS (SELECT f.doc_id, CAST(sum(w.w * f.x) AS BIGINT) AS zf
+               FROM feats f JOIN {p}w1 w USING (bucket) GROUP BY 1),
+    {p}r2 AS (SELECT l.doc_id,
+                     CAST(greatest(0, least(1000000,
+                            ((coalesce(z.zf, 0) + b.b) // 4) + 500000))
+                          - l.y * 1000000 AS BIGINT) AS r
+              FROM {p}lab l LEFT JOIN {p}zf2 z USING (doc_id), {p}b1 b),
+    {p}g2 AS (SELECT f.bucket, CAST(sum(r.r * f.x) AS BIGINT) AS g
+              FROM {p}r2 r JOIN feats f USING (doc_id) GROUP BY 1),
+    {p}gb2 AS (SELECT CAST(sum(r) AS BIGINT) AS g FROM {p}r2),
+    {p}w2 AS (SELECT w1.bucket,
+                     CAST(w1.w - (coalesce(g.g, 0) // nn.n) // 50 AS BIGINT) AS w
+              FROM {p}w1 w1 LEFT JOIN {p}g2 g USING (bucket), {p}nn nn),
+    {p}b2 AS (SELECT CAST(b1.b - (g.g // nn.n) // 50 AS BIGINT) AS b
+              FROM {p}b1 b1, {p}gb2 g, {p}nn nn),
+    {p}zfe AS (SELECT f.doc_id, CAST(sum(w.w * f.x) AS BIGINT) AS zf
+               FROM feats f JOIN {p}w2 w USING (bucket) GROUP BY 1),
+    {p}ev AS (SELECT l.doc_id, l.y,
+                     CASE WHEN greatest(0, least(1000000,
+                            ((coalesce(z.zf, 0) + b.b) // 4) + 500000)) >= 500000
+                          THEN 1::BIGINT ELSE 0::BIGINT END AS pred
+              FROM lab l LEFT JOIN {p}zfe z USING (doc_id), {p}b2 b
+              WHERE l.fold = {f}),
+    {p}res AS (SELECT CAST({f} AS BIGINT) AS fold,
+                      CAST(count(*) AS BIGINT) AS n_eval,
+                      CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_correct
+               FROM {p}ev)"""
+
+
+def _cv_oracle(k: int = _CV_K) -> str:
+    folds = ",\n    ".join(_cv_fold_sql(f) for f in range(k))
+    union = " UNION ALL ".join(f"SELECT * FROM f{f}res" for f in range(k))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+      FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(term), 1, 12))::BIGINT % 64 AS bucket,
+             CAST(count(*) AS BIGINT) AS x
+      FROM toks GROUP BY 1, 2
+    ), lab AS (
+      SELECT doc_id,
+             CASE WHEN n_chars >= 300 THEN 1::BIGINT ELSE 0::BIGINT END AS y,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cv'), 1, 12))::BIGINT
+               % {k} AS fold
+      FROM documents
+    ), grid AS (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS bucket),
+    {folds}
+    SELECT fold, n_eval, n_correct,
+           CAST((n_correct * 1000000) // n_eval AS BIGINT) AS acc_micro
+    FROM ({union})
+    """
+
+
+@query("t37_logreg_crossval", oracle=_cv_oracle())
+def t37_logreg_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-FOLD CROSS-VALIDATION — the model-selection readout that
+    completes the classifier tier: t28 trains, t26/st17 infer, q116
+    calibrates on TRAINING data; this is the honest number — each fold's
+    model scores only docs it never saw.  Fold membership is the
+    deterministic md5-fold split (q37's law), training is the exact t28
+    two-step integer update on the other k-1 folds, eval is the exact
+    t26 hard-sigmoid >= 1/2 decision, accuracy in integer micro-units
+    ((n_correct * 1e6) div n_eval, the t25 no-round() discipline).  At
+    100 TB: features and labels are computed ONCE and persisted
+    hash-partitioned on doc_id with the fold attached — each fold's
+    train/eval filters preserve that partitioning so NO per-fold
+    re-shuffle; total cost is k * n_steps scan-shaped gradient passes +
+    k broadcast-scored evals, and driver state is dim+1 ints per fold.
+    The oracle unrolls all k training chains and eval tails
+    bit-for-bit (3 folds x 2 steps, one WITH clause)."""
+    from mapreducehs_spark.operators.ml import logreg_crossval
+
+    docs = _t(spark, sf_dir, "documents")
+    return logreg_crossval(
+        docs, n_buckets=64, n_steps=2, label_chars=300, k=_CV_K
+    )

@@ -866,3 +866,51 @@ def test_q120_sample_filter_before_shuffle(q):
     import re
 
     assert re.search(r"^Condition : .*md5", plan, re.M)
+
+
+def test_t37_fold_filter_preserves_partitioning(spark):
+    # CV's scale contract: each fold's gradient pass filters the ONE
+    # persisted doc_id-partitioned feature frame — the residual/gradient
+    # joins stay co-partitioned, the weight join broadcasts, and no
+    # per-fold repartition appears.
+    from mapreducehs_spark.operators.ml import (
+        cv_fold_col,
+        gradient_frames,
+        hashed_features,
+    )
+    from mapreducehs_spark.sources.catalog import load_table
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, SF, "documents")
+    feats = (
+        hashed_features(docs, 64)
+        .withColumn("fold", cv_fold_col(3))
+        .repartition("doc_id")
+        .persist()
+    )
+    labels = docs.select(
+        "doc_id", (F.col("n_chars") >= 300).cast("bigint").alias("y")
+    ).repartition("doc_id").persist()
+    try:
+        feats.count(), labels.count()  # materialize: partitioning visible
+        grad, _ = gradient_frames(
+            feats.filter(F.col("fold") != 0).select("doc_id", "bucket", "x"),
+            labels,
+            {b: 0 for b in range(64)},
+            0,
+        )
+        plan = I.formatted_plan(grad)
+        assert I.broadcast_join_count(grad) >= 1  # the weight table
+        assert "CartesianProduct" not in plan
+        # the fold filter must NOT break the cached doc_id partitioning:
+        # the margin aggregation still lowers to a partial+final
+        # HashAggregate pair with no Exchange between them (t28's pin,
+        # now with the filter in the middle)
+        import re
+
+        assert re.search(
+            r"HashAggregate \(\d+\)\n[\s:+*-]*HashAggregate \(\d+\)", plan
+        ), "fold filter broke the cached partitioning reuse"
+    finally:
+        feats.unpersist(blocking=False)
+        labels.unpersist(blocking=False)
