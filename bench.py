@@ -198,6 +198,8 @@ HEADLINE = [
     "q120_aqp_estimates",
     # round-7 additions (16): k-fold cross-validation readout
     "t37_logreg_crossval",
+    # round-7 additions (17): weighted shortest paths (min-plus BF)
+    "q121_weighted_sssp",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
@@ -235,6 +237,7 @@ POST_R5_ADDITIONS = [
     "s20_maxsim_topk",
     "q120_aqp_estimates",
     "t37_logreg_crossval",
+    "q121_weighted_sssp",
 ]
 
 #: the 91-query round-5 series subset (everything except the post-r5

@@ -13328,3 +13328,129 @@ def t37_logreg_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_crossval(
         docs, n_buckets=64, n_steps=2, label_chars=300, k=_CV_K
     )
+
+
+# =========================================================================
+# Round 7 (9): weighted shortest paths (min-plus Bellman-Ford)
+# =========================================================================
+
+
+def _q121_oracle(rounds: int = 3) -> str:
+    """Unrolled Bellman-Ford: per round, FULL relaxation over the
+    reached set (provably equal per-round to the changed-frontier
+    variant the Spark side runs — an unchanged node's relaxations were
+    already emitted the round after it last changed)."""
+    head = """
+    WITH raw AS (
+      SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst,
+             CAST(round(l.l_quantity) AS BIGINT) AS w
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), edges AS (
+      SELECT src, dst, CAST(min(w) AS BIGINT) AS w
+      FROM (SELECT src, dst, w FROM raw
+            UNION ALL SELECT dst, src, w FROM raw)
+      GROUP BY 1, 2
+    ), d0 AS (
+      SELECT (SELECT min(src) FROM edges) AS node, CAST(0 AS BIGINT) AS d
+    )"""
+    parts = []
+    for i in range(1, rounds + 1):
+        prev = f"d{i - 1}"
+        parts.append(f"""
+    , d{i} AS (
+      SELECT node, min(d) AS d FROM (
+        SELECT node, d FROM {prev}
+        UNION ALL
+        SELECT e.dst AS node, p.d + e.w AS d
+        FROM {prev} p JOIN edges e ON e.src = p.node
+      ) GROUP BY node
+    )""")
+    tail = f"""
+    SELECT node, d AS dist
+    FROM d{rounds}
+    ORDER BY d ASC, node ASC
+    LIMIT 20
+    """
+    return head + "".join(parts) + tail
+
+
+@query("q121_weighted_sssp", oracle=_q121_oracle())
+def q121_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED single-source shortest paths — the min-plus semiring
+    sibling of q108's BFS (hop counts become integer edge costs; the
+    Bellman-Ford relaxation d'(v) = min(d(v), min_u d(u) + w(u,v))),
+    over the q96/q108 trade graph with w = min trade quantity per pair.
+    The Spark side runs the CHANGED-FRONTIER optimization: each round
+    relaxes only nodes whose distance improved last round (tracked by a
+    round tag carried through a struct-min — ties keep the OLD tag, so
+    non-improvements never re-enter the frontier), which is the
+    distributed form that makes bounded-round SSSP feasible at scale:
+    per round one narrow (node, dist) frontier shuffle against the
+    src-partitioned persisted adjacency, never an all-nodes relaxation.
+    The oracle replays the mathematically-equal full relaxation
+    unrolled; all distances are integers, so the top-20 nearest nodes
+    match bit-for-bit.  The edge build pays ONE exchange total: raw
+    pairs symmetrize first, repartition on src, and the (src, dst) min
+    aggregates IN PARTITION (HashPartitioning(src) satisfies the
+    clustered distribution — the q96 dedup-in-partition discipline).
+    Per-round localCheckpoint keeps plan depth O(1) (q108's lineage
+    lesson)."""
+    from mapreducehs_spark.operators.iteration import local_checkpoint_freeable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    raw = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        F.round("l_quantity").cast("bigint").alias("w"),
+    )
+    edges = (
+        raw.unionByName(
+            raw.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .repartition("src")
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .persist()
+    )
+    frees = []
+    try:
+        start = edges.agg(F.min("src")).collect()[0][0]  # one scalar
+        dist = spark.createDataFrame(
+            [(int(start), 0, 0)], "node long, d long, r int"
+        )
+        for rnd in range(1, 4):
+            frontier = dist.filter(F.col("r") == rnd - 1)
+            cand = frontier.join(edges, frontier["node"] == edges["src"]).select(
+                F.col("dst").alias("node"),
+                (F.col("d") + F.col("w")).alias("d"),
+                F.lit(rnd).alias("r"),
+            )
+            merged = (
+                dist.unionByName(cand)
+                .groupBy("node")
+                # struct-min: smallest d wins; on a TIE the smaller
+                # (older) round tag wins, so non-improving candidates
+                # never mark a node as changed
+                .agg(F.min(F.struct("d", "r")).alias("s"))
+                .select("node", F.col("s.d").alias("d"), F.col("s.r").alias("r"))
+            )
+            dist, free = local_checkpoint_freeable(merged, eager=False)
+            frees.append(free)
+        return (
+            dist.select("node", F.col("d").alias("dist"))
+            .orderBy(F.col("dist").asc(), F.col("node").asc())
+            .limit(20)
+            .localCheckpoint()  # materialize while the rounds are cached
+        )
+    finally:
+        edges.unpersist(blocking=False)
+        # the 20-row result above is materialized — the per-round
+        # checkpoint blocks can now be genuinely released (q108's
+        # checkpoint-before-unpersist ordering)
+        for free in frees:
+            free()
