@@ -13454,3 +13454,88 @@ def q121_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         # checkpoint-before-unpersist ordering)
         for free in frees:
             free()
+
+
+# =========================================================================
+# Round 7 (10): streaming temporal (as-of) dimension enrichment
+# =========================================================================
+
+#: q91's full SCD2 chain as shared CTE text, so st23's oracle replays
+#: the identical dimension the stream joins (the _T26_ORACLE sharing
+#: discipline applied to the warehouse dimension).
+_SCD2_CTES = """ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_type IS NULL OR prev_type != event_type THEN 1 ELSE 0 END AS chg
+      FROM ordered
+    ), islands AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ), grouped AS (
+      SELECT user_id, event_type, island,
+             min(ts) AS valid_from, count(*) AS n_events
+      FROM islands GROUP BY 1, 2, 3
+    ), versioned AS (
+      SELECT user_id, event_type, n_events, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from ASC) AS valid_to
+      FROM grouped
+    ), scd AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(valid_from)) AS BIGINT) AS valid_from_s,
+             CAST(floor(epoch(valid_to)) AS BIGINT) AS valid_to_s
+      FROM versioned
+    )"""
+
+
+@query(
+    "st23_stream_scd2_enrich",
+    oracle="""
+    WITH """ + _SCD2_CTES + """
+    SELECT e.event_id, e.user_id,
+           CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_s,
+           v.event_type AS version_type, v.valid_from_s
+    FROM events e JOIN scd v
+      ON v.user_id = e.user_id
+     AND CAST(floor(epoch(e.ts)) AS BIGINT) >= v.valid_from_s
+     AND (v.valid_to_s IS NULL OR CAST(floor(epoch(e.ts)) AS BIGINT) < v.valid_to_s)
+    """,
+)
+def st23_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING TEMPORAL (as-of) dimension enrichment — the lakehouse
+    pattern st07's equi-join enrichment can't express: each arriving
+    event attaches the SCD2 dimension VERSION (q91's build, reused
+    verbatim) valid at the event's own time, via a stream-static
+    broadcast join on user_id with the half-open
+    [valid_from_s, valid_to_s) range as a post-join filter.  Stateless
+    append — no watermark, no state store, the stream never shuffles;
+    the dimension is batch-built (at whatever refresh cadence) and
+    broadcast, exactly how versioned reference data deploys against a
+    100 TB/day ingest.  The replay fixture streams the SAME events the
+    dimension was built from, so every enriched row is value-checked
+    against the batch as-of join (the st13/st15/st17 stream==batch
+    discipline); boundary law is deterministic in both engines (floored
+    seconds, half-open intervals — an event in a zero-width interval
+    drops in both)."""
+    from mapreducehs_spark import streaming as st
+
+    dim = (
+        q91_scd2_dimension(spark, sf_dir)
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("event_type").alias("version_type"),
+            "valid_from_s",
+            "valid_to_s",
+        )
+        .persist()
+    )
+    try:
+        dim.count()  # materialize once; every micro-batch reuses the cache
+        enriched = st.enrich_asof_versions(_replayed_events(spark, sf_dir), dim)
+        out = st.run_to_batch(enriched, "st23_sink", output_mode="append")
+        return out.localCheckpoint()  # materialize while the dim is cached
+    finally:
+        dim.unpersist(blocking=False)

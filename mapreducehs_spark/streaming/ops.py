@@ -1719,3 +1719,32 @@ def stateful_bloom_dedup(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def enrich_asof_versions(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static TEMPORAL (as-of) enrichment: each arriving event
+    joins the SCD2 dimension version whose [valid_from_s, valid_to_s)
+    half-open interval contains the event's epoch second — the
+    lakehouse pattern for attaching versioned reference data to an
+    unbounded ingest (st07's equi-enrichment generalized to a range
+    predicate).  Stateless: no watermark, no state store; the dim
+    broadcasts (user_id equi-key hash join, the range as a post-join
+    filter), so the stream never shuffles.  Inner join: an event in a
+    zero-width floored-second interval drops in BOTH engines (the
+    deterministic boundary law the batch oracle replays); flush
+    sentinels never match a real user's versions and drop with it.
+
+    ``dim`` columns: (d_user, version_type, valid_from_s, valid_to_s).
+    """
+    ts_s = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    ev = events.select(
+        "event_id", "user_id", ts_s.alias("ts_s")
+    )
+    cond = (
+        (ev["user_id"] == dim["d_user"])
+        & (ev["ts_s"] >= dim["valid_from_s"])
+        & (dim["valid_to_s"].isNull() | (ev["ts_s"] < dim["valid_to_s"]))
+    )
+    return ev.join(F.broadcast(dim), cond, "inner").select(
+        "event_id", "user_id", "ts_s", "version_type", "valid_from_s"
+    )
