@@ -200,6 +200,8 @@ HEADLINE = [
     "t37_logreg_crossval",
     # round-7 additions (17): weighted shortest paths (min-plus BF)
     "q121_weighted_sssp",
+    # round-7 additions (18): filtered vector search (pre vs post)
+    "s21_filtered_ann_topk",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
@@ -238,6 +240,7 @@ POST_R5_ADDITIONS = [
     "q120_aqp_estimates",
     "t37_logreg_crossval",
     "q121_weighted_sssp",
+    "s21_filtered_ann_topk",
 ]
 
 #: the 91-query round-5 series subset (everything except the post-r5

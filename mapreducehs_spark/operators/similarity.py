@@ -254,6 +254,41 @@ def ivf_topk(
     Recall is approximate; ``train_ivf_centroids`` (sampled k-means)
     raises it at the same n_probe — the 100 TB recipe.
     """
+    scored = ivf_candidates(
+        corpus,
+        queries,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        centroids=centroids,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine", "rank")
+    )
+
+
+def ivf_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """``ivf_topk``'s probe-and-score stage as a reusable seam (the
+    round-7 filtered-ANN composition needs the SCORED candidate frame
+    before ranking): (query_id, match_id, cosine) for every candidate
+    in a probed cell.  Exactly the expression tree ivf_topk always
+    built — extraction, not a change, so plan fingerprints hold."""
     from mapreducehs_spark.functions.vector_np import (
         cell_argmax_udf,
         cosine_udf,
@@ -275,16 +310,10 @@ def ivf_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     ).withColumn("cell", F.explode(top_cells_udf(cents, n_probe)(F.col("__qv"))))
 
-    scored = (
+    return (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("match_id"))
         .withColumn("cosine", F.round(cosine_udf("__qv", "__cv"), 6))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "match_id", "cosine", "rank")
     )
 
 

@@ -13539,3 +13539,124 @@ def st23_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()  # materialize while the dim is cached
     finally:
         dim.unpersist(blocking=False)
+
+
+# =========================================================================
+# Round 7 (11): filtered vector search (pre- vs post-filter)
+# =========================================================================
+
+#: s21's metadata law: category = vec_id % 5, filter keeps category 2
+#: (~20% selectivity) — deterministic, so the filter composes into the
+#: seeded-IVF replay.
+_S21_CAT_MOD, _S21_CAT = 5, 2
+
+
+def _s21_oracle(n_probe: int = 4) -> str:
+    """s06's seeded-IVF replay with BOTH filter placements: the
+    pre-filtered ranking (filter candidates, then rank — always k
+    results from the filtered corpus) and the post-filter survivor
+    count (rank unfiltered, then count matches in the top-k — the
+    naive composition that silently loses recall)."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16
+    ), corpus AS (
+      SELECT * FROM e WHERE vec_id >= 8
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8
+    ), assign AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT corpus.vec_id, corpus.v, c.cid,
+               row_number() OVER (
+                 PARTITION BY corpus.vec_id
+                 ORDER BY list_cosine_similarity(corpus.v, c.cv) DESC, c.cid ASC
+               ) AS rn
+        FROM corpus CROSS JOIN c
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid ASC
+               ) AS rn
+        FROM q CROSS JOIN c
+      ) WHERE rn <= {n_probe}
+    ), scored AS (
+      SELECT p.query_id, a.vec_id AS match_id,
+             round(list_cosine_similarity(p.qv, a.v), 6) AS cosine
+      FROM probes p JOIN assign a ON a.cid = p.cid
+      WHERE p.query_id != a.vec_id
+    ), pre_ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, match_id ASC
+      ) AS rank FROM scored WHERE match_id % {_S21_CAT_MOD} = {_S21_CAT}
+    ), post_hits AS (
+      SELECT query_id,
+             CAST(sum(CASE WHEN match_id % {_S21_CAT_MOD} = {_S21_CAT}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS post_hits
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, match_id ASC
+        ) AS rank FROM scored
+      ) WHERE rank <= 5 GROUP BY query_id
+    )
+    SELECT p.query_id, p.match_id, p.cosine, CAST(p.rank AS BIGINT) AS rank,
+           h.post_hits
+    FROM pre_ranked p JOIN post_hits h USING (query_id)
+    WHERE p.rank <= 5
+    """
+
+
+@query("s21_filtered_ann_topk", oracle=_s21_oracle())
+def s21_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — ANN under a metadata predicate (the
+    production retrieval shape: "nearest neighbors WHERE lang = ...")
+    with the two filter placements the literature distinguishes,
+    side by side: PRE-FILTERING (the predicate reaches the probed-cell
+    candidate scan, ranking sees only eligible vectors — always k
+    results from the filtered corpus) and the naive POST-FILTER
+    composition (take the unfiltered top-k, then filter), whose
+    per-query survivor count ``post_hits`` the report carries —
+    typically < k, the recall silently lost when filters are bolted on
+    after the index.  One candidate frame (s06's seeded-IVF probe via
+    the new similarity.ivf_candidates seam) feeds BOTH arms, so the
+    comparison costs one probe pass plus two window ranks.  At 100 TB:
+    the predicate composes into the cell-member scan exactly like any
+    pushed filter (cells are just partitions of the corpus) — this is
+    why IVF-style indexes filter well while graph indexes struggle;
+    post_hits quantifies the alternative.  Whole replay (assignment,
+    probing, both rankings) value-checked in the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = similarity.ivf_candidates(
+        emb.filter(F.col("vec_id") >= 8),
+        emb.filter(F.col("vec_id") < 8),
+        n_cells=16,
+        n_probe=4,
+        centroids=_seeded_centroids(emb),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id").asc()
+    )
+    pre = (
+        scored.filter(F.col("match_id") % _S21_CAT_MOD == _S21_CAT)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+    )
+    post_hits = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                (F.col("match_id") % _S21_CAT_MOD == _S21_CAT).cast("int")
+            )
+            .cast("bigint")
+            .alias("post_hits")
+        )
+    )
+    return pre.join(post_hits, "query_id").select(
+        "query_id", "match_id", "cosine", "rank", "post_hits"
+    )
