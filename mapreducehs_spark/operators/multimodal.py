@@ -754,3 +754,46 @@ def video_majority_ahash(
     return df.select(id_col, payload_col).mapInPandas(
         batches, schema="id long, lo long, hi long"
     )
+
+
+def render_corrupt_pgm_batches(it):
+    """m10's render kernel as a module-level mapInPandas stage (round 7:
+    shared by batch m10 and the streaming DLQ st24): the doc_id pixel
+    law rastered to PGM, with every 13th payload truncated mid-raster —
+    the deterministic corruption both oracles replay."""
+    import numpy as np
+    import pandas as pd
+
+    idx = np.arange(512, dtype=np.int64)
+    for pdf in it:
+        payloads = []
+        for i in pdf["doc_id"]:
+            img = (((int(i) * 31 + idx * 7) % 256).astype(np.uint8)).reshape(16, 32)
+            p = encode_pgm(img)
+            if int(i) % 13 == 0:
+                p = p[: len(p) // 2]  # truncate mid-raster
+            payloads.append(p)
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+def tolerant_decode_batches(it):
+    """m10's decode kernel as a module-level mapInPandas stage: per-row
+    classify — 'ok' rows carry the pixel sum, corrupt rows land in the
+    quarantine status with ZERO exceptions escaping the kernel."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in it:
+        rows = []
+        for i, p in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(p)
+            try:
+                img = decode_image(b)
+                if img.size != 512:
+                    raise ValueError("short raster")
+                rows.append((int(i), "ok", int(img.astype(np.int64).sum())))
+            except Exception:
+                rows.append((int(i), "corrupt_truncated", 0))
+        yield pd.DataFrame(rows, columns=["doc_id", "decode_status", "px_sum"])

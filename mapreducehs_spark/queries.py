@@ -9356,46 +9356,22 @@ def m10_tolerant_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceptions escaping the kernel — the badRecords/DLQ pattern as a
     column, so the pipeline's error budget is itself a queryable,
     value-checked result."""
-    import struct  # noqa: F401  (kept parallel with the other decode stages)
-
-    import numpy as np
-    import pandas as pd
-    from typing import Iterator
-
-    from mapreducehs_spark.operators.multimodal import decode_image, encode_pgm
+    from mapreducehs_spark.operators.multimodal import (
+        render_corrupt_pgm_batches,
+        tolerant_decode_batches,
+    )
 
     docs = _t(spark, sf_dir, "documents")
 
-    def render(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        idx = np.arange(512, dtype=np.int64)
-        for pdf in it:
-            payloads = []
-            for i in pdf["doc_id"]:
-                img = (((int(i) * 31 + idx * 7) % 256).astype(np.uint8)).reshape(16, 32)
-                p = encode_pgm(img)
-                if int(i) % 13 == 0:
-                    p = p[: len(p) // 2]  # truncate mid-raster
-                payloads.append(p)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads})
-
-    def decode(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        for pdf in it:
-            rows = []
-            for i, p in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(p)
-                try:
-                    img = decode_image(b)
-                    if img.size != 512:
-                        raise ValueError("short raster")
-                    rows.append((int(i), "ok", int(img.astype(np.int64).sum())))
-                except Exception:
-                    rows.append((int(i), "corrupt_truncated", 0))
-            yield pd.DataFrame(rows, columns=["doc_id", "decode_status", "px_sum"])
-
+    # the render/decode kernels live in operators/multimodal.py since
+    # round 7, shared verbatim with the streaming DLQ twin (st24)
     decoded = (
         docs.select("doc_id")
-        .mapInPandas(render, schema="doc_id long, payload binary")
-        .mapInPandas(decode, schema="doc_id long, decode_status string, px_sum long")
+        .mapInPandas(render_corrupt_pgm_batches, schema="doc_id long, payload binary")
+        .mapInPandas(
+            tolerant_decode_batches,
+            schema="doc_id long, decode_status string, px_sum long",
+        )
     )
     return decoded.groupBy("decode_status").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_payloads"),
@@ -13660,3 +13636,59 @@ def s21_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre.join(post_hits, "query_id").select(
         "query_id", "match_id", "cosine", "rank", "post_hits"
     )
+
+
+# =========================================================================
+# Round 7 (12): streaming media ingest with decode DLQ
+# =========================================================================
+
+
+@query(
+    "st24_stream_decode_dlq",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, ((doc_id * 31 + i.i * 7) % 256) AS v
+      FROM documents, LATERAL unnest(range(0, 512)) AS i(i)
+      WHERE doc_id % 13 <> 0
+    ), good AS (
+      SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum FROM px GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 13 = 0 THEN 'corrupt_truncated' ELSE 'ok' END
+             AS decode_status,
+           CAST(coalesce(g.px_sum, 0) AS BIGINT) AS px_sum
+    FROM documents d LEFT JOIN good g USING (doc_id)
+    """,
+)
+def st24_stream_decode_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING media ingest with a decode dead-letter queue — m10's
+    error-tolerance requirement at the point it actually bites: the
+    CONTINUOUS intake, where one corrupt payload must neither kill the
+    stream nor silently vanish.  Each arriving doc renders its payload
+    and runs the SAME tolerant-decode kernel m10 uses (the two
+    mapInPandas stages are shared module functions, not copies) — 'ok'
+    rows carry the pixel sum, corrupt rows route to the quarantine
+    status, zero exceptions escape the Arrow stage.  Stateless append:
+    no watermark, no state store, per-row emission is the DLQ routing
+    itself (aggregate error budgets are a downstream batch query, m10's
+    shape).  At 100 TB/day the decode cost is the scan, and a poisoned
+    payload costs one row, not a task retry storm.  The docs replay
+    fixture streams the corpus the oracle reads, so every per-doc
+    status and pixel sum value-checks (stream==batch, the st17
+    discipline)."""
+    from mapreducehs_spark import streaming as st
+    from mapreducehs_spark.operators.multimodal import (
+        render_corrupt_pgm_batches,
+        tolerant_decode_batches,
+    )
+
+    decoded = (
+        _replayed_docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(render_corrupt_pgm_batches, schema="doc_id long, payload binary")
+        .mapInPandas(
+            tolerant_decode_batches,
+            schema="doc_id long, decode_status string, px_sum long",
+        )
+    )
+    return st.run_to_batch(decoded, "st24_sink", output_mode="append")
