@@ -202,6 +202,8 @@ HEADLINE = [
     "q121_weighted_sssp",
     # round-7 additions (18): filtered vector search (pre vs post)
     "s21_filtered_ann_topk",
+    # round-7 additions (19): span-corruption masking report
+    "t38_span_corruption",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
@@ -241,6 +243,7 @@ POST_R5_ADDITIONS = [
     "t37_logreg_crossval",
     "q121_weighted_sssp",
     "s21_filtered_ann_topk",
+    "t38_span_corruption",
 ]
 
 #: the 91-query round-5 series subset (everything except the post-r5

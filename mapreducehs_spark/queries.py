@@ -13692,3 +13692,119 @@ def st24_stream_decode_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return st.run_to_batch(decoded, "st24_sink", output_mode="append")
+
+
+# =========================================================================
+# Round 7 (13): span-corruption masking (training-example construction)
+# =========================================================================
+
+
+@query(
+    "t38_span_corruption",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+               AS n
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, source, n, i.p AS p,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                            CAST(i.p AS VARCHAR) || ':sc'), 1, 12))::BIGINT
+                       % 10 = 0
+                  THEN 1 ELSE 0 END AS cand
+      FROM toks, LATERAL unnest(range(0, n)) AS i(p)
+      WHERE n > 0
+    ), marked AS (
+      SELECT doc_id, source, n, p,
+             max(cand) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m
+      FROM pos
+    ), runs AS (
+      SELECT doc_id, source, n, p, m,
+             CASE WHEN m = 1 AND coalesce(lag(m) OVER (PARTITION BY doc_id
+                                                        ORDER BY p), 0) = 0
+                  THEN 1 ELSE 0 END AS span_start
+      FROM marked
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN p = 0 THEN n ELSE 0 END) AS BIGINT) AS n_tokens,
+           CAST(sum(m) AS BIGINT) AS n_masked,
+           CAST(sum(span_start) AS BIGINT) AS n_spans,
+           CAST((sum(m) * 1000000) // sum(CASE WHEN p = 0 THEN n ELSE 0 END)
+                AS BIGINT) AS mask_micro
+    FROM runs
+    GROUP BY source
+    """,
+)
+def t38_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-CORRUPTION masking — the training-example construction step
+    (T5 denoising objectives, Raffel et al. 2020): deterministic span
+    starts (md5-fold draw per (doc, position) at rate 1/10), each span
+    masking 3 tokens, OVERLAPPING spans merged (a position is masked if
+    any of the 3 trailing starts fired; merged-run accounting via the
+    gaps-and-islands lag rule q91 uses) — the per-source report every
+    masking-rate decision reads: docs, tokens, masked tokens, merged
+    span count, mask ratio in integer micro-units.  The plan is one
+    tokenize scan, one position explode (guarded n > 0 — Spark's
+    sequence(0, -1) DESCENDS, the t21 lesson), and ONE window pass per
+    rule over the (doc_id, p) partitioning Catalyst shares across both
+    window functions, then a tiny source rollup.  At 100 TB the explode
+    is token-count-sized — the same cardinality tokenization itself
+    costs — and everything after it is windows + one narrow shuffle.
+    All-integer laws, bit-for-bit oracle replay."""
+    docs = _t(spark, sf_dir, "documents")
+    tok_n = docs.select(
+        "doc_id", "source", F.size(text.tokens("text")).alias("n")
+    ).filter(F.col("n") > 0)
+    pos = tok_n.select(
+        "doc_id",
+        "source",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("p"),
+    )
+    cand = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.col("p").cast("string"),
+                        F.lit("sc"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+        == 0
+    ).cast("int")
+    wtrail = (
+        Window.partitionBy("doc_id").orderBy("p").rowsBetween(-2, 0)
+    )
+    wlag = Window.partitionBy("doc_id").orderBy("p")
+    marked = pos.withColumn("m", F.max(cand).over(wtrail))
+    runs = marked.withColumn(
+        "span_start",
+        (
+            (F.col("m") == 1)
+            & (F.coalesce(F.lag("m").over(wlag), F.lit(0)) == 0)
+        ).cast("int"),
+    )
+    return runs.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("p") == 0, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.sum("m").cast("bigint").alias("n_masked"),
+        F.sum("span_start").cast("bigint").alias("n_spans"),
+        F.expr(
+            "cast((sum(m) * 1000000L) div"
+            " sum(CASE WHEN p = 0 THEN n ELSE 0 END) as bigint)"
+        ).alias("mask_micro"),
+    )

@@ -914,3 +914,14 @@ def test_t37_fold_filter_preserves_partitioning(spark):
     finally:
         feats.unpersist(blocking=False)
         labels.unpersist(blocking=False)
+
+
+def test_t38_shared_window_partitioning_single_pass(q):
+    # both window rules (trailing-3 mask max, lag span-start) run over
+    # the SAME (doc_id, p) ordering: Catalyst plans ONE window exchange,
+    # and the only other exchange is the tiny source rollup
+    df = q("t38_span_corruption")
+    plan = I.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert I.exchange_count(df) <= 3  # window + rollup (+distinct expand)
