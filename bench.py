@@ -204,6 +204,8 @@ HEADLINE = [
     "s21_filtered_ann_topk",
     # round-7 additions (19): span-corruption masking report
     "t38_span_corruption",
+    # round-7 additions (20): LSH dedup quality (recall/precision)
+    "d27_lsh_quality_report",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
@@ -244,6 +246,7 @@ POST_R5_ADDITIONS = [
     "q121_weighted_sssp",
     "s21_filtered_ann_topk",
     "t38_span_corruption",
+    "d27_lsh_quality_report",
 ]
 
 #: the 91-query round-5 series subset (everything except the post-r5

@@ -13808,3 +13808,69 @@ def t38_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             " sum(CASE WHEN p = 0 THEN n ELSE 0 END) as bigint)"
         ).alias("mask_micro"),
     )
+
+
+# =========================================================================
+# Round 7 (14): dedup-quality evaluation (LSH recall/precision)
+# =========================================================================
+
+
+@query(
+    "d27_lsh_quality_report",
+    oracle="""
+    WITH truth AS (
+      SELECT id_a, id_b FROM (""" + ORACLE["d02_ngram_jaccard_pairs"] + """
+      ) WHERE jaccard >= 0.5
+    ), lsh AS (
+      SELECT id_a, id_b FROM (""" + _d11_oracle(threshold=0.25) + """
+      )
+    ), hit AS (
+      SELECT count(*) AS n FROM truth JOIN lsh USING (id_a, id_b)
+    )
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+           CAST(hit.n AS BIGINT) AS n_hit,
+           CAST((hit.n * 1000000) // (SELECT count(*) FROM truth) AS BIGINT)
+             AS recall_micro,
+           CAST((hit.n * 1000000) // (SELECT count(*) FROM lsh) AS BIGINT)
+             AS precision_micro
+    FROM hit
+    """,
+)
+def d27_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-QUALITY evaluation — the s13/s15 recall-report discipline
+    applied to the DEDUP family: how good is the scalable LSH arm
+    against exact ground truth?  Truth = d02's exact 3-gram Jaccard
+    pairs at J >= 0.5 (the dedup decision threshold); candidate arm =
+    d11's checked MinHash pipeline at estimate >= 0.25 (8 of 32
+    permutations — deliberately loose, LSH's recall-first posture).
+    The report is ONE row: pair counts, hits, recall and precision in
+    integer micro-units — the measurement a 100 TB dedup config change
+    (bands, permutations, thresholds) is judged by before it ships.
+    Both arms are the ALREADY-value-checked laws composed (the t27/d23
+    composition discipline), so the whole evaluation replays
+    bit-for-bit; cost is the two arms plus a pair-keyed join, and the
+    truth arm's shingle equi-join is the same never-all-pairs plan d02
+    pins."""
+    truth = d02_ngram_jaccard_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.5
+    ).select("id_a", "id_b")
+    lsh = dedup.minhash_lsh_pairs_checked(
+        _t(spark, sf_dir, "documents"), est_threshold=0.25
+    ).select("id_a", "id_b")
+    n_truth = truth.count()
+    n_lsh = lsh.count()
+    n_hit = truth.join(lsh, ["id_a", "id_b"]).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_truth,
+                n_lsh,
+                n_hit,
+                (n_hit * 1_000_000) // n_truth,
+                (n_hit * 1_000_000) // n_lsh,
+            )
+        ],
+        "n_truth bigint, n_lsh bigint, n_hit bigint,"
+        " recall_micro bigint, precision_micro bigint",
+    )
