@@ -206,6 +206,8 @@ HEADLINE = [
     "t38_span_corruption",
     # round-7 additions (20): LSH dedup quality (recall/precision)
     "d27_lsh_quality_report",
+    # round-7 additions (21): quality-signal agreement (Spearman)
+    "t39_signal_agreement",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
@@ -247,6 +249,7 @@ POST_R5_ADDITIONS = [
     "s21_filtered_ann_topk",
     "t38_span_corruption",
     "d27_lsh_quality_report",
+    "t39_signal_agreement",
 ]
 
 #: the 91-query round-5 series subset (everything except the post-r5

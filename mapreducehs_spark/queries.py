@@ -13874,3 +13874,150 @@ def d27_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_truth bigint, n_lsh bigint, n_hit bigint,"
         " recall_micro bigint, precision_micro bigint",
     )
+
+
+# =========================================================================
+# Round 7 (15): quality-signal agreement (exact Spearman)
+# =========================================================================
+
+
+@query(
+    "t39_signal_agreement",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+      FROM documents
+    ), doc_term AS (
+      SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2
+    ), freq AS (
+      SELECT term, count(*) AS f FROM toks GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(f) AS DOUBLE) AS n FROM freq
+    ), lp AS (
+      SELECT doc_id,
+             CAST(sum(c * CAST(floor(1e6 * ln(CAST(f AS DOUBLE) / n)) AS BIGINT))
+                  AS BIGINT) * 10000
+               // (CAST(sum(c) AS BIGINT) * 1000000) AS x
+      FROM doc_term JOIN freq USING (term), tot
+      GROUP BY doc_id
+    ), qtoks AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), qual AS (
+      SELECT doc_id,
+             round(least(greatest(
+               0.5 + least(len(list_filter(t, x -> list_contains(
+                       ['the','a','of','and','to','in','is','it'], lower(x)))) /
+                     CAST(greatest(len(t), 1) AS DOUBLE) * 2.0, 0.25)
+                   - least(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) /
+                     CAST(greatest(length(text), 1) AS DOUBLE) * 2.0, 0.25)
+                   + CASE WHEN length(text) BETWEEN 20 AND 100000
+                          THEN 0.25 ELSE -0.25 END, 0.0), 1.0), 6) AS y
+      FROM qtoks
+    ), joined AS (
+      SELECT lp.doc_id, lp.x, qual.y FROM lp JOIN qual USING (doc_id)
+    ), ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY x ASC, doc_id ASC) AS rx,
+             row_number() OVER (ORDER BY y ASC, doc_id ASC) AS ry
+      FROM joined
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+      FROM ranked
+    )
+    SELECT n_docs, sum_d2,
+           CAST(1000 - (6000 * sum_d2) // (n_docs * (n_docs * n_docs - 1))
+                AS BIGINT) AS rho_milli
+    FROM agg
+    """,
+)
+def t39_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-SIGNAL AGREEMENT — exact Spearman rank correlation
+    between two committed curation signals: the unigram-LM fluency
+    score (t17's integer avg-logprob key) and the heuristic composite
+    quality score (t02's law).  This is the report that decides whether
+    a cheap signal can stand in for an expensive one before a 100 TB
+    filter run — the evaluation-tier pattern (s13 ANN recall, d27 LSH
+    quality, q116 calibration) closing over signal selection itself.
+    rho = 1 - 6*sum(d^2)/(n(n^2-1)) with ordinal ranks tie-broken by
+    doc_id, so the statistic is exactly determined; emitted in integer
+    MILLI-units ((6000*sum_d2) keeps the numerator under 2^63 to ~1e9
+    docs — past that, the q01 decimal(38,0) recipe).  Global ranks come
+    from the two-phase positions idiom (range-repartition + offsets,
+    global_positions_cached) — never a single-task row_number window;
+    both rank passes and the final 1-row reduce are the whole cost on
+    top of the two signal laws."""
+    from mapreducehs_spark.operators.sampling import global_positions_cached
+    from mapreducehs_spark.operators.text import with_quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    # signal x: t17's integer avg-logprob key (micro-nats via the libm
+    # UDF on the vocabulary frame — the JVM-log-ulp lesson)
+    toks = (
+        docs.select("doc_id", text.tokens("text").alias("__t"))
+        .select("doc_id", F.explode_outer("__t").alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
+    doc_term = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    total = freq.agg(F.sum("f").cast("double").alias("n"))
+    scored = (
+        freq.crossJoin(F.broadcast(total))
+        .withColumn(
+            "micro", text.micro_ln_udf()(F.col("f").cast("double") / F.col("n"))
+        )
+        .select("term", "micro")
+    )
+    x = (
+        doc_term.join(F.broadcast(scored), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("__nt"),
+            F.sum(F.col("c") * F.col("micro")).cast("bigint").alias("__s"),
+        )
+        .select("doc_id", F.expr("(__s * 10000L) div (__nt * 1000000L)").alias("x"))
+    )
+    # signal y: t02's composite quality law (same rounding as its oracle)
+    y = with_quality_score(docs).select(
+        "doc_id", F.round("quality_score", 6).alias("y")
+    )
+    joined = x.join(y, "doc_id").persist()
+    caches = []
+    try:
+        joined.count()
+        rx, c1 = global_positions_cached(
+            joined.select("doc_id", "x"), ["x", "doc_id"], "rx"
+        )
+        caches.append(c1)
+        ry, c2 = global_positions_cached(
+            joined.select("doc_id", "y"), ["y", "doc_id"], "ry"
+        )
+        caches.append(c2)
+        return (
+            rx.select("doc_id", "rx")
+            .join(ry.select("doc_id", "ry"), "doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum(
+                    (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+                )
+                .cast("bigint")
+                .alias("sum_d2"),
+            )
+            .select(
+                "n_docs",
+                "sum_d2",
+                F.expr(
+                    "cast(1000 - (6000L * sum_d2) div"
+                    " (n_docs * (n_docs * n_docs - 1)) as bigint)"
+                ).alias("rho_milli"),
+            )
+            .localCheckpoint()  # materialize while the rank caches live
+        )
+    finally:
+        joined.unpersist(blocking=False)
+        for c in caches:
+            c.unpersist(blocking=False)
