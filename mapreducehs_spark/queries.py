@@ -14021,3 +14021,54 @@ def t39_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.unpersist(blocking=False)
         for c in caches:
             c.unpersist(blocking=False)
+
+
+# =========================================================================
+# Round 7 (16): streaming quantiles (histogram state)
+# =========================================================================
+
+
+@query(
+    "st25_stream_histogram_quantiles",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, CAST(floor(value) AS BIGINT) AS bkt FROM events
+    ), h AS (
+      SELECT event_type, bkt, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1
+    ), cum AS (
+      SELECT event_type, bkt, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bkt ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h
+    )
+    SELECT t.event_type, t.n AS n_values,
+           CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN bkt END) AS BIGINT)
+             AS p50_floor,
+           CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 THEN bkt END) AS BIGINT)
+             AS p90_floor
+    FROM cum JOIN tot t USING (event_type)
+    GROUP BY 1, 2
+    """,
+)
+def st25_stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING QUANTILES via integer-bucket histogram state — the
+    percentile member of the streaming-sketch family (st13 heavy
+    hitters, st20 moments): per event_type, counts over floor(value)
+    buckets fold in applyInPandasWithState.  The design choice IS the
+    point: bucket counts are ASSOCIATIVE, so unlike compaction-based
+    digests (KLL/t-digest, whose internals depend on arrival order) the
+    state is trigger-slicing-independent and the final p50/p90
+    value-check EXACTLY against the batch law — fixed-bucket histograms
+    are how production latency percentiles actually ship.  State per
+    key is bounded by the value RANGE, not the stream length; the
+    serving read (latest update per key, st13's pattern) applies the
+    integer rank law: p50 at rank (n+1) div 2, p90 at ceil(9n/10),
+    each the smallest bucket whose cumulative count reaches the rank.
+    Stream==batch at all four SFs (the st13/st15/st17 discipline)."""
+    from mapreducehs_spark import streaming as st
+
+    updates = st.stateful_histogram(_replayed_events(spark, sf_dir))
+    log = st.run_to_batch(updates, "st25_sink", output_mode="append")
+    return st.histogram_quantiles_log(log)

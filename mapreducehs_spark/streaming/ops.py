@@ -1748,3 +1748,135 @@ def enrich_asof_versions(events: DataFrame, dim: DataFrame) -> DataFrame:
     return ev.join(F.broadcast(dim), cond, "inner").select(
         "event_id", "user_id", "ts_s", "version_type", "valid_from_s"
     )
+
+
+_HIST_OUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("update_seq", LongType()),
+        StructField("buckets", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+_HIST_STATE = StructType(
+    [
+        StructField("buckets", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("seq", LongType()),
+    ]
+)
+
+
+def stateful_histogram(events: DataFrame) -> DataFrame:
+    """Streaming integer-bucket HISTOGRAM state — the quantile member
+    of the streaming-sketch family (st13 heavy hitters, st20 moments):
+    per event_type, counts over floor(value) buckets.  Bucket counts
+    are ASSOCIATIVE, so unlike compaction-based quantile sketches (KLL)
+    the state is trigger-slicing-independent and the final quantiles
+    value-check EXACTLY against the batch law — the bounded-domain
+    histogram is how production latency percentiles actually ship
+    (fixed-bucket histograms, not order-sensitive digests).  State per
+    key is bounded by the value range, independent of stream length.
+    Each update emits the whole histogram; the serving read takes the
+    latest per key (st13's pattern)."""
+
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        hist: dict[int, int] = {}
+        if state.exists:
+            buckets, counts, seq = state.get
+            hist = dict(zip([int(b) for b in buckets], [int(c) for c in counts]))
+        else:
+            seq = 0
+        for pdf in batches:
+            import numpy as np
+
+            vc = pd.Series(
+                np.floor(pdf["value"].to_numpy(dtype="float64")).astype("int64")
+            ).value_counts()
+            for b, c in vc.items():
+                hist[int(b)] = hist.get(int(b), 0) + int(c)
+        seq += 1
+        keys = sorted(hist)
+        state.update((keys, [hist[b] for b in keys], seq))
+        yield pd.DataFrame(
+            {
+                "event_type": [etype],
+                "update_seq": [seq],
+                "buckets": [keys],
+                "counts": [[hist[b] for b in keys]],
+            }
+        )
+
+    return (
+        events.filter(F.col("event_type") != FLUSH_TYPE)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_HIST_OUT,
+            stateStructType=_HIST_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def histogram_quantiles_log(log: DataFrame) -> DataFrame:
+    """Serving read for ``stateful_histogram``: latest update per key,
+    explode to (bucket, count), then the integer quantile law — p50 at
+    rank (n+1) div 2 (lower median), p90 at rank ceil(9n/10) =
+    (9n+9) div 10, each the smallest bucket whose cumulative count
+    reaches the rank.  All integers; the batch oracle replays the law
+    verbatim."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("update_seq").desc())
+    latest = (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_type", F.arrays_zip("buckets", "counts").alias("z"))
+        .select("event_type", F.explode("z").alias("e"))
+        .select(
+            "event_type",
+            F.col("e.buckets").alias("bkt"),
+            F.col("e.counts").alias("c"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    # total via the full-partition frame of the SAME window partitioning
+    # (one exchange serves both sums; also avoids a self-join on the
+    # exploded frame, which trips conflicting-reference resolution)
+    cum = latest.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wall).cast("bigint")
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.first("n").alias("n_values"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(n + 1) div 2"), F.col("bkt")
+                )
+            )
+            .cast("bigint")
+            .alias("p50_floor"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(9 * n + 9) div 10"), F.col("bkt")
+                )
+            )
+            .cast("bigint")
+            .alias("p90_floor"),
+        )
+    )
