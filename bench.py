@@ -208,6 +208,8 @@ HEADLINE = [
     "d27_lsh_quality_report",
     # round-7 additions (21): quality-signal agreement (Spearman)
     "t39_signal_agreement",
+    # round-7 additions (22): incremental near-dup components
+    "d28_incremental_components",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
@@ -250,6 +252,7 @@ POST_R5_ADDITIONS = [
     "t38_span_corruption",
     "d27_lsh_quality_report",
     "t39_signal_agreement",
+    "d28_incremental_components",
 ]
 
 #: the 91-query round-5 series subset (everything except the post-r5

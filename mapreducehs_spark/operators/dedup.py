@@ -988,28 +988,18 @@ def minhash_check_seeds() -> tuple[list[int], list[int]]:
     return a, b
 
 
-def minhash_lsh_pairs_checked(
+def minhash_checked_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
-    est_threshold: float = 0.25,
-) -> DataFrame:
-    """MinHash LSH near-dup pairs in a fully ENGINE-PORTABLE formulation:
-    shingle ids are md5-hex folds (not siphash/xxhash, which only Spark
-    has), permutations are universal hashes with literal seeds, and band
-    keys are plain signature concatenations — every step re-runnable in
-    ANSI-ish SQL, so the whole LSH pipeline (signatures → banding →
-    candidates → estimate) is value-checked against the DuckDB oracle,
-    not just row-counted.  ``minhash_lsh_pairs`` (vectorized numpy
-    kernel, xxhash-class hashing) remains the throughput path; this
-    variant costs ~an md5 per shingle and exists to pin the ALGORITHM.
-
-    Same scale shape as the fast path: shingling + hashing are
-    scan-shaped, signatures are one 16-way min aggregation (partial
-    aggregation applies — min is associative), candidates come from a
-    band-key equi-join, and only candidate pairs compare signatures.
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """The checked-MinHash SIGNATURE + BANDING stages as a reusable
+    seam (round 7: the incremental near-dup composition needs to band a
+    BATCH against a stored index without re-banding the corpus):
+    returns (sigs (id, m0..m15), banded (id, band, bk)) — exactly the
+    expression trees ``minhash_lsh_pairs_checked`` always built
+    (extraction, not a change; plan fingerprints hold)."""
     a_seeds, b_seeds = minhash_check_seeds()
     p = F.lit(_H31).cast("bigint")
     rows_per_band = MINHASH_CHECK_NUM_PERM // MINHASH_CHECK_BANDS
@@ -1048,6 +1038,34 @@ def minhash_lsh_pairs_checked(
         ]
     )
     banded = sigs.select("id", F.posexplode(band_keys).alias("band", "bk"))
+    return sigs, banded
+
+
+def minhash_lsh_pairs_checked(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    est_threshold: float = 0.25,
+) -> DataFrame:
+    """MinHash LSH near-dup pairs in a fully ENGINE-PORTABLE formulation:
+    shingle ids are md5-hex folds (not siphash/xxhash, which only Spark
+    has), permutations are universal hashes with literal seeds, and band
+    keys are plain signature concatenations — every step re-runnable in
+    ANSI-ish SQL, so the whole LSH pipeline (signatures → banding →
+    candidates → estimate) is value-checked against the DuckDB oracle,
+    not just row-counted.  ``minhash_lsh_pairs`` (vectorized numpy
+    kernel, xxhash-class hashing) remains the throughput path; this
+    variant costs ~an md5 per shingle and exists to pin the ALGORITHM.
+
+    Same scale shape as the fast path: shingling + hashing are
+    scan-shaped, signatures are one 16-way min aggregation (partial
+    aggregation applies — min is associative), candidates come from a
+    band-key equi-join, and only candidate pairs compare signatures.
+    """
+    sigs, banded = minhash_checked_signatures(
+        df, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+    )
     cand = (
         banded.select(F.col("id").alias("id_a"), "band", "bk")
         .join(banded.select(F.col("id").alias("id_b"), "band", "bk"), ["band", "bk"])
@@ -1055,6 +1073,16 @@ def minhash_lsh_pairs_checked(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    return minhash_checked_verify(cand, sigs, est_threshold)
+
+
+def minhash_checked_verify(
+    cand: DataFrame, sigs: DataFrame, est_threshold: float
+) -> DataFrame:
+    """The checked-MinHash VERIFY stage as a reusable seam (round 7,
+    extraction like ``minhash_checked_signatures``): candidate pairs
+    compare full signatures, keep estimate >= threshold.  Exactly the
+    expression tree ``minhash_lsh_pairs_checked`` always built."""
     sa = sigs.select(F.col("id").alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(MINHASH_CHECK_NUM_PERM)])
     sb = sigs.select(F.col("id").alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(MINHASH_CHECK_NUM_PERM)])
     agree = sum(

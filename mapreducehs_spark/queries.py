@@ -14072,3 +14072,112 @@ def st25_stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
     updates = st.stateful_histogram(_replayed_events(spark, sf_dir))
     log = st.run_to_batch(updates, "st25_sink", output_mode="append")
     return st.histogram_quantiles_log(log)
+
+
+# =========================================================================
+# Round 7 (17): incremental near-dup components
+# =========================================================================
+
+
+def _d28_oracle() -> str:
+    """d21's full chain (signatures -> banding -> candidates -> verify
+    -> component-min closure) rebased onto the UNION corpus (base +
+    d25's re-ingest batch law) — the ground truth the incremental
+    composition must equal."""
+    ctes, agree, np_ = _minhash_checked_ctes()
+    assert ctes.count("FROM documents") == 1
+    ctes = ctes.replace("FROM documents", "FROM alldocs", 1)
+    return f"""
+    WITH RECURSIVE alldocs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             CASE WHEN doc_id % 3 = 1 THEN text || ' updated' ELSE text END AS text
+      FROM documents WHERE doc_id % 3 IN (0, 1)
+    ), {ctes},
+    est AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b
+      WHERE ({agree}) / {float(np_)} >= 0.25
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM est
+      UNION
+      SELECT id_b, id_a FROM est
+    ), reach(src, dst) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
+    )
+    SELECT src AS node, CAST(min(dst) AS BIGINT) AS rep
+    FROM reach
+    GROUP BY src
+    HAVING src != min(dst)
+    """
+
+
+@query("d28_incremental_components", oracle=_d28_oracle())
+def d28_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup components — the graph-level member of the
+    incremental-dedup tier (d09 exact index probe, d25 Bloom index):
+    a re-ingest batch (d25's law: re-crawls + edits) joins an EXISTING
+    dedup graph without re-pairing history.  The delta path is the
+    point: the batch's band keys probe the stored band index
+    (minhash_checked_signatures seam), so candidate generation touches
+    batch x index — base-base pairs NEVER regenerate; verified new
+    edges then merge with the STORED labels (each (node, rep) label is
+    a connectivity-preserving edge), and connected_components_star
+    closes the union.  Correctness law: CC(labels U new_edges) =
+    CC(base_edges U new_edges) because labels contract exactly the
+    base connectivity — the oracle replays the FULL-recompute chain
+    over the union corpus and must match bit-for-bit.  At 100 TB the
+    daily increment costs O(batch x bands + affected components), not
+    O(history^2); the d21 output contract (node, rep) stays linear."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter((F.col("doc_id") % 3).isin(0, 1)).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 1, F.concat(F.col("text"), F.lit(" updated")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sigs_base, banded_base = dedup.minhash_checked_signatures(docs)
+    sigs_new, banded_new = dedup.minhash_checked_signatures(batch)
+
+    # stored state: the base graph's labels (built once, then persisted
+    # in production — the d09 base-index framing)
+    cand_base = (
+        banded_base.select(F.col("id").alias("id_a"), "band", "bk")
+        .join(
+            banded_base.select(F.col("id").alias("id_b"), "band", "bk"),
+            ["band", "bk"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    base_edges = dedup.minhash_checked_verify(cand_base, sigs_base, 0.25).select(
+        "id_a", "id_b"
+    )
+    labels = dedup.connected_components_star(base_edges)
+
+    # delta path: batch bands probe the FULL index (base + batch);
+    # normalize to undirected (min, max) pairs — base-base never appears
+    index = banded_base.unionByName(banded_new)
+    cand_new = (
+        banded_new.select(F.col("id").alias("id_a"), "band", "bk")
+        .join(index.select(F.col("id").alias("id_b"), "band", "bk"), ["band", "bk"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sigs_all = sigs_base.unionByName(sigs_new)
+    new_edges = dedup.minhash_checked_verify(cand_new, sigs_all, 0.25).select(
+        "id_a", "id_b"
+    )
+
+    merged = labels.select(
+        F.col("node").alias("id_a"), F.col("rep").alias("id_b")
+    ).unionByName(new_edges)
+    return dedup.connected_components_star(merged)

@@ -925,3 +925,29 @@ def test_t38_shared_window_partitioning_single_pass(q):
     assert "CartesianProduct" not in plan
     assert "Join" not in plan
     assert I.exchange_count(df) <= 3  # window + rollup (+distinct expand)
+
+
+def test_d28_delta_path_never_all_pairs(spark):
+    # the incremental contract: batch candidates come from the band-key
+    # equi-join against the stored index — no cartesian anywhere, and
+    # base-base pairs never regenerate (the probe side is batch-only)
+    import pyspark.sql.functions as F
+
+    from mapreducehs_spark.operators import dedup
+    from mapreducehs_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    batch = docs.filter((F.col("doc_id") % 3).isin(0, 1)).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    _, banded_base = dedup.minhash_checked_signatures(docs)
+    _, banded_new = dedup.minhash_checked_signatures(batch)
+    index = banded_base.unionByName(banded_new)
+    cand = (
+        banded_new.select(F.col("id").alias("id_a"), "band", "bk")
+        .join(index.select(F.col("id").alias("id_b"), "band", "bk"), ["band", "bk"])
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    plan = I.formatted_plan(cand)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
