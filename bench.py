@@ -210,6 +210,8 @@ HEADLINE = [
     "t39_signal_agreement",
     # round-7 additions (22): incremental near-dup components
     "d28_incremental_components",
+    # round-7 additions (23): dedup-aware weighted sampling
+    "d29_dedup_weighted_sample",
 ]
 
 # st13 is excluded from HEADLINE like the other st-series queries: the
@@ -253,6 +255,7 @@ POST_R5_ADDITIONS = [
     "d27_lsh_quality_report",
     "t39_signal_agreement",
     "d28_incremental_components",
+    "d29_dedup_weighted_sample",
 ]
 
 #: the 91-query round-5 series subset (everything except the post-r5

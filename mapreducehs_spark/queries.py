@@ -14181,3 +14181,91 @@ def d28_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("id_a"), F.col("rep").alias("id_b")
     ).unionByName(new_edges)
     return dedup.connected_components_star(merged)
+
+
+# =========================================================================
+# Round 7 (18): dedup-aware weighted sampling
+# =========================================================================
+
+
+def _d29_oracle() -> str:
+    """d07's composed drop-list replay (shared renderer) feeding t31's
+    exponential-race law, weights = near-dup class sizes."""
+    drop = _d15_oracle(est_threshold=0.25, jaccard_threshold=0.6)
+    return f"""
+    WITH droplist AS (
+      SELECT doc_id, rep_id FROM ({drop}) t
+    ), sizes AS (
+      SELECT rep_id, CAST(count(*) AS BIGINT) AS members FROM droplist GROUP BY 1
+    ), kept AS (
+      SELECT d.doc_id, 1 + coalesce(s.members, 0) AS w
+      FROM documents d
+      LEFT JOIN droplist dl ON dl.doc_id = d.doc_id
+      LEFT JOIN sizes s ON s.rep_id = d.doc_id
+      WHERE dl.doc_id IS NULL
+    ), keyed AS (
+      SELECT doc_id, w,
+             -ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':d29'), 1, 8))::BIGINT
+                   + 1) / 4294967296.0)) / w AS k
+      FROM kept
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS w, round(k * 1000000, 4) AS cost_micro
+    FROM keyed
+    ORDER BY k ASC, doc_id ASC
+    LIMIT 25
+    """
+
+
+@query("d29_dedup_weighted_sample", oracle=_d29_oracle())
+def d29_dedup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-AWARE weighted sampling — the composition every
+    dedup-then-sample pipeline needs: naive sampling AFTER dedup
+    under-represents content that was heavily duplicated (one kept
+    canonical doc stands for its whole class), so the canonical
+    survivors draw with probability proportional to their NEAR-DUP
+    CLASS SIZE.  Classes come from d07's checked drop list (kept doc =
+    not dropped; weight = 1 + members mapped to it), the draw is t31's
+    Efraimidis-Spirakis exponential race (key = -ln(u)/w, u the md5
+    '+1 over 2^32' exact-mantissa draw, doc_id tie-break), and the
+    top-25 lowers to TakeOrderedAndProject.  At 100 TB: the drop list
+    is candidates-sized, the weight lookup is one aggregation over it,
+    the race is a per-row expression on the kept scan, and the shuffle
+    carries per-partition heaps — the d20/t27 composition discipline
+    with both laws already value-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    drop = dedup.near_dedup_drop_list_checked(
+        docs, est_threshold=0.25, jaccard_threshold=0.6
+    ).select("doc_id", "rep_id")
+    sizes = drop.groupBy("rep_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("members")
+    )
+    kept = (
+        docs.select("doc_id")
+        .join(drop.select("doc_id"), "doc_id", "left_anti")
+        .join(sizes, F.col("doc_id") == F.col("rep_id"), "left")
+        .select(
+            "doc_id",
+            (F.lit(1) + F.coalesce(F.col("members"), F.lit(0)))
+            .cast("bigint")
+            .alias("w"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":d29"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(1)
+    ) / F.lit(4294967296.0)
+    key = -F.log(u) / F.col("w")
+    return (
+        kept.withColumn("__k", key)
+        .orderBy(F.col("__k").asc(), F.col("doc_id").asc())
+        .limit(25)
+        .select(
+            "doc_id", "w", F.round(F.col("__k") * 1_000_000, 4).alias("cost_micro")
+        )
+    )
