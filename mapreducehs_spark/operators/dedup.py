@@ -1650,8 +1650,21 @@ def content_defined_chunks(
         )
         .filter(F.col("j").isNotNull())
     )
+    # Clamp the slice start to 1: for j < 3 the surrounding `j >= 3`
+    # conjunct makes the hash irrelevant, but Spark evaluates slice()
+    # eagerly (start=0 throws, start<0 reads from the array end), so the
+    # guard must be structural rather than rely on And short-circuiting
+    # surviving Catalyst.
     gram_hash = F.conv(
-        F.substring(F.md5(F.concat_ws(" ", F.slice("t", F.col("j") - 2, 3))), 1, 12),
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice("t", F.greatest(F.col("j") - 2, F.lit(1)), 3)
+                )
+            ),
+            1,
+            12,
+        ),
         16,
         10,
     ).cast("bigint")

@@ -342,7 +342,10 @@ def logreg_crossval(
                 .alias("n_correct"),
             ).collect()[0]
             ne, nc = int(row["n_eval"]), int(row["n_correct"])
-            out.append((f, ne, nc, (nc * MICRO) // ne))
+            # max(ne, 1): an empty fold (tiny input, or k > distinct
+            # docs) emits a 0-accuracy row instead of a driver
+            # ZeroDivisionError.
+            out.append((f, ne, nc, (nc * MICRO) // max(ne, 1)))
     finally:
         features.unpersist(blocking=False)
         labels.unpersist(blocking=False)

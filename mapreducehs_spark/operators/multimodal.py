@@ -723,6 +723,16 @@ def video_majority_ahash(
         for pdf in it:
             for i, p in zip(pdf[id_col], pdf[payload_col]):
                 frames = decode_mrv_frames(bytes(p), every_n=every_n)
+                if not frames:
+                    # Zero decoded frames would make the majority
+                    # threshold 0, so every bit votes true and ALL empty
+                    # clips silently collapse into one all-ones
+                    # fingerprint — reject instead (mirrors the
+                    # dims-not-divisible-by-8 guard below).
+                    raise ValueError(
+                        f"video_majority_ahash: payload id={int(i)} "
+                        "decoded to zero frames"
+                    )
                 votes = np.zeros(64, dtype=np.int64)
                 for _fidx, img in frames:
                     h, w = img.shape

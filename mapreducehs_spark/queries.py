@@ -13944,8 +13944,10 @@ def t39_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality, q116 calibration) closing over signal selection itself.
     rho = 1 - 6*sum(d^2)/(n(n^2-1)) with ordinal ranks tie-broken by
     doc_id, so the statistic is exactly determined; emitted in integer
-    MILLI-units ((6000*sum_d2) keeps the numerator under 2^63 to ~1e9
-    docs — past that, the q01 decimal(38,0) recipe).  Global ranks come
+    MILLI-units.  Integer headroom: the denominator n*(n^2-1) and
+    6000*sum_d2 (sum_d2 approaches n^3/3) both grow as n^3, so BIGINT
+    overflows at n ≈ 2.1e6 docs — past ~2M docs switch the rho
+    computation to the q01 decimal(38,0) recipe.  Global ranks come
     from the two-phase positions idiom (range-repartition + offsets,
     global_positions_cached) — never a single-task row_number window;
     both rank passes and the final 1-row reduce are the whole cost on

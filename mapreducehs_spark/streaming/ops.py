@@ -1198,13 +1198,13 @@ def stateful_minhash_dedup(
         out_b: list[int] = []
         out_n: list[int] = []
         max_ts_ms = 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            max_ts_ms = max(
-                max_ts_ms, int(pdf["ts"].max().value // 1_000_000)
-            )
-            pdf = pdf.sort_values("doc_id")  # deterministic intra-batch order
+        # deterministic intra-batch order: concat ALL chunks, sort once
+        # (per-chunk sorting is not a global doc_id order when a
+        # micro-batch arrives as several Arrow chunks)
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("doc_id")
+            max_ts_ms = int(pdf["ts"].max().value // 1_000_000)
             for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
                 doc_id = int(doc_id)
                 if doc_id in member_set:
@@ -1320,8 +1320,12 @@ def stateful_funnel(
     ) -> Iterator[pd.DataFrame]:
         (user,) = key
         t1, t2, t3, seq = state.get if state.exists else (None, None, None, 0)
-        for pdf in batches:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # Concat ALL Arrow chunks before the single sort: a micro-batch
+        # may arrive as several chunks, and sorting each independently
+        # would replay events out of global (ts, event_id) order.
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             for et, ts in zip(pdf["event_type"], pdf["ts"]):
                 t = int(ts.value // 1_000_000_000)  # epoch seconds
                 if t1 is None:
@@ -1574,8 +1578,12 @@ def stateful_trailing_anomaly(
         out_eid: list[int] = []
         out_c: list[int] = []
         out_s: list[int] = []
-        for pdf in batches:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # Single sort over the concatenation of ALL Arrow chunks — the
+        # ring replay is order-sensitive, and per-chunk sorting would
+        # break the global (ts, event_id) order on multi-chunk batches.
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             for eid, v in zip(pdf["event_id"], pdf["value"]):
                 c = int(math.floor(float(v) * 100.0))
                 if len(ring) == window:
@@ -1669,8 +1677,12 @@ def stateful_bloom_dedup(
         )
         out_u: list[int] = []
         out_t: list[str] = []
-        for pdf in batches:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # Concat-then-sort: probe-then-insert order decides which keys
+        # become false positives, so the replay must be globally
+        # (ts, event_id)-ordered even when a micro-batch spans chunks.
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             pos = pdf[["p0", "p1", "p2", "p3"]].to_numpy(dtype=np.int64)
             users = pdf["user_id"].to_numpy()
             types = pdf["event_type"].to_numpy()
