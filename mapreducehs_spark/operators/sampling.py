@@ -235,3 +235,70 @@ def global_positions_cached(
             yield pdf
 
     return s.mapInPandas(kernel, schema=out_schema), s
+
+
+def global_prefix_sums_cached(
+    df: DataFrame,
+    order_cols: list[str],
+    weight_col: str,
+    out_col: str = "start",
+) -> tuple[DataFrame, DataFrame]:
+    """Assign every row the EXCLUSIVE prefix sum of ``weight_col`` over
+    the global order of ``order_cols`` — the weighted generalization of
+    ``global_positions_cached`` (same two-phase idiom, same cache
+    contract).
+
+    This is the token-offset primitive of a pretraining corpus export:
+    with weight = tokens-per-doc, ``out_col`` is each document's global
+    token start offset in the concatenated corpus, from which sequence
+    membership (``start div context_len``) and intra-sequence boundaries
+    are pure arithmetic (t40).  A bare ``sum(w) OVER (ORDER BY ...)``
+    collapses to ONE task holding the whole corpus; here the heavy data
+    stays distributed: range-repartition + in-partition sort, ONE
+    per-partition weight subtotal reaching the driver (#partitions
+    longs), then an Arrow kernel adds each partition's cumulative base
+    to its local running sum.
+
+    Returns (frame-with-out_col, cache-handle); the sorted frame MUST
+    stay persisted until the result is materialized (the two passes
+    must see the same sampled range boundaries) — caller unpersists.
+    """
+    from pyspark import TaskContext
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    s = (
+        df.repartitionByRange(par, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .persist()
+    )
+    pid_sums = (
+        s.select(
+            F.spark_partition_id().alias("__pid"),
+            F.col(weight_col).cast("bigint").alias("__w"),
+        )
+        .groupBy("__pid")
+        .agg(F.sum("__w").alias("w"))
+        .collect()
+    )
+    sums = {r["__pid"]: int(r["w"]) for r in pid_sums}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+
+    out_schema = ", ".join(f"{n} {t}" for n, t in s.dtypes) + f", {out_col} long"
+
+    def kernel(batches):
+        tc = TaskContext.get()
+        base = offsets.get(tc.partitionId(), 0)
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            w = pdf[weight_col].to_numpy(dtype="int64")
+            csum = w.cumsum()
+            pdf[out_col] = base + seen + csum - w  # exclusive prefix
+            seen += int(csum[-1]) if len(w) else 0
+            yield pdf
+
+    return s.mapInPandas(kernel, schema=out_schema), s

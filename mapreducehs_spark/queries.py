@@ -11291,7 +11291,10 @@ def t31_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T32_RATES = {"en": 0.5, "de": 1.0, "fr": 0.75, "es": 0.75, "zh": 0.25}
 
 
-def _t32_oracle() -> str:
+def _t32_ctes() -> str:
+    """The funnel stage-flag CTE block, shared by the t32 rollup oracle
+    and the t41 provenance-audit oracle (one definition of the rules on
+    BOTH engines)."""
     thr = _sampling.stratified_threshold_case_sql(_T32_RATES)
     return f"""
     WITH flagged AS (
@@ -11313,7 +11316,13 @@ def _t32_oracle() -> str:
     ), sampled AS (
       SELECT *, is_canon AND substr(h, 1, 8) < {thr} AS is_sampled
       FROM canon
-    )
+    )"""
+
+
+def _t32_oracle() -> str:
+    return (
+        _t32_ctes()
+        + """
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_raw,
            CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
@@ -11323,6 +11332,7 @@ def _t32_oracle() -> str:
     FROM sampled
     GROUP BY source
     """
+    )
 
 
 @query("t32_curation_funnel", oracle=_t32_oracle())
@@ -11346,7 +11356,28 @@ def t32_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     — identical texts), so nothing skews beyond the duplicate-class
     size that exact dedup is built to collapse; every stage is
     integer-exact, so the funnel replays bit-for-bit in the oracle."""
-    docs = _t(spark, sf_dir, "documents")
+    sampled = _t32_flags(_t(spark, sf_dir, "documents"))
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+        F.sum(F.when(F.col("q_ok"), 1).otherwise(0)).cast("bigint").alias("n_quality"),
+        F.sum(F.when(F.col("is_canon"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_canonical"),
+        F.sum(F.when(F.col("is_sampled"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sampled"),
+        F.sum(F.when(F.col("is_sampled"), F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_final"),
+    )
+
+
+def _t32_flags(docs: DataFrame) -> DataFrame:
+    """t32's per-doc stage flags, ONE definition (the _quality_losers
+    discipline) — shared by the t32 rollup and the t41 provenance
+    audit so the stage rules can never silently fork: columns
+    (source, lang, doc_id, n_chars, h, n_tok, n_uniq,
+    q_ok, is_canon, is_sampled)."""
     staged = docs.select(
         "source",
         "lang",
@@ -11383,21 +11414,8 @@ def t32_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         thr_expr = F.when(
             F.col("lang") == lang, F.lit(_sampling.fraction_to_hex(rate))
         ).otherwise(thr_expr)
-    sampled = canon.withColumn(
+    return canon.withColumn(
         "is_sampled", F.col("is_canon") & (F.substring("h", 1, 8) < thr_expr)
-    )
-    return sampled.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_raw"),
-        F.sum(F.when(F.col("q_ok"), 1).otherwise(0)).cast("bigint").alias("n_quality"),
-        F.sum(F.when(F.col("is_canon"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_canonical"),
-        F.sum(F.when(F.col("is_sampled"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_sampled"),
-        F.sum(F.when(F.col("is_sampled"), F.col("n_tok")).otherwise(0))
-        .cast("bigint")
-        .alias("tokens_final"),
     )
 
 
@@ -14270,4 +14288,217 @@ def d29_dedup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "w", F.round(F.col("__k") * 1_000_000, 4).alias("cost_micro")
         )
+    )
+
+
+# =========================================================================
+# Round 8: training-data export tier — sequence packing + funnel provenance
+# =========================================================================
+
+#: t40 context window (tokens per packed training sequence, incl. EOS
+#: separators).  Shared with the oracle renderer.
+_T40_CTX = 2048
+
+
+@query(
+    "t40_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ), w AS (
+      SELECT doc_id, n_tokens + 1 AS w FROM toks
+    ), starts AS (
+      SELECT doc_id, w,
+             CAST(sum(w) OVER (ORDER BY doc_id) - w AS BIGINT) AS start
+      FROM w
+    ), x AS (
+      SELECT doc_id, w, start, s.seq_id
+      FROM starts,
+           LATERAL unnest(range(start // {_T40_CTX},
+                                (start + w - 1) // {_T40_CTX} + 1)) s(seq_id)
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc,
+           CAST(sum(CASE WHEN (start + w - 1) // {_T40_CTX} = seq_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_eos,
+           CAST(sum(least(start + w, (seq_id + 1) * {_T40_CTX})
+                    - greatest(start, seq_id * {_T40_CTX})) AS BIGINT) AS n_fill,
+           CAST(sum(least(start + w, (seq_id + 1) * {_T40_CTX})
+                    - greatest(start, seq_id * {_T40_CTX}))
+                * 1000000 // {_T40_CTX} AS BIGINT) AS fill_micro
+    FROM x
+    GROUP BY seq_id
+    """,
+)
+def t40_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING for pretraining export — the step every corpus
+    build runs last: concatenate documents (doc_id order) with one EOS
+    separator each, split the token stream into fixed
+    ``_T40_CTX``-token context windows, and emit the per-sequence doc
+    map (how many docs, which span, how many EOS boundaries) plus the
+    fill rate in integer micro-units.  t19 chunks SINGLE docs and t33
+    balances whole-doc shards; this is the missing multi-doc window
+    packer (VERDICT r07 item 4).
+
+    Everything after tokenization is PURE ARITHMETIC on global token
+    offsets — sequence id = cumulative-token div context_len, doc/seq
+    overlap = interval intersection — so the packing is deterministic
+    and oracle-replayable.  Offsets come from
+    ``sampling.global_prefix_sums_cached`` (t33's two-phase idiom,
+    weighted: range-repartition + per-partition weight subtotals +
+    Arrow running sum) — NEVER a ``sum() OVER (ORDER BY ...)`` window,
+    which collapses a 30 TB corpus onto one task.  Plan: one corpus
+    scan, the range exchange, the seq_id hash exchange — window-free,
+    join-free; the doc/seq explode adds one row per boundary crossing
+    (≈ n_docs + n_sequences rows, linear).  The final partial sequence
+    surfaces as the max-seq_id row with fill_micro < 1e6 — its n_fill
+    IS the truncation loss if the export drops ragged tails.
+    Reference witness: O1 fission + O2 ordered fold
+    (src/Core/MapReduceC.hs:24-26)."""
+    df, cache = _t40_build(spark, sf_dir)
+    try:
+        return df.localCheckpoint()
+    finally:
+        cache.unpersist(blocking=False)
+
+
+def _t40_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """t40 pre-checkpoint builder (q107 discipline: plan pins inspect
+    THIS; the query returns a checkpointed result so the positions
+    cache can be freed)."""
+    from mapreducehs_spark.operators.sampling import global_prefix_sums_cached
+
+    C = _T40_CTX
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        (F.size(text.tokens("text")).cast("bigint") + F.lit(1)).alias("w"),
+    )
+    starts, cache = global_prefix_sums_cached(keyed, ["doc_id"], "w", out_col="start")
+    x = starts.select(
+        "doc_id",
+        "w",
+        "start",
+        F.explode_outer(
+            F.expr(f"sequence(start div {C}, (start + w - 1) div {C})")
+        ).alias("seq_id"),
+    ).filter(F.col("seq_id").isNotNull())
+    fill = F.least(
+        F.col("start") + F.col("w"), (F.col("seq_id") + 1) * C
+    ) - F.greatest(F.col("start"), F.col("seq_id") * C)
+    per_seq = (
+        x.select(
+            "doc_id",
+            "seq_id",
+            fill.alias("__fill"),
+            (F.expr(f"(start + w - 1) div {C}") == F.col("seq_id"))
+            .cast("bigint")
+            .alias("__eos"),
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+            F.sum("__eos").cast("bigint").alias("n_eos"),
+            F.sum("__fill").cast("bigint").alias("n_fill"),
+        )
+        .select(
+            "seq_id",
+            "n_docs",
+            "first_doc",
+            "last_doc",
+            "n_eos",
+            "n_fill",
+            F.expr(f"cast((n_fill * 1000000L) div {C} as bigint)").alias(
+                "fill_micro"
+            ),
+        )
+    )
+    return per_seq, cache
+
+
+def _t41_oracle() -> str:
+    return (
+        _t32_ctes()
+        + """
+    SELECT source,
+           CASE WHEN NOT q_ok THEN 'quality'
+                WHEN NOT is_canon THEN 'dedup'
+                WHEN NOT is_sampled THEN 'mixture'
+                ELSE 'kept' END AS stage,
+           CASE WHEN n_chars < 200 THEN 'len_chars'
+                WHEN n_tok < 40 THEN 'len_tokens'
+                WHEN 2 * n_uniq < n_tok THEN 'repetition'
+                WHEN NOT is_canon THEN 'duplicate'
+                WHEN NOT is_sampled THEN 'downsampled'
+                ELSE 'kept' END AS reason,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tokens
+    FROM sampled
+    GROUP BY source, stage, reason
+    """
+    )
+
+
+def _t41_provenance(flags: DataFrame) -> DataFrame:
+    """Per-doc drop provenance over t32's stage flags: (source, doc_id,
+    n_tok, stage, reason) — the audit table a data-governance review
+    reads.  ``stage`` is where the doc left the funnel ('kept' for
+    survivors); ``reason`` is the FIRST failing rule in the fixed
+    quality-rule order (a q_ok doc cannot match a quality reason, so
+    the single CASE is stage-consistent by construction).  At 100 TB
+    this frame is written to a sink partitioned by (stage, reason);
+    here t41 rolls it up so the oracle replays it exactly."""
+    stage = (
+        F.when(~F.col("q_ok"), F.lit("quality"))
+        .when(~F.col("is_canon"), F.lit("dedup"))
+        .when(~F.col("is_sampled"), F.lit("mixture"))
+        .otherwise(F.lit("kept"))
+    )
+    reason = (
+        F.when(F.col("n_chars") < 200, F.lit("len_chars"))
+        .when(F.col("n_tok") < 40, F.lit("len_tokens"))
+        .when(2 * F.col("n_uniq") < F.col("n_tok"), F.lit("repetition"))
+        .when(~F.col("is_canon"), F.lit("duplicate"))
+        .when(~F.col("is_sampled"), F.lit("downsampled"))
+        .otherwise(F.lit("kept"))
+    )
+    return flags.select(
+        "source", "doc_id", "n_tok", stage.alias("stage"), reason.alias("reason")
+    )
+
+
+@query("t41_funnel_provenance", oracle=_t41_oracle())
+def t41_funnel_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURATION-FUNNEL PROVENANCE AUDIT (VERDICT r07 item 5) — t32
+    reports per-source survivor COUNTS; a production corpus build also
+    needs the per-doc drop REASON (which stage, which rule): the table
+    a data-governance review reads before signing off a training set.
+    One pass over t32's OWN stage flags (``_t32_flags`` — shared seam,
+    the rules cannot fork) classifies every doc into
+    (stage, reason) ∈ {quality × first-failed-rule, dedup × duplicate,
+    mixture × downsampled, kept} and rolls up doc + token counts per
+    (source, stage, reason).
+
+    Cross-query consistency law (s13-vs-s01 discipline, pinned in
+    pytest): per source, Σ n_docs over all stages == t32.n_raw,
+    kept == t32.n_sampled, quality-dropped == n_raw - n_quality,
+    dedup-dropped == n_quality - n_canonical, mixture-dropped ==
+    n_canonical - n_sampled — the audit MUST reconcile exactly with
+    the funnel it audits.  Same plan shape as t32 (one scan, the
+    content-hash window exchange, the tiny rollup exchange); the
+    per-doc provenance frame (``_t41_provenance``) never costs more
+    than the funnel itself.  Reference witness: O19's per-key counts
+    (src/Sample.hs) — the reference's only 'report' is also a rollup
+    of per-record classifications."""
+    per = _t41_provenance(_t32_flags(_t(spark, sf_dir, "documents")))
+    return per.groupBy("source", "stage", "reason").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tokens"),
     )

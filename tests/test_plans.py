@@ -951,3 +951,43 @@ def test_d28_delta_path_never_all_pairs(spark):
     plan = I.formatted_plan(cand)
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_t40_packing_window_free_one_scan(spark):
+    """t40's scale contract: token offsets come from the weighted
+    two-phase positions idiom (range exchange + Arrow running sum) —
+    NEVER a sum() OVER (ORDER BY ...) global window, which collapses
+    the corpus onto one task — and the rest is arithmetic + one seq_id
+    rollup.  No joins anywhere.  (Pre-checkpoint plan, q107
+    discipline.)"""
+    from mapreducehs_spark.queries import _t40_build
+
+    df, cache = _t40_build(spark, SF)
+    try:
+        plan = I.formatted_plan(df)
+        assert "Window" not in plan
+        assert "Join" not in plan
+        assert "CartesianProduct" not in plan
+        # exactly ONE hash exchange (the seq_id rollup); every other
+        # Exchange in the text is the positions idiom's range sort,
+        # re-printed by the InMemoryRelation (plan_audit caveat: text
+        # duplicates cached subtrees; runtime has one of each)
+        assert plan.count("hashpartitioning") == 1
+        assert "rangepartitioning(doc_id" in plan
+    finally:
+        cache.unpersist(blocking=False)
+
+
+def test_t41_provenance_same_shape_as_t32(q):
+    """t41 audits t32 at t32's own cost: one documents scan, the
+    content-hash window exchange, the (source, stage, reason) rollup
+    exchange — no joins, no extra pass."""
+    df = q("t41_funnel_provenance")
+    plan = I.formatted_plan(df)
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert I.exchange_count(df) == 2
+    assert I.broadcast_join_count(df) == 0
+    assert I.sort_merge_join_count(df) == 0
+    assert "CartesianProduct" not in plan

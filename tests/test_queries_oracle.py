@@ -33,3 +33,58 @@ def test_every_query_has_an_oracle():
     IS the spec, for EVERY declared query (reference discipline:
     test/Generator.hs:83-92)."""
     assert set(QUERIES) == set(ORACLE)
+
+
+def test_t41_reconciles_with_t32(spark):
+    """Cross-query consistency law (s13-vs-s01 discipline): the
+    provenance audit must reconcile EXACTLY with the funnel it audits —
+    per source, stage attrition == the t32 rollup's count deltas, and
+    kept tokens == tokens_final."""
+    t32 = {
+        r["source"]: r
+        for r in QUERIES["t32_curation_funnel"](spark, SF_DIR).collect()
+    }
+    per: dict[str, dict[str, int]] = {}
+    kept_tokens: dict[str, int] = {}
+    for r in QUERIES["t41_funnel_provenance"](spark, SF_DIR).collect():
+        d = per.setdefault(r["source"], {})
+        d[r["stage"]] = d.get(r["stage"], 0) + r["n_docs"]
+        if r["stage"] == "kept":
+            kept_tokens[r["source"]] = kept_tokens.get(r["source"], 0) + r["tokens"]
+    assert set(per) == set(t32)
+    for src, f in t32.items():
+        d = per[src]
+        assert sum(d.values()) == f["n_raw"]
+        assert d.get("quality", 0) == f["n_raw"] - f["n_quality"]
+        assert d.get("dedup", 0) == f["n_quality"] - f["n_canonical"]
+        assert d.get("mixture", 0) == f["n_canonical"] - f["n_sampled"]
+        assert d.get("kept", 0) == f["n_sampled"]
+        assert kept_tokens.get(src, 0) == f["tokens_final"]
+
+
+def test_t40_packing_conservation(spark):
+    """Packing conservation laws: total fill across sequences equals
+    total tokens + one EOS per doc; every sequence except the last is
+    exactly full; n_eos sums to the doc count."""
+    from pyspark.sql import functions as F
+
+    from mapreducehs_spark.operators import text
+    from mapreducehs_spark.queries import _T40_CTX
+    from mapreducehs_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    totals = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(text.tokens("text"))).cast("bigint").alias("n_tokens"),
+    ).collect()[0]
+    rows = sorted(
+        QUERIES["t40_sequence_packing"](spark, SF_DIR).collect(),
+        key=lambda r: r["seq_id"],
+    )
+    assert sum(r["n_fill"] for r in rows) == totals["n_tokens"] + totals["n_docs"]
+    assert sum(r["n_eos"] for r in rows) == totals["n_docs"]
+    for r in rows[:-1]:
+        assert r["n_fill"] == _T40_CTX and r["fill_micro"] == 1_000_000
+    assert rows[-1]["n_fill"] <= _T40_CTX
+    # seq ids are dense 0..n-1: no window is skipped or duplicated
+    assert [r["seq_id"] for r in rows] == list(range(len(rows)))
