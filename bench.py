@@ -430,7 +430,13 @@ def main() -> None:
         "alt_queries": alts,
         "sf": sf_val,
     }
-    with open(os.path.join(REPO, "BENCH_local.json"), "w") as f:
+    # SPARK_GRAFT_BENCH_OUT redirects the detail file so off-sf runs
+    # (the /tmp/sf1 scaling pass) never clobber the committed sf0.1
+    # detail; the driver's default run is unchanged.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", os.path.join(REPO, "BENCH_local.json")
+    )
+    with open(detail_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
         f.write("\n")
 
@@ -444,7 +450,7 @@ def main() -> None:
         "r5_series_n": len(R5_SERIES),
         "queries": dict(sorted(families.items())),
         "sf": sf_val,
-        "detail": "BENCH_local.json",
+        "detail": os.path.basename(detail_path),
     }
     print(json.dumps(compact))
     spark.stop()

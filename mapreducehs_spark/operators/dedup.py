@@ -1452,15 +1452,52 @@ def hash64_canonical_dedup(
             for b in range(4)
         ]
     )
-    h = hashes.select(F.col(id_col).alias("id"), "lo", "hi").persist()
+    return banded_canonical_dedup(
+        hashes, ["lo", "hi"], bands_arr, max_hamming=max_hamming, id_col=id_col
+    )
+
+
+def banded_canonical_dedup(
+    hashes: DataFrame,
+    key_cols: list[str],
+    bands_arr,
+    max_hamming: int = 3,
+    id_col: str = "id",
+) -> DataFrame:
+    """The WIDTH-PARAMETERIZED canonical near-dup seam (round 8,
+    VERDICT r07 item 7): exact-dup contraction → pigeonhole banding
+    over DISTINCT fingerprints → popcount verify → star-CC → linear
+    (member, rep, class_size) emit, for ANY fingerprint laid out as
+    integer word columns ``key_cols`` with band keys ``bands_arr``
+    (an array Column over those words; pigeonhole guarantee requires
+    ``len(bands) > max_hamming``).
+
+    WIDTH CHOICE (the measured occupancy model, SCALE.md round-7
+    band-occupancy section): with B bands of b bits each, expected
+    candidate pairs over N distinct fingerprints are ~B·N²/2^(b+1).
+
+    - 64-bit / 4×16-bit bands (``hash64_canonical_dedup``): right up to
+      N_distinct ≈ 10⁷ (≈2×10⁷ candidate pairs at 10⁶, ~10⁹ at 10⁷);
+      at N = 10⁹ it is ~3×10¹³ pairs — infeasible.
+    - 128-bit / 4×32-bit bands (``hash128_canonical_dedup``): ~N²/2³³
+      pairs — ~4.7×10⁸ at N = 10⁹, cluster-feasible; measured ~82,000×
+      candidate reduction at 4×10⁶ distinct hashes
+      (tools/band_occupancy.py).
+
+    So: pick the 64-bit wrapper when the corpus's DISTINCT fingerprint
+    count stays under ~10⁷, the 128-bit wrapper above that — a corpus
+    sizing decision, not a per-query one.  m11/m12/m16 witness the
+    64-bit instantiation, m13 the 128-bit one.
+    """
+    h = hashes.select(F.col(id_col).alias("id"), *key_cols).persist()
     try:
         grp = (
-            h.groupBy("lo", "hi")
+            h.groupBy(*key_cols)
             .agg(F.min("id").alias("hrep"), F.count(F.lit(1)).alias("cnt"))
             .persist()
         )
         try:
-            banded = grp.select("hrep", "lo", "hi").select(
+            banded = grp.select("hrep", *key_cols).select(
                 "hrep", F.posexplode(bands_arr).alias("b", "bk")
             )
             cand = (
@@ -1471,14 +1508,17 @@ def hash64_canonical_dedup(
                 .distinct()
             )
             ga = grp.select(
-                F.col("hrep").alias("ra"), F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a")
+                F.col("hrep").alias("ra"),
+                *[F.col(k).alias(f"{k}_a") for k in key_cols],
             )
             gb = grp.select(
-                F.col("hrep").alias("rb"), F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b")
+                F.col("hrep").alias("rb"),
+                *[F.col(k).alias(f"{k}_b") for k in key_cols],
             )
-            hamming = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
-                F.col("hi_a").bitwiseXOR(F.col("hi_b"))
-            )
+            hamming = None
+            for k in key_cols:
+                term = F.bit_count(F.col(f"{k}_a").bitwiseXOR(F.col(f"{k}_b")))
+                hamming = term if hamming is None else hamming + term
             edges = (
                 cand.join(ga, "ra")
                 .join(gb, "rb")
@@ -1487,13 +1527,13 @@ def hash64_canonical_dedup(
             )
             cc = connected_components_star(edges)  # (node, rep); executes here
             crep = grp.join(cc, grp.hrep == cc.node, "left").select(
-                "lo", "hi", "cnt", F.coalesce("rep", "hrep").alias("comp")
+                *key_cols, "cnt", F.coalesce("rep", "hrep").alias("comp")
             )
             sizes = crep.groupBy("comp").agg(
                 F.sum("cnt").cast("bigint").alias("class_size")
             )
             out = (
-                h.join(crep.select("lo", "hi", "comp"), ["lo", "hi"])
+                h.join(crep.select(*key_cols, "comp"), key_cols)
                 .join(sizes, "comp")
                 .filter(F.col("id") != F.col("comp"))
                 .select(
@@ -1522,68 +1562,16 @@ def hash128_canonical_dedup(
     band's key space is 2³² instead of 2¹⁶ and the candidate stage
     over N distinct hashes is ~N²/2³³ pairs (feasible at N = 10⁹,
     where 16-bit bands are not).  Same guarantee (≤ max_hamming < 4
-    differing bits cannot touch all four words), same composition:
-    exact-dup contraction → banding over DISTINCT hashes → popcount
-    verify → star-CC → linear (member, rep, class_size) emit, same
-    checkpoint-before-unpersist ordering."""
-    h = hashes.select(F.col(id_col).alias("id"), "w0", "w1", "w2", "w3").persist()
-    try:
-        grp = (
-            h.groupBy("w0", "w1", "w2", "w3")
-            .agg(F.min("id").alias("hrep"), F.count(F.lit(1)).alias("cnt"))
-            .persist()
-        )
-        try:
-            banded = grp.select(
-                "hrep", F.posexplode(F.array("w0", "w1", "w2", "w3")).alias("b", "bk")
-            )
-            cand = (
-                banded.select(F.col("hrep").alias("ra"), "b", "bk")
-                .join(banded.select(F.col("hrep").alias("rb"), "b", "bk"), ["b", "bk"])
-                .filter(F.col("ra") < F.col("rb"))
-                .select("ra", "rb")
-                .distinct()
-            )
-            ga = grp.select(
-                F.col("hrep").alias("ra"),
-                *[F.col(f"w{j}").alias(f"a{j}") for j in range(4)],
-            )
-            gb = grp.select(
-                F.col("hrep").alias("rb"),
-                *[F.col(f"w{j}").alias(f"b{j}") for j in range(4)],
-            )
-            hamming = sum(
-                F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}")))
-                for j in range(4)
-            )
-            edges = (
-                cand.join(ga, "ra")
-                .join(gb, "rb")
-                .filter(hamming <= max_hamming)
-                .select(F.col("ra").alias("id_a"), F.col("rb").alias("id_b"))
-            )
-            cc = connected_components_star(edges)  # (node, rep); executes here
-            crep = grp.join(cc, grp.hrep == cc.node, "left").select(
-                "w0", "w1", "w2", "w3", "cnt", F.coalesce("rep", "hrep").alias("comp")
-            )
-            sizes = crep.groupBy("comp").agg(
-                F.sum("cnt").cast("bigint").alias("class_size")
-            )
-            out = (
-                h.join(crep.select("w0", "w1", "w2", "w3", "comp"), ["w0", "w1", "w2", "w3"])
-                .join(sizes, "comp")
-                .filter(F.col("id") != F.col("comp"))
-                .select(
-                    F.col("id").alias("member"),
-                    F.col("comp").cast("bigint").alias("rep"),
-                    "class_size",
-                )
-            )
-            return out.localCheckpoint()
-        finally:
-            grp.unpersist(blocking=False)
-    finally:
-        h.unpersist(blocking=False)
+    differing bits cannot touch all four words), same composition —
+    the 128-bit instantiation of ``banded_canonical_dedup`` (whose
+    docstring carries the width-choice occupancy model)."""
+    return banded_canonical_dedup(
+        hashes,
+        ["w0", "w1", "w2", "w3"],
+        F.array("w0", "w1", "w2", "w3"),
+        max_hamming=max_hamming,
+        id_col=id_col,
+    )
 
 
 # ---------------------------------------------------------------------------
