@@ -1,0 +1,113 @@
+"""Scaling-exponent gate: per-query wall(sf1)/wall(sf0.1) over the FULL
+batch inventory (VERDICT r07 gap 3).
+
+SCALE.md argues near-linearity per family; this makes the claim a
+committed TABLE with a GATE, so a super-linear query outside the
+19-query skew set cannot hide.  Inputs are two bench detail files
+produced by the same bench.py methodology (full warm-up pass, noop
+sink, calibration probe first):
+
+  python bench.py                                   # sf0.1 -> BENCH_local.json
+  SPARK_GRAFT_SF_DIR=/tmp/sf1 SPARK_GRAFT_BENCH_REPEATS=1 \
+      SPARK_GRAFT_BENCH_OUT=/tmp/bench_sf1.json python bench.py
+
+  python tools/scaling_gate.py [sf1_detail] [sf01_detail] [out]
+
+Writes SCALING.json: per query the raw ratio, the CALIB-NORMALIZED
+ratio (each file records calib_sec — the fixed data-independent probe —
+so box drift between the two runs divides out), and a flag when the
+normalized ratio exceeds the gate.
+
+GATE = 12x: 10x data + 20% headroom.  Sub-second queries get an
+absolute floor instead (sf1 wall < FLOOR_SEC never flags): at 0.1 s a
+single JIT/GC hiccup is a 5x "ratio" that measures the box, not the
+plan — and a query whose 10x-data wall is still under a second cannot
+be the 100 TB bottleneck this gate exists to catch.
+
+Reference discipline: measure, don't argue (test/Generator.hs:83-92 —
+the recorded run IS the spec).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+GATE_RATIO = 12.0
+FLOOR_SEC = 1.0  # sf1 wall below this never flags (noise regime)
+
+
+def main() -> None:
+    sf1_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_sf1.json"
+    sf01_path = (
+        sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "BENCH_local.json")
+    )
+    out_path = sys.argv[3] if len(sys.argv) > 3 else os.path.join(REPO, "SCALING.json")
+
+    with open(sf1_path) as f:
+        b1 = json.load(f)
+    with open(sf01_path) as f:
+        b01 = json.load(f)
+
+    calib_ratio = b1["calib_sec"] / b01["calib_sec"]
+    q1, q01 = b1["queries"], b01["queries"]
+    common = sorted(set(q1) & set(q01))
+    missing = sorted(set(q01) ^ set(q1))
+
+    rows: dict[str, dict] = {}
+    flagged: list[str] = []
+    for name in common:
+        t01, t1 = float(q01[name]), float(q1[name])
+        raw = t1 / t01 if t01 > 0 else float("inf")
+        norm = raw / calib_ratio
+        flag = bool(norm > GATE_RATIO and t1 >= FLOOR_SEC)
+        rows[name] = {
+            "sf01_sec": round(t01, 4),
+            "sf1_sec": round(t1, 4),
+            "ratio": round(raw, 3),
+            "ratio_norm": round(norm, 3),
+            "flagged": flag,
+        }
+        if flag:
+            flagged.append(name)
+
+    norms = sorted(r["ratio_norm"] for r in rows.values() if r["sf1_sec"] >= FLOOR_SEC)
+    out = {
+        "metric": "sf1_over_sf01_wall_ratio",
+        "gate_ratio": GATE_RATIO,
+        "floor_sec": FLOOR_SEC,
+        "calib_ratio": round(calib_ratio, 4),
+        "n_queries": len(rows),
+        "n_flagged": len(flagged),
+        "flagged": flagged,
+        "missing_in_one_file": missing,
+        "median_ratio_norm_above_floor": (
+            round(norms[len(norms) // 2], 3) if norms else None
+        ),
+        "queries": rows,
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(
+        json.dumps(
+            {
+                k: out[k]
+                for k in (
+                    "metric",
+                    "n_queries",
+                    "n_flagged",
+                    "flagged",
+                    "calib_ratio",
+                    "median_ratio_norm_above_floor",
+                )
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
