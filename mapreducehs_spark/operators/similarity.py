@@ -35,11 +35,19 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str | None = None,
+    max_cosine: float | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
     Returns (query_id, match_id, cosine, rank) with rank 1..k; ties
     broken by match id, so results are total-ordered and deterministic.
+
+    ``max_cosine`` (round 8, s22): when set, candidates with rounded
+    cosine ABOVE it are excluded BEFORE ranking — the hard-negative
+    mining predicate (near-identical matches are positives/near-dups,
+    not negatives).  The filter compares the same round(·, 6) value
+    both engines rank on, so no new float boundary is introduced.
+    None (the default) leaves every existing caller's plan unchanged.
     """
     query_id_col = query_id_col or id_col
     # Scoring runs in the Arrow/numpy kernel (one einsum per batch): the
@@ -59,6 +67,8 @@ def cosine_topk(
         .filter(F.col("query_id") != F.col("match_id"))
         .withColumn("cosine", F.round(cosine_udf("__qv", "__cv"), 6))
     )
+    if max_cosine is not None:
+        scored = scored.filter(F.col("cosine") <= F.lit(max_cosine))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("match_id").asc()
     )

@@ -1702,3 +1702,51 @@ def s21_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre.join(post_hits, "query_id").select(
         "query_id", "match_id", "cosine", "rank", "post_hits"
     )
+
+
+# =========================================================================
+# Round 8: contrastive hard-negative mining
+# =========================================================================
+
+
+@query(
+    "s22_hard_negatives",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS match_id,
+             round(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+      FROM embeddings c CROSS JOIN q
+      WHERE q.query_id != c.vec_id
+    ), negatives AS (
+      SELECT * FROM scored WHERE cosine <= 0.98
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id ASC) AS rank
+      FROM negatives
+    )
+    SELECT query_id, match_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def s22_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTRASTIVE HARD-NEGATIVE MINING — the training-pair step of a
+    dense-retrieval pipeline (the DPR/ANCE recipe): for each query
+    vector, the top-k most-similar candidates that are NOT
+    near-duplicates (rounded cosine ≤ 0.98).  Random negatives are too
+    easy and near-identical matches are false negatives (they're the
+    POSITIVE class d05 deduplicates) — the informative negatives live
+    just under the duplicate band, which is exactly what the
+    max_cosine predicate selects.
+
+    Checked formulation = s01's exact kernel + the threshold on the
+    SAME round(·,6) value both engines rank on (no new float
+    boundary); plan shape is s01's broadcast-probes Arrow scan, and the
+    ceiling filter composes BEFORE the window, so the top-k heap never
+    holds excluded positives.  At 100 TB the same predicate drops into
+    s02's IVF cell-member scan (s21's composes-like-any-filter
+    argument) — mine negatives from probed cells only.  Reference
+    witness: O1 predicate + O2 keyed fold (src/Core/MapReduceC.hs:24-26)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=3, max_cosine=0.98
+    )

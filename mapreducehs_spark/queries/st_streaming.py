@@ -1065,3 +1065,53 @@ def st25_stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
     updates = st.stateful_histogram(_replayed_events(spark, sf_dir))
     log = st.run_to_batch(updates, "st25_sink", output_mode="append")
     return st.histogram_quantiles_log(log)
+
+
+# =========================================================================
+# Round 8: streaming sequence packing (t40's law, continuous-export form)
+# =========================================================================
+
+
+@query(
+    "st26_stream_sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+                  AS BIGINT) + 1 AS w
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, source, w,
+             CAST(sum(w) OVER (PARTITION BY source ORDER BY doc_id) - w AS BIGINT)
+               AS start
+      FROM toks
+    )
+    SELECT source, doc_id, start,
+           CAST(start // 2048 AS BIGINT) AS first_seq,
+           CAST((start + w - 1) // 2048 AS BIGINT) AS last_seq
+    FROM starts
+    """,
+)
+def st26_stream_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SEQUENCE PACKING — the continuous-export twin of t40:
+    per-source cumulative token offsets held as ONE long of state per
+    source (streaming/ops.stateful_sequence_packer), each arriving doc
+    assigned its start offset and context-window span on arrival.  A
+    GLOBAL packing order is inherently batch (t40's range-sort); the
+    production exporter packs per source shard, which is exactly this
+    topology — state O(sources) forever, no watermark, the stream
+    shuffles only the source key.  Stream == batch law: the doc replay
+    is doc_id-ordered per source across micro-batches, so the stateful
+    fold's prefix sums equal the batch per-source window replay
+    bit-for-bit regardless of trigger slicing — the oracle IS that
+    batch replay.  Context length shared with t40 (_T40_CTX)."""
+    from mapreducehs_spark import streaming as st
+    from mapreducehs_spark.queries.t_text import _T40_CTX
+
+    docs = _replayed_docs(spark, sf_dir).select(
+        "source",
+        "doc_id",
+        F.size(text.tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    packed = st.stateful_sequence_packer(docs, ctx_len=_T40_CTX)
+    return st.run_to_batch(packed, "st26_sink", output_mode="append")

@@ -3002,3 +3002,246 @@ def t41_funnel_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("tokens"),
     )
+
+
+# =========================================================================
+# Round 8: temperature-scaled mixture + FIM transform
+# =========================================================================
+
+
+@query(
+    "t42_temperature_mixture",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ), src AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+      FROM tok GROUP BY source
+    ), w AS (
+      SELECT source, tokens_total,
+             CAST(floor(sqrt(tokens_total)) AS BIGINT) AS weight
+      FROM src
+    ), tot AS (
+      SELECT CAST(sum(tokens_total) AS BIGINT) AS total_tokens,
+             CAST(sum(weight) AS BIGINT) AS sum_w
+      FROM w
+    ), rates AS (
+      SELECT w.source, w.tokens_total, w.weight,
+             CAST(least(w.tokens_total,
+                        ((t.total_tokens // 2) * w.weight) // t.sum_w)
+                  AS BIGINT) AS target_tokens,
+             CAST((least(w.tokens_total,
+                         ((t.total_tokens // 2) * w.weight) // t.sum_w) * 1000000)
+                  // w.tokens_total AS BIGINT) AS accept_ppm
+      FROM w, tot t
+    ), draws AS (
+      SELECT doc_id, source, n_tokens,
+             ('0x' || substr(md5('t42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               % 1000000 AS draw
+      FROM tok
+    )
+    SELECT r.source, r.tokens_total, r.weight, r.target_tokens, r.accept_ppm,
+           CAST(sum(CASE WHEN d.draw < r.accept_ppm THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_kept,
+           CAST(sum(CASE WHEN d.draw < r.accept_ppm THEN d.n_tokens ELSE 0 END)
+                AS BIGINT) AS tokens_kept,
+           CAST(sum(CASE WHEN d.draw < r.accept_ppm THEN d.doc_id ELSE 0 END)
+                AS BIGINT) AS kept_id_sum
+    FROM draws d JOIN rates r USING (source)
+    GROUP BY r.source, r.tokens_total, r.weight, r.target_tokens, r.accept_ppm
+    """,
+)
+def t42_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED corpus mixture (alpha = 0.5) — the
+    multilingual-LM balancing law (the exponential-smoothing resampling
+    mBERT/XLM-R popularized): source sampling mass ∝ share^alpha, so
+    low-resource domains keep proportionally MORE of a fixed token
+    budget than their raw share, without the hard uniform cap t30
+    applies.  Completes the mixture axis: q38 fixed rates → q67 given
+    weights → t30 data-dependent uniform cap → t42 data-dependent
+    temperature curve.
+
+    Determinism: alpha = 0.5 makes the smoothed weight an integer-safe
+    ``floor(sqrt(tokens))`` — IEEE-754 sqrt is correctly rounded and
+    tokens_total < 2^53, so Spark and DuckDB produce the SAME double
+    and floor() never splits engines (the t17 floor-quantization
+    recipe); everything after is BIGINT arithmetic (budget = total div
+    2, target = budget*w div Σw capped at availability — downsample-
+    only, so no replacement semantics sneak in; rates in truncating
+    ppm).  Same two-pass 100 TB shape as t30: per-source totals
+    (n_sources rows), rates broadcast back, per-doc md5-fold draw
+    ('t42:' salt) as a scan-side predicate; output is n_sources rows
+    with the kept-set witness sums.  Reference witness: O2's keyed
+    fold + O1's per-record predicate (src/Core/MapReduceC.hs:24-26)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = _mixture_tok(docs)
+    src = tok.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("tokens_total")
+    )
+    w = src.select(
+        "source",
+        "tokens_total",
+        F.floor(F.sqrt(F.col("tokens_total").cast("double")))
+        .cast("bigint")
+        .alias("weight"),
+    )
+    everything = Window.partitionBy()
+    rates = (
+        w.select(
+            "source",
+            "tokens_total",
+            "weight",
+            F.sum("tokens_total").over(everything).cast("bigint").alias("total_tokens"),
+            F.sum("weight").over(everything).cast("bigint").alias("sum_w"),
+        )
+        .select(
+            "source",
+            "tokens_total",
+            "weight",
+            F.least(
+                F.col("tokens_total"),
+                F.expr("((total_tokens div 2) * weight) div sum_w"),
+            ).cast("bigint").alias("target_tokens"),
+        )
+        .select(
+            "source",
+            "tokens_total",
+            "weight",
+            "target_tokens",
+            F.expr("cast((target_tokens * 1000000L) div tokens_total as bigint)").alias(
+                "accept_ppm"
+            ),
+        )
+    )
+    draw = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit("t42"), F.col("doc_id"))), 1, 12),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    kept = F.col("__draw") < F.col("accept_ppm")
+    return (
+        tok.join(F.broadcast(rates), "source")
+        .withColumn("__draw", draw)
+        .groupBy("source", "tokens_total", "weight", "target_tokens", "accept_ppm")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("docs_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.sum(F.when(kept, F.col("doc_id")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_id_sum"),
+        )
+    )
+
+
+@query(
+    "t43_fim_transform",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), sized AS (
+      SELECT doc_id, source, t, len(t) AS n
+      FROM toks WHERE len(t) >= 3
+    ), cuts AS (
+      SELECT doc_id, source, t, n,
+             1 + ('0x' || substr(md5('fim1:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                 % (n - 2) AS a
+      FROM sized
+    ), cuts2 AS (
+      SELECT doc_id, source, t, n, a,
+             a + 1 + ('0x' || substr(md5('fim2:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                 % (n - a - 1) AS b
+      FROM cuts
+    ), psm AS (
+      SELECT doc_id, source, n, a, b,
+             '<PRE> ' || array_to_string(t[1:a], ' ')
+             || ' <SUF> ' || array_to_string(t[b+1:n], ' ')
+             || ' <MID> ' || array_to_string(t[a+1:b], ' ') AS text_psm
+      FROM cuts2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(a) AS BIGINT) AS pre_tokens,
+           CAST(sum(b - a) AS BIGINT) AS mid_tokens,
+           CAST(sum(n - b) AS BIGINT) AS suf_tokens,
+           CAST(sum(('0x' || substr(md5(text_psm), 1, 8))::BIGINT) AS BIGINT)
+             AS psm_checksum
+    FROM psm
+    GROUP BY source
+    """,
+)
+def t43_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILL-IN-THE-MIDDLE transform (Bavarian et al. 2022, the code-LLM
+    pretraining staple): split each document's token stream at two
+    content-seeded cut points into (prefix, middle, suffix) and emit
+    the PSM reordering ``<PRE> prefix <SUF> suffix <MID> middle`` — the
+    infilling objective's training layout, as a corpus-export pass.
+    Companion to t38's span corruption (the T5 objective): same
+    deterministic-masking discipline, different objective family.
+
+    Cut law (engine-exact): a = 1 + h1 mod (n-2) ∈ [1, n-2],
+    b = a + 1 + h2 mod (n-a-1) ∈ [a+1, n-1] (h1/h2 = 'fim1:'/'fim2:'
+    salted md5 folds), every segment non-empty for n ≥ 3; docs under 3
+    tokens are excluded by a deterministic filter, and both moduli are
+    structurally ≥ 1 (n-2 ≥ 1 and, since a ≤ n-2, n-a-1 ≥ 1).  One scan,
+    one per-source rollup; the whole transform is witnessed by the
+    8-hex md5 fold of every PSM string summed per source (< 2^32 per
+    doc, sum-safe to ~2×10⁹ docs) plus exact segment-token sums —
+    a single changed token anywhere flips the checksum.  At 100 TB the
+    PSM strings stream straight to the export sink; nothing here
+    shuffles more than (source) keys.  Reference witness: O1 fission
+    (src/Core/MapReduceC.hs:24-25) — a pure per-record rewrite."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", text.tokens("text").alias("t"))
+    sized = toks.select("doc_id", "source", "t", F.size("t").alias("n")).filter(
+        F.col("n") >= 3
+    )
+    h1 = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("fim1"), F.col("doc_id"))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    h2 = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("fim2"), F.col("doc_id"))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    # moduli are structurally >= 1: n >= 3 makes (n-2) >= 1, and
+    # a <= n-2 makes (n-a-1) >= 1 — no degenerate-modulus guard needed
+    a = F.lit(1) + h1 % (F.col("n") - 2)
+    cuts = sized.select("doc_id", "source", "t", "n", a.alias("a"))
+    b = F.col("a") + 1 + h2 % (F.col("n") - F.col("a") - 1)
+    cuts2 = cuts.select("doc_id", "source", "t", "n", "a", b.alias("b"))
+    psm = cuts2.select(
+        "source",
+        "n",
+        "a",
+        "b",
+        F.concat(
+            F.lit("<PRE> "),
+            F.array_join(F.slice("t", 1, F.col("a")), " "),
+            F.lit(" <SUF> "),
+            F.array_join(
+                F.slice("t", F.col("b") + 1, F.col("n") - F.col("b")), " "
+            ),
+            F.lit(" <MID> "),
+            F.array_join(F.slice("t", F.col("a") + 1, F.col("b") - F.col("a")), " "),
+        ).alias("text_psm"),
+    )
+    fold8 = F.conv(F.substring(F.md5("text_psm"), 1, 8), 16, 10).cast("bigint")
+    return psm.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("a").cast("bigint").alias("pre_tokens"),
+        F.sum(F.col("b") - F.col("a")).cast("bigint").alias("mid_tokens"),
+        F.sum(F.col("n") - F.col("b")).cast("bigint").alias("suf_tokens"),
+        F.sum(fold8).cast("bigint").alias("psm_checksum"),
+    )

@@ -1892,3 +1892,82 @@ def histogram_quantiles_log(log: DataFrame) -> DataFrame:
             .alias("p90_floor"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sequence packing (st26): t40's law as per-source offset state
+# ---------------------------------------------------------------------------
+
+_PACK_OUT = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("start", LongType()),
+        StructField("first_seq", LongType()),
+        StructField("last_seq", LongType()),
+    ]
+)
+
+_PACK_STATE = StructType([StructField("offset", LongType())])
+
+
+def stateful_sequence_packer(
+    docs: DataFrame, ctx_len: int, n_tokens_col: str = "n_tokens"
+) -> DataFrame:
+    """Streaming SEQUENCE PACKING — t40's arithmetic as per-source
+    offset state: each source shard keeps ONE long (its cumulative
+    token offset incl. EOS separators); every arriving doc is assigned
+    its global start offset and context-window span
+    (start div ctx_len .. (start+w-1) div ctx_len) and the offset
+    advances by w = n_tokens + 1.  This is the CONTINUOUS corpus-export
+    topology: a global cross-source packing order is inherently batch
+    (t40's range-sort), but a production exporter packs per source
+    shard exactly like this — state is O(sources) longs FOREVER, the
+    stream never shuffles more than the source key, and emission is
+    on arrival (no watermark needed).
+
+    Determinism (stream == batch): the docs replay arrives doc_id-
+    ordered across micro-batches (prepare_docs_stream_dir's chunking),
+    and within a batch the fold sorts the CONCATENATION of all Arrow
+    chunks by doc_id (the round-8 multi-chunk discipline), so the
+    per-source prefix sums equal the batch window replay bit-for-bit
+    regardless of trigger slicing."""
+
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (source,) = key
+        off = int(state.get[0]) if state.exists else 0
+        ids: list[int] = []
+        starts: list[int] = []
+        firsts: list[int] = []
+        lasts: list[int] = []
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("doc_id")
+            for doc_id, nt in zip(pdf["doc_id"], pdf[n_tokens_col]):
+                w = int(nt) + 1
+                ids.append(int(doc_id))
+                starts.append(off)
+                firsts.append(off // ctx_len)
+                lasts.append((off + w - 1) // ctx_len)
+                off += w
+        state.update((off,))
+        if ids:
+            yield pd.DataFrame(
+                {
+                    "source": source,
+                    "doc_id": ids,
+                    "start": starts,
+                    "first_seq": firsts,
+                    "last_seq": lasts,
+                }
+            )
+
+    return docs.groupBy("source").applyInPandasWithState(
+        fn,
+        outputStructType=_PACK_OUT,
+        stateStructType=_PACK_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

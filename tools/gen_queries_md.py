@@ -15,7 +15,7 @@ sys.path.insert(0, REPO)
 
 HEADER = """# QUERIES — the declared inventory
 
-Generated from `mapreducehs_spark/queries.py` docstrings (by
+Generated from `mapreducehs_spark/queries/` docstrings (by
 `tools/gen_queries_md.py`).  Every query is a `(spark, sf_dir) ->
 DataFrame` callable; **oracle** means the driver hash-compares it
 against the DuckDB SQL in `ORACLE`; *rows-only* queries are
