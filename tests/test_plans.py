@@ -991,3 +991,42 @@ def test_t41_provenance_same_shape_as_t32(q):
     assert I.broadcast_join_count(df) == 0
     assert I.sort_merge_join_count(df) == 0
     assert "CartesianProduct" not in plan
+
+
+def test_t42_mixture_rates_broadcast(q):
+    """t42's scale contract (t30's shape): per-source rates come back to
+    the corpus scan as a BROADCAST join — never a shuffle join against
+    the n_sources-row frame — and nothing sort-merges."""
+    df = q("t42_temperature_mixture")
+    plan = I.formatted_plan(df)
+    assert I.broadcast_join_count(df) >= 1
+    assert I.sort_merge_join_count(df) == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_t43_fim_one_scan_no_joins(q):
+    """t43 is a pure per-record rewrite + per-source rollup: one
+    documents scan, no joins, no windows — the transform streams."""
+    df = q("t43_fim_transform")
+    plan = I.formatted_plan(df)
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert I.exchange_count(df) == 1  # the (source) rollup
+
+
+def test_s22_ceiling_filters_before_topk(q):
+    """s22's mining predicate must drop positives BEFORE the top-k
+    window (the heap never holds excluded near-dups), and the probe
+    side stays broadcast (s01's shape)."""
+    df = q("s22_hard_negatives")
+    plan = I.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast probes
+    assert "CartesianProduct" not in plan
+    # the ceiling predicate appears in a Filter below the Window
+    # (formatted plans list operators innermost-first: scan..filter..window)
+    filt = plan.find("(cosine")
+    win = plan.find("Window")
+    assert filt != -1 and win != -1
