@@ -3245,3 +3245,105 @@ def t43_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") - F.col("b")).cast("bigint").alias("suf_tokens"),
         F.sum(fold8).cast("bigint").alias("psm_checksum"),
     )
+
+
+@query(
+    "t44_epoch_repeat_plan",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ), src AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+      FROM tok GROUP BY source
+    ), w AS (
+      SELECT source, tokens_total,
+             CAST(floor(sqrt(tokens_total)) AS BIGINT) AS weight
+      FROM src
+    ), tot AS (
+      SELECT CAST(sum(tokens_total) AS BIGINT) AS total_tokens,
+             CAST(sum(weight) AS BIGINT) AS sum_w
+      FROM w
+    ), plan AS (
+      SELECT w.source, w.tokens_total, w.weight,
+             CAST(((t.total_tokens * 3) * w.weight) // t.sum_w AS BIGINT)
+               AS target_tokens
+      FROM w, tot t
+    )
+    SELECT source, tokens_total, weight, target_tokens,
+           CAST(least(target_tokens // tokens_total, 4) AS BIGINT) AS epochs_full,
+           CAST(CASE WHEN target_tokens // tokens_total >= 4 THEN 0
+                     ELSE ((target_tokens % tokens_total) * 1000000) // tokens_total
+                END AS BIGINT) AS frac_epoch_ppm,
+           CAST(least(target_tokens, 4 * tokens_total) AS BIGINT) AS effective_tokens,
+           target_tokens > 4 * tokens_total AS capped
+    FROM plan
+    """,
+)
+def t44_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH-REPEAT PLANNING for data-constrained training (the
+    Muennighoff et al. 2023 regime): when the token BUDGET exceeds the
+    corpus (here budget = 3× total), low-share domains must REPEAT —
+    the dual of t42's downsampling (same floor(sqrt) temperature
+    weights, shared law).  Per source: target tokens from the smoothed
+    allocation, split into full epochs + a fractional-epoch remainder
+    in ppm, capped at 4 epochs (past ~4 repeats the marginal value of
+    repeated data decays to ~zero in the published scaling fits —
+    beyond the cap the budget is simply not spendable on that source,
+    surfaced by the `capped` flag and the effective_tokens shortfall).
+
+    All-BIGINT arithmetic end to end (the one double op is t42's
+    engine-exact floor(sqrt)); output is n_sources rows off one corpus
+    scan + the same tiny totals exchange as t42/t30.  Together
+    t42 (budget < supply → sample) and t44 (budget > supply → repeat)
+    close the mixture-planning pair every pretraining run consults.
+    Reference witness: O2 keyed fold (src/Core/MapReduceC.hs:25-26)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = _mixture_tok(docs)
+    src = tok.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("tokens_total")
+    )
+    w = src.select(
+        "source",
+        "tokens_total",
+        F.floor(F.sqrt(F.col("tokens_total").cast("double")))
+        .cast("bigint")
+        .alias("weight"),
+    )
+    everything = Window.partitionBy()
+    plan = (
+        w.select(
+            "source",
+            "tokens_total",
+            "weight",
+            F.sum("tokens_total").over(everything).cast("bigint").alias("total_tokens"),
+            F.sum("weight").over(everything).cast("bigint").alias("sum_w"),
+        )
+        .select(
+            "source",
+            "tokens_total",
+            "weight",
+            F.expr("cast(((total_tokens * 3) * weight) div sum_w as bigint)").alias(
+                "target_tokens"
+            ),
+        )
+    )
+    return plan.select(
+        "source",
+        "tokens_total",
+        "weight",
+        "target_tokens",
+        F.least(F.expr("target_tokens div tokens_total"), F.lit(4))
+        .cast("bigint")
+        .alias("epochs_full"),
+        F.when(F.expr("target_tokens div tokens_total") >= 4, F.lit(0))
+        .otherwise(F.expr("((target_tokens % tokens_total) * 1000000L) div tokens_total"))
+        .cast("bigint")
+        .alias("frac_epoch_ppm"),
+        F.least(F.col("target_tokens"), 4 * F.col("tokens_total"))
+        .cast("bigint")
+        .alias("effective_tokens"),
+        (F.col("target_tokens") > 4 * F.col("tokens_total")).alias("capped"),
+    )

@@ -109,5 +109,78 @@ def main() -> None:
     )
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--adjudicate" not in sys.argv:
     main()
+
+
+def adjudicate() -> None:
+    """Re-measure every flagged query ISOLATED (fresh session, own
+    warm-up, median of 3 per scale) and record `adjudicated_*` fields.
+
+    The sweep's single-pass sf1 numbers measure JVM state (GC debt,
+    cache pressure from 200+ prior queries) as much as the plan — round
+    8 measured t02 at 16.4 s in-sweep vs 3.5 s isolated on an idle box.
+    The gate's verdict therefore comes from the isolated ratio; the
+    in-sweep ratio stays recorded as the pressure signal it is.
+    """
+    out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "SCALING.json")
+    with open(out_path) as f:
+        data = json.load(f)
+    flagged = data.get("flagged", [])
+    if not flagged:
+        print("nothing flagged; no adjudication needed")
+        return
+
+    import statistics
+    import time
+
+    sys.path.insert(0, REPO)
+    os.chdir(REPO)
+    from mapreducehs_spark.queries import QUERIES
+    from mapreducehs_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="scaling_adjudicate", master=f"local[{cpus}]")
+    spark.range(0, 1024, 1, int(cpus)).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    def med3(name: str, sf_dir: str) -> float:
+        def run() -> float:
+            t0 = time.perf_counter()
+            QUERIES[name](sf_dir=sf_dir, spark=spark).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return time.perf_counter() - t0
+
+        run()  # warm-up
+        return statistics.median(run() for _ in range(3))
+
+    sf01_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+    still = []
+    for name in flagged:
+        t01 = med3(name, sf01_dir)
+        t1 = med3(name, sf1_dir)
+        ratio = round(t1 / t01, 3) if t01 > 0 else float("inf")
+        row = data["queries"][name]
+        row["adjudicated_sf01_sec"] = round(t01, 4)
+        row["adjudicated_sf1_sec"] = round(t1, 4)
+        row["adjudicated_ratio"] = ratio
+        row["flagged"] = bool(ratio > data["gate_ratio"] and t1 >= data["floor_sec"])
+        if row["flagged"]:
+            still.append(name)
+        print(f"{name}: isolated {t01:.3f}s -> {t1:.3f}s = {ratio}x "
+              f"({'STILL FLAGGED' if row['flagged'] else 'cleared'})", flush=True)
+    data["flagged"] = still
+    data["n_flagged"] = len(still)
+    data["adjudicated"] = True
+    with open(out_path, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps({"n_flagged_after_adjudication": len(still), "flagged": still}))
+    spark.stop()
+
+
+if __name__ == "__main__" and "--adjudicate" in sys.argv:
+    raise SystemExit(adjudicate())
