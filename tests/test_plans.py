@@ -1025,8 +1025,12 @@ def test_s22_ceiling_filters_before_topk(q):
     plan = I.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan  # broadcast probes
     assert "CartesianProduct" not in plan
-    # the ceiling predicate appears in a Filter below the Window
-    # (formatted plans list operators innermost-first: scan..filter..window)
-    filt = plan.find("(cosine")
-    win = plan.find("Window")
-    assert filt != -1 and win != -1
+    # the ceiling predicate is a Filter on the rounded kernel output,
+    # UPSTREAM of the top-k (lower operator id = deeper in the tree),
+    # and rank<=k still lowers to WindowGroupLimit above it
+    import re as _re
+
+    m_f = _re.search(r"\((\d+)\) Filter\nInput.*\nCondition : \(round\(pythonUDF\d+#\d+, 6\) <= 0\.98\)", plan)
+    m_w = _re.search(r"\((\d+)\) WindowGroupLimit", plan)
+    assert m_f and m_w
+    assert int(m_f.group(1)) < int(m_w.group(1))
