@@ -846,3 +846,66 @@ def m16_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# =========================================================================
+# Round 8: multimodal sequence budgeting (VLM training-export planning)
+# =========================================================================
+
+
+@query(
+    "m17_vlm_token_budget",
+    oracle="""
+    WITH pair AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS n_text,
+             CAST((2 + doc_id % 7) * (2 + doc_id % 5) AS BIGINT) AS n_patch
+      FROM documents
+    ), seq AS (
+      SELECT source, n_text, n_patch, n_patch + n_text + 2 AS n_seq
+      FROM pair
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(n_patch) AS BIGINT) AS patch_tokens,
+           CAST(sum(n_text) AS BIGINT) AS text_tokens,
+           CAST(sum(n_seq) AS BIGINT) AS seq_tokens,
+           CAST(sum(n_patch) * 1000000 // sum(n_seq) AS BIGINT) AS patch_share_ppm
+    FROM seq
+    GROUP BY source
+    """,
+)
+def m17_vlm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIMODAL SEQUENCE BUDGETING — the planning pass of a
+    vision-language training export: each (image, caption) pair costs
+    `patches + text_tokens + 2` context positions (ViT-style patch
+    grid: (w/16)·(h/16) patch tokens, BOS/EOS separators), and the
+    packer/batcher needs those totals PER SOURCE before anything is
+    decoded.  The image dimensions come from METADATA (the m-series
+    doc_id raster law: w = 16·(2 + id mod 7), h = 16·(2 + id mod 5)) —
+    the whole budget is arithmetic on a metadata scan, no pixel ever
+    decoded for planning, which is exactly how a 100 TB VLM pipeline
+    sizes its shards (decode happens once, later, in the export pass —
+    m08/m16 discipline).  Token accounting mirrors t27/t33's integer
+    metering; the patch-vs-text split in truncating ppm tells the
+    context-budget story (image-heavy sources pack fewer pairs per
+    window).  One scan, one n_sources rollup.  Reference witness: O2
+    keyed fold (src/Core/MapReduceC.hs:25-26)."""
+    docs = _t(spark, sf_dir, "documents")
+    pair = docs.select(
+        "source",
+        F.size(text.tokens("text")).cast("bigint").alias("n_text"),
+        ((2 + F.col("doc_id") % 7) * (2 + F.col("doc_id") % 5))
+        .cast("bigint")
+        .alias("n_patch"),
+    ).withColumn("n_seq", F.col("n_patch") + F.col("n_text") + 2)
+    return pair.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("n_patch").cast("bigint").alias("patch_tokens"),
+        F.sum("n_text").cast("bigint").alias("text_tokens"),
+        F.sum("n_seq").cast("bigint").alias("seq_tokens"),
+        F.expr(
+            "cast((sum(n_patch) * 1000000L) div sum(n_seq) as bigint)"
+        ).alias("patch_share_ppm"),
+    )

@@ -1115,3 +1115,89 @@ def st26_stream_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = st.stateful_sequence_packer(docs, ctx_len=_T40_CTX)
     return st.run_to_batch(packed, "st26_sink", output_mode="append")
+
+
+@query("st27_stream_decontaminate", oracle=ORACLE["d08_decontaminate"])
+def st27_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming TRAIN/EVAL DECONTAMINATION — d08's exact 8-gram law
+    applied to the ingest stream: the MB-scale benchmark side collapses
+    to its distinct gram set ONCE, batch-side, before the stream starts
+    (the d08/d26 broadcast discipline — here a SparkContext broadcast
+    feeding the Arrow kernel), and every arriving training doc is
+    checked on arrival in a STATELESS mapInPandas stage — no state
+    store, no watermark, the stream never shuffles.  This is the
+    hygiene topology of a continuous crawl: contamination is flagged at
+    ingest time, not in a nightly batch sweep.  Emits contaminated docs
+    only, d08's exact columns; hit_ratio is rounded in a BATCH
+    projection over the sink read (Spark HALF_UP — the kernel emits
+    only integers) so the rounding law is d08's own, and d08's oracle
+    checks the whole topology verbatim."""
+    from mapreducehs_spark import streaming as st
+
+    docs = _replayed_docs(spark, sf_dir)
+    eval_grams = (
+        dedup.hashed_shingle_rows(
+            _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0),
+            n=8,
+        )
+        .select("shingle")
+        .distinct()
+        .collect()
+    )
+    bc = spark.sparkContext.broadcast(frozenset(r["shingle"] for r in eval_grams))
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        bench = bc.value
+        for pdf in batches:
+            doc_ids: list[int] = []
+            gram_lists: list[list[str]] = []
+            for di, txt in zip(pdf["doc_id"], pdf["text"]):
+                if int(di) % 50 == 0:
+                    continue  # the eval slice itself is not training data
+                toks = txt.split()
+                m = len(toks) - 7
+                if m <= 0:
+                    continue
+                doc_ids.append(int(di))
+                gram_lists.append(list({" ".join(toks[j : j + 8]) for j in range(m)}))
+            if not doc_ids:
+                continue
+            # ONE vectorized keyed-siphash over the whole batch's grams —
+            # the d08 gram identity (hashed_shingle_rows' pd.util.hash_array
+            # law), so set membership here equals its broadcast-join there
+            flat = np.array(
+                [g for gl in gram_lists for g in gl], dtype=object
+            )
+            # .view("int64"): hashed_shingle_rows stores the uint64
+            # siphash as two's-complement int64 — match that exactly
+            hv = pd.util.hash_array(flat).view("int64")
+            ids, totals, hits = [], [], []
+            k = 0
+            for di, gl in zip(doc_ids, gram_lists):
+                n = len(gl)
+                h = int(sum(1 for x in hv[k : k + n] if int(x) in bench))
+                k += n
+                if h:
+                    ids.append(di)
+                    totals.append(n)
+                    hits.append(h)
+            if ids:
+                yield pd.DataFrame(
+                    {"id": ids, "total_grams": totals, "hit_grams": hits}
+                )
+
+    flagged = docs.mapInPandas(
+        kernel, schema="id long, total_grams long, hit_grams long"
+    )
+    log = st.run_to_batch(flagged, "st27_sink", output_mode="append")
+    return log.select(
+        "id",
+        "total_grams",
+        "hit_grams",
+        F.round(F.col("hit_grams") / F.col("total_grams").cast("double"), 6).alias(
+            "hit_ratio"
+        ),
+    )
