@@ -36,6 +36,12 @@ assert rows > 0, "entry() returned 0 rows"
 print(f"entry: {rows} rows OK", flush=True)
 
 con = duckdb.connect()
+# An in-memory DuckDB has NO temp directory, so a big oracle (m14's
+# recursive closure, m16's banding at sf1) cannot spill and dies with
+# OutOfMemory/IOException instead.  Give it a spill dir + an explicit
+# limit so oracle-side capacity never masquerades as a query mismatch.
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
+con.execute("SET memory_limit='95GB'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     p = os.path.join(SF_DIR, f"{t}.parquet")
