@@ -42,6 +42,17 @@ _registry._reorder()  # restore the pre-split registration order
 # single module's namespace exactly.
 for _m in (_shared, q_core, q_ext, p_pipeline, d_dedup, s_similarity, t_text, m_multimodal, st_streaming):
     for _k, _v in vars(_m).items():
-        if not _k.startswith('__'):
-            globals().setdefault(_k, _v)
-del _m, _k, _v
+        if _k.startswith('__'):
+            continue
+        _prev = globals().get(_k, _v)
+        if _prev is not _v:
+            # two query modules define the same name with DIFFERENT
+            # values — the earliest module wins, but silently keeping it
+            # could mask a divergent helper (ADVICE r8).  Shared helpers
+            # belong in _shared; a true collision is a packaging bug.
+            raise ImportError(
+                f"query-module name collision on {_k!r}: "
+                f"{getattr(_prev, '__module__', type(_prev))} vs {_m.__name__}"
+            )
+        globals().setdefault(_k, _v)
+del _m, _k, _v, _prev

@@ -32,6 +32,7 @@ from mapreducehs_spark.queries._shared import (  # noqa: F401
 from mapreducehs_spark.queries.q_ext import (  # noqa: F401
     q91_scd2_dimension,
 )
+from mapreducehs_spark.queries.t_text import _T40_CTX
 
 # =========================================================================
 # Structured Streaming (SURVEY §2.2 streaming row; M3) — each query runs
@@ -1074,7 +1075,9 @@ def st25_stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
 
 @query(
     "st26_stream_sequence_packing",
-    oracle="""
+    # f-string interpolating _T40_CTX (t40's own oracle discipline) so a
+    # context-length change can never silently diverge Spark vs oracle
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id, source,
              CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
@@ -1087,8 +1090,8 @@ def st25_stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
       FROM toks
     )
     SELECT source, doc_id, start,
-           CAST(start // 2048 AS BIGINT) AS first_seq,
-           CAST((start + w - 1) // 2048 AS BIGINT) AS last_seq
+           CAST(start // {_T40_CTX} AS BIGINT) AS first_seq,
+           CAST((start + w - 1) // {_T40_CTX} AS BIGINT) AS last_seq
     FROM starts
     """,
 )
@@ -1106,7 +1109,6 @@ def st26_stream_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit regardless of trigger slicing — the oracle IS that
     batch replay.  Context length shared with t40 (_T40_CTX)."""
     from mapreducehs_spark import streaming as st
-    from mapreducehs_spark.queries.t_text import _T40_CTX
 
     docs = _replayed_docs(spark, sf_dir).select(
         "source",

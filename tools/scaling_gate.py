@@ -109,27 +109,39 @@ def main() -> None:
     )
 
 
-if __name__ == "__main__" and "--adjudicate" not in sys.argv:
-    main()
-
-
 def adjudicate() -> None:
-    """Re-measure every flagged query ISOLATED (fresh session, own
-    warm-up, median of 3 per scale) and record `adjudicated_*` fields.
+    """Re-measure every flagged AND near-threshold query ISOLATED
+    (fresh session, own warm-up, median of 3 per scale) and record
+    `adjudicated_*` fields.
 
     The sweep's single-pass sf1 numbers measure JVM state (GC debt,
     cache pressure from 200+ prior queries) as much as the plan — round
     8 measured t02 at 16.4 s in-sweep vs 3.5 s isolated on an idle box.
     The gate's verdict therefore comes from the isolated ratio; the
     in-sweep ratio stays recorded as the pressure signal it is.
+
+    Near-threshold (ADVICE r8): a query whose in-sweep sf1 wall sat
+    just under FLOOR_SEC, or whose normalized ratio sat just under the
+    gate, could be super-linear in isolation — so anything within 20%
+    of either boundary is re-measured too, under the same flag law.
     """
     out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "SCALING.json")
     with open(out_path) as f:
         data = json.load(f)
-    flagged = data.get("flagged", [])
+    gate, floor = float(data["gate_ratio"]), float(data["floor_sec"])
+    near = sorted(
+        name
+        for name, r in data["queries"].items()
+        if not r["flagged"]
+        and r["ratio_norm"] > 0.8 * gate
+        and r["sf1_sec"] >= 0.8 * floor
+    )
+    flagged = sorted(set(data.get("flagged", [])) | set(near))
     if not flagged:
-        print("nothing flagged; no adjudication needed")
+        print("nothing flagged or near-threshold; no adjudication needed")
         return
+    if near:
+        print(f"near-threshold re-measured alongside flagged: {near}", flush=True)
 
     import statistics
     import time
@@ -182,5 +194,9 @@ def adjudicate() -> None:
     spark.stop()
 
 
-if __name__ == "__main__" and "--adjudicate" in sys.argv:
-    raise SystemExit(adjudicate())
+if __name__ == "__main__":
+    # single dispatch (ADVICE r8: the two mid-file __main__ blocks were
+    # easy to misread): default is the sweep, --adjudicate re-measures
+    if "--adjudicate" in sys.argv:
+        raise SystemExit(adjudicate())
+    main()

@@ -136,6 +136,8 @@ def main() -> None:
         fn = st_queries[name]
         best_sec = None
         rows = 0
+        peak = 0
+        batches = 0
         for _ in range(max(REPEATS, 1)):
             before = listener.snapshot()
             t0 = time.perf_counter()
@@ -143,12 +145,20 @@ def main() -> None:
             rows = df.count()
             sec = time.perf_counter() - t0
             best_sec = sec if best_sec is None else min(best_sec, sec)
-            # progress events are async on the listener bus; give the
-            # final batch's event time to land before diffing
-            time.sleep(0.5)
+            # progress events are async on the listener bus; poll until
+            # the per-sink batch count stops increasing (with a timeout)
+            # instead of a fixed sleep — a late final event would
+            # otherwise silently record 0 state rows (ADVICE r8)
             after = listener.snapshot()
-            peak = 0
-            batches = 0
+            deadline = time.monotonic() + 10.0
+            stable = 0
+            while time.monotonic() < deadline and stable < 3:
+                time.sleep(0.25)
+                nxt = listener.snapshot()
+                stable = stable + 1 if nxt == after else 0
+                after = nxt
+            # peak/batches are the MAX across repeats: the state-store
+            # footprint is a property of the plan, not of the fastest run
             for sink, d in after.items():
                 prev = before.get(sink, {"peak_state_rows": 0, "batches": 0})
                 if d["batches"] > prev["batches"]:
