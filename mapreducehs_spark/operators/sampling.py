@@ -302,3 +302,39 @@ def global_prefix_sums_cached(
             yield pdf
 
     return s.mapInPandas(kernel, schema=out_schema), s
+
+
+def grouped_prefix_sums_cached(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    weight_col: str,
+    out_col: str = "start",
+) -> tuple[DataFrame, DataFrame]:
+    """Assign every row the EXCLUSIVE prefix sum of ``weight_col``
+    within its ``group_cols`` group, ordered by ``order_cols`` — the
+    per-shard twin of ``global_prefix_sums_cached`` (same cache
+    contract: caller unpersists after materializing).
+
+    This is the per-shard token-offset primitive of a sharded corpus
+    export (per-source packing, per-cluster topical packing): a bare
+    ``sum(w) OVER (PARTITION BY group ORDER BY ...)`` puts each whole
+    group on ONE task — with a handful of groups over 100 TB that is
+    the skew cliff.  Here the heavy data stays range-distributed: the
+    GLOBAL prefix sums run over ``group_cols + order_cols`` (groups are
+    therefore contiguous spans of the global order), and each group's
+    base offset — its first row's global prefix, i.e. ``min`` over the
+    group — is a #groups-row aggregate broadcast back and subtracted.
+    No per-group window ever materializes a group on one task; the
+    only assumption is #groups ≪ #rows (it is a broadcast side).
+    """
+    g, cache = global_prefix_sums_cached(
+        df, [*group_cols, *order_cols], weight_col, out_col="__gstart"
+    )
+    base = g.groupBy(*group_cols).agg(F.min("__gstart").alias("__base"))
+    out = (
+        g.join(F.broadcast(base), list(group_cols))
+        .withColumn(out_col, (F.col("__gstart") - F.col("__base")).cast("long"))
+        .drop("__gstart", "__base")
+    )
+    return out, cache

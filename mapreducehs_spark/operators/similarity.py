@@ -535,28 +535,18 @@ def all_pairs_cosine_blocked(
     return fat.mapInPandas(score, schema=out_schema)
 
 
-def kmeans_profile(
+def _kmeans_final_assignment(
     emb: DataFrame,
-    k: int = 8,
-    iters: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Deterministic Lloyd k-means (data-seeded: initial centroids are
-    the ``k`` lowest-``id_col`` vectors) returning the per-cluster
-    profile ``(cluster, n_members, avg_sqdist)`` after ``iters``
-    iterations — the iterative-algorithm witness with a replayable
-    trajectory (no RNG), so even the oracle can re-derive it.
-
-    Distributed shape per iteration (same as train_ivf_centroids):
-    (1) assignment is an Arrow-batched numpy matmul against the
-    broadcast-sized centroid matrix — scan-shaped, no shuffle;
-    (2) the centroid update is posexplode + hash-agg keyed on
-    (cluster, pos) — ONE partial-aggregatable shuffle of k×dim×P partial
-    rows, never raw vectors.  Only k×dim floats hit the driver per
-    iteration.  All arithmetic in float64 (inputs upcast) so results are
-    engine-portable.  Clusters that empty out drop from the codebook
-    (standard Lloyd-with-pruning).
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared Lloyd trajectory behind ``kmeans_profile`` and
+    ``kmeans_assignments``: ``iters - 1`` centroid updates, then the
+    final assignment pass.  Returns ``(assigned, cache)`` where
+    ``assigned`` carries (id, v, a:struct<cluster,sqdist>) and
+    ``cache`` is the persisted vector frame the caller unpersists.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -587,32 +577,58 @@ def kmeans_profile(
     # or be contiguous (an id<k filter would silently under-seed then)
     init = vecs.orderBy("id").limit(k).collect()
     if len(init) != k:
-        raise ValueError(f"kmeans_profile: need {k} seed vectors, corpus has {len(init)}")
+        raise ValueError(f"kmeans: need {k} seed vectors, corpus has {len(init)}")
     # clusters stay labeled by their seed vector's id across iterations
     cids = [int(r["id"]) for r in init]
     cents = np.asarray([r["v"] for r in init], dtype=np.float64)
 
     vecs = vecs.persist()
+    for _ in range(max(iters - 1, 0)):
+        assigned = vecs.withColumn("a", assign_udf(cids, cents)(F.col("v")))
+        sums = (
+            assigned.select(F.col("a.cluster").alias("cl"), F.posexplode("v").alias("pos", "x"))
+            .groupBy("cl", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        survivors = sorted({int(r["cl"]) for r in sums})
+        remap = {cl: i for i, cl in enumerate(survivors)}
+        dim = cents.shape[1]
+        acc = np.zeros((len(survivors), dim))
+        cnt = np.zeros(len(survivors))
+        for r in sums:
+            acc[remap[r["cl"]], r["pos"]] = r["s"]
+            cnt[remap[r["cl"]]] = r["n"]
+        cids = survivors
+        cents = acc / cnt[:, None]
+    return vecs.withColumn("a", assign_udf(cids, cents)(F.col("v"))), vecs
+
+
+def kmeans_profile(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means (data-seeded: initial centroids are
+    the ``k`` lowest-``id_col`` vectors) returning the per-cluster
+    profile ``(cluster, n_members, avg_sqdist)`` after ``iters``
+    iterations — the iterative-algorithm witness with a replayable
+    trajectory (no RNG), so even the oracle can re-derive it.
+
+    Distributed shape per iteration (same as train_ivf_centroids):
+    (1) assignment is an Arrow-batched numpy matmul against the
+    broadcast-sized centroid matrix — scan-shaped, no shuffle;
+    (2) the centroid update is posexplode + hash-agg keyed on
+    (cluster, pos) — ONE partial-aggregatable shuffle of k×dim×P partial
+    rows, never raw vectors.  Only k×dim floats hit the driver per
+    iteration.  All arithmetic in float64 (inputs upcast) so results are
+    engine-portable.  Clusters that empty out drop from the codebook
+    (standard Lloyd-with-pruning).
+    """
+    final, vecs = _kmeans_final_assignment(emb, k, iters, id_col, vec_col)
     try:
-        for _ in range(max(iters - 1, 0)):
-            assigned = vecs.withColumn("a", assign_udf(cids, cents)(F.col("v")))
-            sums = (
-                assigned.select(F.col("a.cluster").alias("cl"), F.posexplode("v").alias("pos", "x"))
-                .groupBy("cl", "pos")
-                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-                .collect()
-            )
-            survivors = sorted({int(r["cl"]) for r in sums})
-            remap = {cl: i for i, cl in enumerate(survivors)}
-            dim = cents.shape[1]
-            acc = np.zeros((len(survivors), dim))
-            cnt = np.zeros(len(survivors))
-            for r in sums:
-                acc[remap[r["cl"]], r["pos"]] = r["s"]
-                cnt[remap[r["cl"]]] = r["n"]
-            cids = survivors
-            cents = acc / cnt[:, None]
-        final = vecs.withColumn("a", assign_udf(cids, cents)(F.col("v")))
         return (
             final.groupBy(F.col("a.cluster").alias("cluster"))
             .agg(
@@ -622,6 +638,34 @@ def kmeans_profile(
         )
     finally:
         vecs.unpersist()
+
+
+def kmeans_assignments(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Per-vector cluster labels from ``kmeans_profile``'s EXACT
+    trajectory (same seeds, same ``iters - 1`` updates, same final
+    assignment pass) — the labels are what embedding-curation passes
+    consume (SemDeDup partitioning, topical packing, cluster-stratified
+    selection), while ``kmeans_profile`` keeps the per-cluster rollup.
+
+    Returns ``(assignments, cache)`` with columns (id, cluster, sqdist);
+    ``cache`` is the persisted vector frame — the caller unpersists
+    after materializing (the ``global_prefix_sums_cached`` contract).
+    """
+    final, vecs = _kmeans_final_assignment(emb, k, iters, id_col, vec_col)
+    return (
+        final.select(
+            "id",
+            F.col("a.cluster").alias("cluster"),
+            F.col("a.sqdist").alias("sqdist"),
+        ),
+        vecs,
+    )
 
 
 def quantized_cosine_topk(

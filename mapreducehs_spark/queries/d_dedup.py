@@ -1661,3 +1661,91 @@ def d29_dedup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# =========================================================================
+# Round 9: eval-side contamination report (d08's dual)
+# =========================================================================
+
+
+@query(
+    "d30_contamination_report",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, t, unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i
+      FROM toks
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+      FROM pos
+    ), bench AS (
+      SELECT doc_id, gram FROM sh WHERE doc_id % 50 = 0
+    ), train AS (
+      SELECT doc_id, gram FROM sh WHERE doc_id % 50 <> 0
+    ), bsz AS (
+      SELECT doc_id, count(*) AS total_grams FROM bench GROUP BY 1
+    ), h AS (
+      SELECT b.doc_id,
+             count(DISTINCT b.gram) AS hit_grams,
+             count(DISTINCT t.doc_id) AS n_train_docs
+      FROM bench b JOIN train t USING (gram)
+      GROUP BY 1
+    )
+    SELECT s.doc_id,
+           CAST(s.total_grams AS BIGINT) AS total_grams,
+           CAST(coalesce(h.hit_grams, 0) AS BIGINT) AS hit_grams,
+           CAST(coalesce(h.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+           CAST(coalesce(h.hit_grams, 0) * 1000000 // s.total_grams AS BIGINT)
+             AS leak_micro
+    FROM bsz s LEFT JOIN h USING (doc_id)
+    """,
+)
+def d30_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVAL-SIDE CONTAMINATION REPORT — d08's dual: d08 flags which
+    TRAINING docs are dirty; the benchmark owner's question is the
+    transpose — per EVAL doc, how much of it leaks into the training
+    corpus (the "% of benchmark contaminated" table in the GPT-3 /
+    PaLM appendices): the fraction of its distinct 8-grams found in
+    ANY training doc (integer micro-units, d08's gram identity via
+    operators/dedup.hashed_shingle_rows) and the number of distinct
+    leaking training docs.  Zero-hit eval docs stay in the report —
+    a benchmark-integrity table that silently drops clean rows can't
+    certify anything.
+
+    Scale shape (inverted from d08): the benchmark side is MB-scale,
+    so its hashed grams BROADCAST into the 100 TB training scan — the
+    big side never shuffles; only matching (gram, train_id) rows leave
+    the scan, and the per-eval-doc rollup is benchmark-sized.  The
+    two count-distincts share one (eval_id, gram-hash, train_id)
+    aggregate.  Reference witness: O1 fission + O2 keyed fold
+    (src/Core/MapReduceC.hs:24-26)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    ev = dedup.hashed_shingle_rows(bench, n=8)
+    tr = dedup.hashed_shingle_rows(train, n=8).select(
+        F.col("id").alias("__tid"), "shingle"
+    )
+    sizes = ev.select(F.col("id").alias("doc_id"), "set_size").distinct()
+    hits = (
+        tr.join(F.broadcast(ev.select("id", "shingle")), "shingle")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.countDistinct("shingle").cast("bigint").alias("hit_grams"),
+            F.countDistinct("__tid").cast("bigint").alias("n_train_docs"),
+        )
+    )
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("set_size").cast("bigint").alias("total_grams"),
+            F.coalesce("hit_grams", F.lit(0)).cast("bigint").alias("hit_grams"),
+            F.coalesce("n_train_docs", F.lit(0)).cast("bigint").alias("n_train_docs"),
+            F.expr(
+                "cast((coalesce(hit_grams, 0) * 1000000L) div set_size as bigint)"
+            ).alias("leak_micro"),
+        )
+    )

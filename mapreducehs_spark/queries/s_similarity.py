@@ -138,9 +138,11 @@ def s03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "s05_kmeans_profile",
-    oracle="""
+#: s05's Lloyd-trajectory CTEs (e → a2): the 2-iteration data-seeded
+#: k-means assignment law, ending at a2 = (vec_id, cid, dd).  Shared
+#: with t46's topical-packing oracle so both replay ONE clustering law
+#: — a drift in either side's trajectory breaks both oracles at once.
+_KMEANS_A2_CTES = """
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ), c0 AS (
@@ -167,7 +169,13 @@ def s03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd ASC, cid ASC) AS rn
         FROM d2
       ) WHERE rn = 1
-    )
+    )"""
+
+
+@query(
+    "s05_kmeans_profile",
+    oracle=_KMEANS_A2_CTES
+    + """
     SELECT cid AS cluster,
            CAST(count(*) AS BIGINT) AS n_members,
            round(avg(dd), 4) AS avg_sqdist

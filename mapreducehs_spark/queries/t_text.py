@@ -3347,3 +3347,254 @@ def t44_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("effective_tokens"),
         (F.col("target_tokens") > 4 * F.col("tokens_total")).alias("capped"),
     )
+
+
+# =========================================================================
+# Round 9: post-training pair construction + topical (in-context) packing
+# =========================================================================
+
+
+@query(
+    "t45_preference_pairs",
+    oracle="""
+    WITH q AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
+                                                x -> x != ''))) AS BIGINT) AS n_uniq
+      FROM documents
+    ), scored AS (
+      SELECT source, doc_id, (n_uniq * 1000000) // n_tok AS quality_micro
+      FROM q WHERE n_tok > 0
+    ), top AS (
+      SELECT source, doc_id, quality_micro, rn FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source ORDER BY quality_micro DESC, doc_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ), bot AS (
+      SELECT source, doc_id, quality_micro, rn FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source ORDER BY quality_micro ASC, doc_id DESC) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    )
+    SELECT t.source,
+           CAST(t.rn AS BIGINT) AS pair_rank,
+           CAST(t.doc_id AS BIGINT) AS chosen_id,
+           CAST(b.doc_id AS BIGINT) AS rejected_id,
+           CAST(t.quality_micro AS BIGINT) AS chosen_q,
+           CAST(b.quality_micro AS BIGINT) AS rejected_q,
+           CAST(t.quality_micro - b.quality_micro AS BIGINT) AS margin_micro
+    FROM top t JOIN bot b ON b.source = t.source AND b.rn = t.rn
+    WHERE t.doc_id != b.doc_id AND t.quality_micro > b.quality_micro
+    """,
+)
+def t45_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFERENCE-PAIR CONSTRUCTION — the post-training data op the
+    t-series was missing: given a scalar reward over candidate
+    responses, a DPO/RLHF-style corpus pairs a high-reward CHOSEN with
+    a low-reward REJECTED sample from the same group, with the reward
+    margin attached (Rafailov et al. 2023 consume exactly such
+    (prompt, chosen, rejected) triples; the source shard plays the
+    prompt-group role here).  Reward is a committed integer signal —
+    type-token ratio in micro-units, (n_uniq · 1e6) div n_tok, the
+    t32/t41 repetition axis — so ranking is integer-deterministic.
+
+    Pairing law: per source, the rank-i doc by reward DESC is chosen,
+    the rank-i doc by reward ASC is rejected (doc_id tiebreaks, i ≤ 5),
+    degenerate pairs (same doc, or zero margin) dropped — the standard
+    best-vs-worst construction that maximizes margin per pair.
+
+    Scale shape: both rankings are ``row_number() <= k`` per-shard
+    windows — Spark lowers them to WindowGroupLimit (per-partition
+    top-k BEFORE the shuffle, the q98 pin), so state per shard is k
+    rows and the join is k·#sources vs k·#sources.  No global sort
+    anywhere.  Reference witness: O2 keyed fold + O1 re-key
+    (src/Core/MapReduceC.hs:24-26)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
+    ).filter(F.col("n_tok") > 0).select(
+        "source",
+        "doc_id",
+        F.expr("(n_uniq * 1000000L) div n_tok").alias("quality_micro"),
+    )
+    w_top = Window.partitionBy("source").orderBy(
+        F.col("quality_micro").desc(), F.col("doc_id").asc()
+    )
+    w_bot = Window.partitionBy("source").orderBy(
+        F.col("quality_micro").asc(), F.col("doc_id").desc()
+    )
+    top = (
+        scored.withColumn("pair_rank", F.row_number().over(w_top).cast("bigint"))
+        .filter(F.col("pair_rank") <= 5)
+        .select("source", "pair_rank",
+                F.col("doc_id").alias("chosen_id"),
+                F.col("quality_micro").alias("chosen_q"))
+    )
+    bot = (
+        scored.withColumn("pair_rank", F.row_number().over(w_bot).cast("bigint"))
+        .filter(F.col("pair_rank") <= 5)
+        .select("source", "pair_rank",
+                F.col("doc_id").alias("rejected_id"),
+                F.col("quality_micro").alias("rejected_q"))
+    )
+    return (
+        top.join(bot, ["source", "pair_rank"])
+        .filter(
+            (F.col("chosen_id") != F.col("rejected_id"))
+            & (F.col("chosen_q") > F.col("rejected_q"))
+        )
+        .select(
+            "source", "pair_rank", "chosen_id", "rejected_id",
+            "chosen_q", "rejected_q",
+            (F.col("chosen_q") - F.col("rejected_q")).alias("margin_micro"),
+        )
+    )
+
+
+def _t46_oracle() -> str:
+    from mapreducehs_spark.queries.s_similarity import _KMEANS_A2_CTES
+
+    return (
+        _KMEANS_A2_CTES
+        + f"""
+    , toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+                  AS BIGINT) + 1 AS w
+      FROM documents
+    ), j AS (
+      SELECT a2.cid AS cluster, t.doc_id, t.w
+      FROM a2 JOIN toks t ON t.doc_id = a2.vec_id
+    ), starts AS (
+      SELECT cluster, doc_id, w,
+             CAST(sum(w) OVER (PARTITION BY cluster ORDER BY doc_id) - w AS BIGINT)
+               AS start
+      FROM j
+    ), x AS (
+      SELECT cluster, doc_id, w, start, s.seq_id
+      FROM starts,
+           LATERAL unnest(range(start // {_T40_CTX},
+                                (start + w - 1) // {_T40_CTX} + 1)) s(seq_id)
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc,
+           CAST(sum(CASE WHEN (start + w - 1) // {_T40_CTX} = seq_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_eos,
+           CAST(sum(least(start + w, (seq_id + 1) * {_T40_CTX})
+                    - greatest(start, seq_id * {_T40_CTX})) AS BIGINT) AS n_fill,
+           CAST(sum(least(start + w, (seq_id + 1) * {_T40_CTX})
+                    - greatest(start, seq_id * {_T40_CTX}))
+                * 1000000 // {_T40_CTX} AS BIGINT) AS fill_micro
+    FROM x
+    GROUP BY cluster, seq_id
+    """
+    )
+
+
+@query("t46_topical_packing", oracle=_t46_oracle())
+def t46_topical_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOPICAL (in-context) SEQUENCE PACKING — related documents packed
+    into the SAME context windows, the in-context-pretraining recipe
+    (Shi et al. 2024: grouping semantically related docs per window
+    beats random concatenation): documents are clustered by embedding
+    with s05's EXACT 2-iteration Lloyd trajectory
+    (operators/similarity.kmeans_assignments — same seeds, same
+    updates; the oracle reuses s05's _KMEANS_A2_CTES verbatim), then
+    each cluster's docs are packed doc_id-ordered into _T40_CTX-token
+    windows under t40's arithmetic law (EOS separators, interval-
+    intersection fill).
+
+    The per-cluster offsets come from the round-9 seam
+    ``sampling.grouped_prefix_sums_cached`` — global two-phase prefix
+    sums over (cluster, doc_id) minus each cluster's broadcast base
+    offset.  With k=8 clusters over 100 TB, a
+    ``sum() OVER (PARTITION BY cluster ORDER BY doc_id)`` window would
+    put an eighth of the corpus on ONE task; the grouped seam keeps the
+    heavy data range-distributed and ships only k base offsets.  Plan:
+    one corpus scan + one embeddings scan, the assignment matmul
+    (scan-shaped Arrow, no shuffle), the doc_id equi-join, the range
+    exchange, the (cluster, seq_id) hash agg — window-free.
+    Reference witness: O1 fission + O2 ordered fold
+    (src/Core/MapReduceC.hs:24-26)."""
+    df, caches = _t46_build(spark, sf_dir)
+    try:
+        return df.localCheckpoint()
+    finally:
+        for c in caches:
+            c.unpersist(blocking=False)
+
+
+def _t46_build(spark: SparkSession, sf_dir: str):
+    """t46 pre-checkpoint builder (q107/t40 discipline: plan pins
+    inspect THIS; the query checkpoints so the caches can be freed)."""
+    from mapreducehs_spark.operators.sampling import grouped_prefix_sums_cached
+    from mapreducehs_spark.operators.similarity import kmeans_assignments
+
+    C = _T40_CTX
+    emb = _t(spark, sf_dir, "embeddings")
+    assign, kcache = kmeans_assignments(emb, k=8, iters=2)
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        (F.size(text.tokens("text")).cast("bigint") + F.lit(1)).alias("w"),
+    ).join(
+        assign.select(F.col("id").alias("doc_id"), "cluster"), "doc_id"
+    ).select("cluster", "doc_id", "w")
+    starts, pcache = grouped_prefix_sums_cached(
+        keyed, ["cluster"], ["doc_id"], "w", out_col="start"
+    )
+    x = starts.select(
+        "cluster",
+        "doc_id",
+        "w",
+        "start",
+        F.explode_outer(
+            F.expr(f"sequence(start div {C}, (start + w - 1) div {C})")
+        ).alias("seq_id"),
+    ).filter(F.col("seq_id").isNotNull())
+    fill = F.least(
+        F.col("start") + F.col("w"), (F.col("seq_id") + 1) * C
+    ) - F.greatest(F.col("start"), F.col("seq_id") * C)
+    per_seq = (
+        x.select(
+            "cluster",
+            "doc_id",
+            "seq_id",
+            fill.alias("__fill"),
+            (F.expr(f"(start + w - 1) div {C}") == F.col("seq_id"))
+            .cast("bigint")
+            .alias("__eos"),
+        )
+        .groupBy("cluster", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+            F.sum("__eos").cast("bigint").alias("n_eos"),
+            F.sum("__fill").cast("bigint").alias("n_fill"),
+        )
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "seq_id",
+            "n_docs",
+            "first_doc",
+            "last_doc",
+            "n_eos",
+            "n_fill",
+            F.expr(f"cast((n_fill * 1000000L) div {C} as bigint)").alias(
+                "fill_micro"
+            ),
+        )
+    )
+    return per_seq, (kcache, pcache)
