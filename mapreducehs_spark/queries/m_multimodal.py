@@ -909,3 +909,140 @@ def m17_vlm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast((sum(n_patch) * 1000000L) div sum(n_seq) as bigint)"
         ).alias("patch_share_ppm"),
     )
+
+
+# =========================================================================
+# Round 9: VLM interleaved sequence packing (m17's widths, t40's law)
+# =========================================================================
+
+#: m18 context window (positions per packed VLM training sequence).
+#: VLM contexts run longer than text-only t40's — patch runs are wide.
+_M18_CTX = 4096
+
+
+@query(
+    "m18_vlm_sequence_packing",
+    oracle=f"""
+    WITH pair AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS n_text,
+             CAST((2 + doc_id % 7) * (2 + doc_id % 5) AS BIGINT) AS n_patch
+      FROM documents
+    ), w AS (
+      SELECT doc_id, source, n_patch, n_patch + n_text + 2 AS w FROM pair
+    ), starts AS (
+      SELECT doc_id, source, n_patch, w,
+             CAST(sum(w) OVER (PARTITION BY source ORDER BY doc_id) - w AS BIGINT)
+               AS start
+      FROM w
+    ), x AS (
+      SELECT source, doc_id, n_patch, w, start, s.seq_id
+      FROM starts,
+           LATERAL unnest(range(start // {{C}},
+                                (start + w - 1) // {{C}} + 1)) s(seq_id)
+    )
+    SELECT source,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc,
+           CAST(sum(CASE WHEN (start + w - 1) // {{C}} = seq_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_eos,
+           CAST(sum(least(start + w, (seq_id + 1) * {{C}})
+                    - greatest(start, seq_id * {{C}})) AS BIGINT) AS n_fill,
+           CAST(sum(least(start + w, (seq_id + 1) * {{C}})
+                    - greatest(start, seq_id * {{C}}))
+                * 1000000 // {{C}} AS BIGINT) AS fill_micro
+    FROM x
+    GROUP BY source, seq_id
+    """.replace("{{C}}", "{C}").format(C=_M18_CTX),
+)
+def m18_vlm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VLM INTERLEAVED SEQUENCE PACKING — the export step m17 plans
+    for: each (image, caption) pair occupies `patches + text + 2`
+    context positions (m17's metadata-only width law — the doc_id
+    raster grid, no pixel decoded), and pairs are packed doc_id-ordered
+    PER SOURCE SHARD into _M18_CTX-position windows under t40's
+    interval arithmetic (per-pair separators, intersection fill).
+    Per-source packing is the production VLM-export topology (st26's
+    batch twin, with multimodal widths): shards pack independently, so
+    export parallelism is #sources wide with no cross-shard barrier.
+
+    Offsets via the round-9 ``sampling.grouped_prefix_sums_cached``
+    seam (t46's): global two-phase prefix sums over (source, doc_id)
+    minus each source's broadcast base — never a per-source window
+    that would collapse a shard onto one task at 100 TB.  Plan: one
+    metadata scan, the range exchange, the (source, seq_id) hash agg;
+    window-free, join-free apart from the #sources-row broadcast.
+    Reference witness: O1 fission + O2 ordered fold
+    (src/Core/MapReduceC.hs:24-26)."""
+    df, cache = _m18_build(spark, sf_dir)
+    try:
+        return df.localCheckpoint()
+    finally:
+        cache.unpersist(blocking=False)
+
+
+def _m18_build(spark: SparkSession, sf_dir: str):
+    """m18 pre-checkpoint builder (q107/t40 discipline)."""
+    from mapreducehs_spark.operators.sampling import grouped_prefix_sums_cached
+
+    C = _M18_CTX
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        (
+            ((2 + F.col("doc_id") % 7) * (2 + F.col("doc_id") % 5)).cast("bigint")
+            + F.size(text.tokens("text")).cast("bigint")
+            + F.lit(2)
+        ).alias("w"),
+    )
+    starts, cache = grouped_prefix_sums_cached(
+        keyed, ["source"], ["doc_id"], "w", out_col="start"
+    )
+    x = starts.select(
+        "source",
+        "doc_id",
+        "w",
+        "start",
+        F.explode_outer(
+            F.expr(f"sequence(start div {C}, (start + w - 1) div {C})")
+        ).alias("seq_id"),
+    ).filter(F.col("seq_id").isNotNull())
+    fill = F.least(
+        F.col("start") + F.col("w"), (F.col("seq_id") + 1) * C
+    ) - F.greatest(F.col("start"), F.col("seq_id") * C)
+    return (
+        x.select(
+            "source",
+            "doc_id",
+            "seq_id",
+            fill.alias("__fill"),
+            (F.expr(f"(start + w - 1) div {C}") == F.col("seq_id"))
+            .cast("bigint")
+            .alias("__eos"),
+        )
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+            F.sum("__eos").cast("bigint").alias("n_eos"),
+            F.sum("__fill").cast("bigint").alias("n_fill"),
+        )
+        .select(
+            "source",
+            "seq_id",
+            "n_pairs",
+            "first_doc",
+            "last_doc",
+            "n_eos",
+            "n_fill",
+            F.expr(f"cast((n_fill * 1000000L) div {C} as bigint)").alias(
+                "fill_micro"
+            ),
+        ),
+        cache,
+    )

@@ -1203,3 +1203,48 @@ def st27_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hit_ratio"
         ),
     )
+
+
+# =========================================================================
+# Round 9: streaming ingest PII scrub + online weighted reservoir
+# =========================================================================
+
+
+@query("st28_stream_pii_redact", oracle=ORACLE["t16_pii_redact"])
+def st28_stream_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING PII SCRUB — t16's redaction law applied at ingest
+    (the st27 posture: hygiene runs when data ARRIVES, not in a
+    nightly sweep): every arriving doc runs the inject → count →
+    redact → fold projection (the shared ``_t16_doc_frame`` seam —
+    ONE redaction law, two topologies) in a STATELESS map over the
+    stream — no state store, no watermark, no shuffle before the
+    sink; per-doc audit rows land in the sink and the per-source
+    compliance rollup (``_t16_rollup``) is a batch projection over
+    the sink read.  Stream == batch holds trivially (the projection
+    is per-row deterministic), so t16's own oracle value-checks the
+    whole ingest topology verbatim."""
+    from mapreducehs_spark import streaming as st
+    from mapreducehs_spark.queries.t_text import _t16_doc_frame, _t16_rollup
+
+    audit = _t16_doc_frame(_replayed_docs(spark, sf_dir))
+    log = st.run_to_batch(audit, "st28_sink", output_mode="append")
+    return _t16_rollup(log)
+
+
+@query("st29_stream_weighted_sample", oracle=ORACLE["t31_weighted_sample"])
+def st29_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING weighted reservoir sampling — t31's A-ES exponential
+    races as an ONLINE per-source reservoir
+    (streaming/ops.streaming_weighted_sample): A-ES keys are mergeable
+    minima, so folding each micro-batch's top-k candidates into a
+    driver-held reservoir (st18's model-is-the-state posture; #sources
+    × 25 tuples, no state store) yields EXACTLY the batch sample over
+    everything seen — the content-hash keys make the fold replay-order
+    independent.  Per batch: one scan, t31's JVM key expression, one
+    WindowGroupLimit top-k, ≤ #sources·25 rows to the driver.  This is
+    the always-on curation sampler: "keep the best 25 per domain,
+    length-weighted, forever" at O(domains) memory.  t31's oracle
+    value-checks the final reservoir verbatim."""
+    from mapreducehs_spark import streaming as st
+
+    return st.streaming_weighted_sample(_replayed_docs(spark, sf_dir), k=25)

@@ -709,6 +709,15 @@ def t16_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Patterns stay in the Java∩RE2 regex subset (FIXTURES.md oracle
     discipline)."""
     docs = _t(spark, sf_dir, "documents")
+    return _t16_rollup(_t16_doc_frame(docs))
+
+
+def _t16_doc_frame(docs: DataFrame) -> DataFrame:
+    """t16's per-doc projection (inject → count → redact → fold),
+    shared with the streaming ingest scrub st28 (the _t32_flags seam
+    discipline: ONE redaction law, two topologies).  Input needs
+    (doc_id, source, text); output is the stateless per-doc audit row
+    (source, n_email, n_phone, n_ip, delta, fold)."""
     did = F.col("doc_id")
     injected = docs.select(
         "source",
@@ -739,24 +748,25 @@ def t16_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = text.pii_counts("t")
     clean = text.redact_pii("t")
     fold = F.conv(F.substring(F.md5(clean), 1, 12), 16, 10).cast("bigint")
-    return (
-        injected.select(
-            "source",
-            counts["email"].alias("n_email"),
-            counts["phone"].alias("n_phone"),
-            counts["ipv4"].alias("n_ip"),
-            (F.length("t") - F.length(clean)).alias("delta"),
-            fold.alias("fold"),
-        )
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_email").cast("bigint").alias("n_emails"),
-            F.sum("n_phone").cast("bigint").alias("n_phones"),
-            F.sum("n_ip").cast("bigint").alias("n_ips"),
-            F.sum("delta").cast("bigint").alias("chars_removed"),
-            F.sum("fold").alias("clean_fold"),
-        )
+    return injected.select(
+        "source",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ip"),
+        (F.length("t") - F.length(clean)).alias("delta"),
+        fold.alias("fold"),
+    )
+
+
+def _t16_rollup(doc_frame: DataFrame) -> DataFrame:
+    """t16's per-source rollup over ``_t16_doc_frame`` rows."""
+    return doc_frame.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("bigint").alias("n_emails"),
+        F.sum("n_phone").cast("bigint").alias("n_phones"),
+        F.sum("n_ip").cast("bigint").alias("n_ips"),
+        F.sum("delta").cast("bigint").alias("chars_removed"),
+        F.sum("fold").alias("clean_fold"),
     )
 
 

@@ -1971,3 +1971,75 @@ def stateful_sequence_packer(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_weighted_sample(docs: DataFrame, k: int = 25) -> DataFrame:
+    """STREAMING weighted sampling without replacement — t31's
+    Efraimidis-Spirakis exponential races as an ONLINE reservoir: A-ES
+    is *the* streaming-native sampling algorithm (its keys are
+    mergeable minima), so the per-source reservoir of the ``k``
+    smallest keys, folded batch by batch, equals the batch sample over
+    everything seen — exactly, not approximately.
+
+    Topology (st18's "the model is the state" posture): per
+    micro-batch, keys are computed JVM-side with t31's EXACT expression
+    (md5-prefix draw, -ln(u)/w, w = length(text) — the generator's
+    n_chars law), the batch's own per-source top-k survives a
+    WindowGroupLimit window, and only those ≤ #sources·k candidate
+    rows reach the driver, where they merge into the held reservoir
+    (tie-break doc_id ASC, t31's law).  State is #sources·k tuples on
+    the driver — no state store, no watermark; per-batch cost is one
+    scan + a bounded-output window.  Because keys are content-hash
+    deterministic, the final reservoir is replay-order-independent and
+    t31's own oracle value-checks it verbatim."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    reservoirs: dict[str, list[tuple[float, int, int]]] = {}
+
+    h = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("bigint")
+    key = -F.log((h + F.lit(1)) / F.lit(4294967296.0)) / F.col("w")
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        keyed = batch_df.select(
+            "source",
+            "doc_id",
+            F.length("text").cast("bigint").alias("w"),
+            F.col("text"),
+        ).withColumn("__key", key).drop("text")
+        w_src = Window.partitionBy("source").orderBy(
+            F.col("__key").asc(), F.col("doc_id").asc()
+        )
+        cand = (
+            keyed.withColumn("__rk", F.row_number().over(w_src))
+            .filter(F.col("__rk") <= k)
+            .collect()
+        )
+        for r in cand:
+            res = reservoirs.setdefault(r["source"], [])
+            res.append((float(r["__key"]), int(r["doc_id"]), int(r["w"])))
+        for src, res in reservoirs.items():
+            res.sort(key=lambda t: (t[0], t[1]))
+            del res[k:]
+
+    q = docs.writeStream.foreachBatch(step).trigger(availableNow=True).start()
+    try:
+        if not q.awaitTermination(timeout=600):
+            raise TimeoutError("streaming_weighted_sample did not finish in 600s")
+    finally:
+        if q.isActive:
+            q.stop()
+
+    rows = [
+        (src, doc_id, w, kf)
+        for src, res in reservoirs.items()
+        for kf, doc_id, w in res
+    ]
+    return spark.createDataFrame(
+        rows, "source string, doc_id bigint, w bigint, __key double"
+    ).select(
+        "source",
+        "doc_id",
+        "w",
+        F.round(F.col("__key") * 1_000_000, 4).alias("cost_micro"),
+    )
