@@ -2111,3 +2111,38 @@ def test_scan_shaped_minhash_matches_grouped_kernel(spark):
         r["id"]: [r[f"m{i}"] for i in range(MINHASH_CHECK_NUM_PERM)] for r in ref.collect()
     }
     assert got == want
+
+
+def test_kmeans_assignments_consistent_with_profile(spark):
+    """kmeans_assignments exposes the SAME trajectory kmeans_profile
+    rolls up: aggregating the per-vector labels reproduces the profile
+    exactly (counts) and to float tolerance (mean sqdist)."""
+    rng = np.random.default_rng(11)
+    k, dim, n = 4, 8, 60
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from mapreducehs_spark.operators.similarity import (
+        kmeans_assignments,
+        kmeans_profile,
+    )
+
+    profile = {
+        r["cluster"]: (r["n_members"], r["avg_sqdist"])
+        for r in kmeans_profile(df, k=k, iters=2).collect()
+    }
+    assign, cache = kmeans_assignments(df, k=k, iters=2)
+    try:
+        rows = assign.collect()
+    finally:
+        cache.unpersist(blocking=False)
+    # every vector labeled exactly once
+    assert sorted(r["id"] for r in rows) == list(range(n))
+    agg: dict = {}
+    for r in rows:
+        cnt, tot = agg.get(r["cluster"], (0, 0.0))
+        agg[r["cluster"]] = (cnt + 1, tot + r["sqdist"])
+    assert set(agg) == set(profile)
+    for cid, (cnt, tot) in agg.items():
+        assert cnt == profile[cid][0]
+        assert abs(tot / cnt - profile[cid][1]) < 1e-9

@@ -1034,3 +1034,62 @@ def test_s22_ceiling_filters_before_topk(q):
     m_w = _re.search(r"\((\d+)\) WindowGroupLimit", plan)
     assert m_f and m_w
     assert int(m_f.group(1)) < int(m_w.group(1))
+
+
+def test_t45_pairs_windowgrouplimit(q):
+    """t45's scale contract: both preference rankings lower to
+    WindowGroupLimit (per-partition top-k before the source shuffle),
+    and the pair join never cartesians."""
+    df = q("t45_preference_pairs")
+    plan = I.formatted_plan(df)
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_t46_topical_packing_window_free(q, spark):
+    """t46's scale contract: per-cluster offsets come from the grouped
+    two-phase prefix-sum seam (range exchange on (cluster, doc_id) +
+    broadcast base subtraction) — no Window operator anywhere, so no
+    cluster ever collapses onto one task."""
+    from mapreducehs_spark.queries import _t46_build
+
+    df, caches = _t46_build(spark, SF)
+    try:
+        plan = I.formatted_plan(df)
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "rangepartitioning(cluster" in plan
+        assert I.broadcast_join_count(df) >= 1  # the k-row base frame
+    finally:
+        for c in caches:
+            c.unpersist(blocking=False)
+
+
+def test_m18_vlm_packing_window_free_one_scan(q, spark):
+    """m18's scale contract: one metadata scan of documents, per-source
+    offsets via the grouped prefix-sum seam (range exchange + broadcast
+    base), no Window, no pixel column read."""
+    from mapreducehs_spark.queries import _m18_build
+
+    df, cache = _m18_build(spark, SF)
+    try:
+        plan = I.formatted_plan(df)
+        import re as _re
+
+        assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "rangepartitioning(source" in plan
+        assert I.broadcast_join_count(df) >= 1
+    finally:
+        cache.unpersist(blocking=False)
+
+
+def test_d30_benchmark_side_broadcasts(q):
+    """d30's scale contract: the MB-scale benchmark gram set reaches
+    the training scan as a BROADCAST — the 100 TB side never shuffles
+    for the join."""
+    df = q("d30_contamination_report")
+    plan = I.formatted_plan(df)
+    assert I.broadcast_join_count(df) >= 1
+    assert "CartesianProduct" not in plan

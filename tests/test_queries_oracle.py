@@ -88,3 +88,48 @@ def test_t40_packing_conservation(spark):
     assert rows[-1]["n_fill"] <= _T40_CTX
     # seq ids are dense 0..n-1: no window is skipped or duplicated
     assert [r["seq_id"] for r in rows] == list(range(len(rows)))
+
+
+def test_t46_topical_packing_conservation(spark):
+    """t46's per-cluster packing laws: within each cluster, fill sums
+    to tokens + one EOS per member doc, n_eos sums to the member
+    count, every window but the cluster's last is exactly full, and
+    seq ids are dense per cluster."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from mapreducehs_spark.operators import text
+    from mapreducehs_spark.operators.similarity import kmeans_assignments
+    from mapreducehs_spark.queries import _T40_CTX
+    from mapreducehs_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assign, cache = kmeans_assignments(emb, k=8, iters=2)
+    try:
+        labels = {r["id"]: r["cluster"] for r in assign.collect()}
+    finally:
+        cache.unpersist(blocking=False)
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.size(text.tokens("text")).cast("bigint").alias("n_tok")
+    )
+    want_docs: dict = defaultdict(int)
+    want_fill: dict = defaultdict(int)
+    for r in docs.collect():
+        if r["doc_id"] in labels:
+            cl = labels[r["doc_id"]]
+            want_docs[cl] += 1
+            want_fill[cl] += r["n_tok"] + 1
+
+    per: dict = defaultdict(list)
+    for r in QUERIES["t46_topical_packing"](spark, SF_DIR).collect():
+        per[r["cluster"]].append(r)
+    assert set(per) == set(want_docs)
+    for cl, rows in per.items():
+        rows.sort(key=lambda r: r["seq_id"])
+        assert sum(r["n_fill"] for r in rows) == want_fill[cl]
+        assert sum(r["n_eos"] for r in rows) == want_docs[cl]
+        for r in rows[:-1]:
+            assert r["n_fill"] == _T40_CTX and r["fill_micro"] == 1_000_000
+        assert rows[-1]["n_fill"] <= _T40_CTX
+        assert [r["seq_id"] for r in rows] == list(range(len(rows)))

@@ -116,3 +116,38 @@ def test_merge_upsert_differential(spark, base_keys, upd_keys, del_keys):
     for k in del_keys:
         want.pop(k, None)
     assert got == want
+
+
+grp_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # group
+        st.integers(min_value=0, max_value=1000),   # order key
+        st.integers(min_value=0, max_value=50),     # weight
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@given(rows=grp_rows)
+@settings(**SETTINGS)
+def test_grouped_prefix_sums_differential(spark, rows):
+    """grouped_prefix_sums_cached == per-group exclusive cumsum (pure
+    Python mirror), for arbitrary group sizes including singleton and
+    empty-weight rows."""
+    from mapreducehs_spark.operators.sampling import grouped_prefix_sums_cached
+
+    df = spark.createDataFrame(rows, "g long, k long, w long")
+    out, cache = grouped_prefix_sums_cached(df, ["g"], ["k"], "w", out_col="start")
+    try:
+        got = {(r["g"], r["k"]): r["start"] for r in out.collect()}
+    finally:
+        cache.unpersist(blocking=False)
+
+    want: dict = {}
+    running: dict = {}
+    for g, k, w in sorted(rows):
+        want[(g, k)] = running.get(g, 0)
+        running[g] = running.get(g, 0) + w
+    assert got == want
