@@ -187,7 +187,10 @@ def main() -> None:
         "repeats": REPEATS,
         "queries": results,
     }
-    with open(os.path.join(REPO, "STREAM_BENCH.json"), "w") as f:
+    out_path = os.environ.get(
+        "SPARK_GRAFT_STREAM_BENCH_OUT", os.path.join(REPO, "STREAM_BENCH.json")
+    )
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
     print(json.dumps({k: out[k] for k in ("metric", "value", "n_queries", "sf")}))

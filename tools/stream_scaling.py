@@ -1,0 +1,145 @@
+"""Streaming scaling gate: per-st-query wall AND state-store growth
+between two STREAM_BENCH detail files (VERDICT r08 gap 3 — SCALING.json
+covered the batch inventory; the streaming suite had no recorded scale
+signal, so super-linear STATE growth was unmeasured).
+
+  python tools/stream_bench.py                                  # sf0.1
+  SPARK_GRAFT_STREAM_BENCH_OUT=/tmp/stream_bench_sf1.json \
+  SPARK_GRAFT_STREAM_REPEATS=1 python tools/stream_bench.py /tmp/sf1
+  python tools/stream_scaling.py [sf1_detail] [sf01_detail] [out]
+
+Writes STREAM_SCALING.json with, per query:
+
+- ``wall_ratio`` — sec(sf1)/sec(sf0.1); flagged when it exceeds
+  GATE_RATIO (12x = 10x data + headroom) AND the sf1 wall is above
+  FLOOR_SEC (sub-second ratios measure the box, not the plan — the
+  batch gate's law).  The stream suite has no calibration probe; walls
+  here include trigger scheduling overhead, so a borderline ratio
+  should be re-measured isolated before concluding anything.
+- ``state_ratio`` — peak_state_rows(sf1)/peak_state_rows(sf0.1); the
+  streaming-specific signal.  There is no single gate: BOUNDED-state
+  claims (st12's LRU, st22's Bloom shards, st25's fixed histogram,
+  st26's O(sources) offsets) must show ~1x and are flagged past
+  BOUNDED_SLACK; data-proportional states (st02 sessions, st15 band
+  buckets) legitimately track the 10x data and are flagged only past
+  GATE_RATIO.  Which law applies is declared in BOUNDED_STATE below —
+  the committed list IS the claim the gate checks.
+
+Reference discipline: measure, don't argue (test/Generator.hs:83-92).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+GATE_RATIO = 12.0  # data-proportional ceiling: 10x data + headroom
+FLOOR_SEC = 1.0  # sf1 wall below this never wall-flags (noise regime)
+BOUNDED_SLACK = 2.0  # bounded-state claims may wobble (batch slicing), not grow
+
+#: st queries whose docstrings claim state INDEPENDENT of corpus size
+#: (fixed sketches, LRU/TTL windows, per-source scalars, driver-held
+#: models).  Everything else is allowed to track the data volume.
+BOUNDED_STATE = {
+    "st12_stream_dedup_watermarked",  # TTL-evicted key window
+    "st13_stream_heavy_hitters",  # fixed Misra-Gries sketch
+    "st20_stream_moments",  # per-type scalar moments
+    "st21_stream_anomaly",  # fixed ring buffer per user
+    "st22_stream_bloom_dedup",  # fixed Bloom shards
+    "st25_stream_histogram_quantiles",  # fixed histogram buckets
+    "st26_stream_sequence_packing",  # one offset long per source
+    # stateless / driver-held (no state store at all): peak stays 0
+    "st17_stream_inference",
+    "st18_stream_train",
+    "st19_stream_mixture",
+    "st24_stream_decode_dlq",
+    "st27_stream_decontaminate",
+    "st28_stream_pii_redact",
+    "st29_stream_weighted_sample",
+}
+
+
+def main() -> None:
+    sf1_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stream_bench_sf1.json"
+    sf01_path = (
+        sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "STREAM_BENCH.json")
+    )
+    out_path = (
+        sys.argv[3] if len(sys.argv) > 3 else os.path.join(REPO, "STREAM_SCALING.json")
+    )
+
+    with open(sf1_path) as f:
+        b1 = json.load(f)
+    with open(sf01_path) as f:
+        b01 = json.load(f)
+
+    q1, q01 = b1["queries"], b01["queries"]
+    common = sorted(set(q1) & set(q01))
+    missing = sorted(set(q01) ^ set(q1))
+
+    rows: dict[str, dict] = {}
+    wall_flagged: list[str] = []
+    state_flagged: list[str] = []
+    for name in common:
+        t01, t1 = float(q01[name]["sec"]), float(q1[name]["sec"])
+        s01, s1 = int(q01[name]["peak_state_rows"]), int(q1[name]["peak_state_rows"])
+        wall_ratio = t1 / t01 if t01 > 0 else float("inf")
+        state_ratio = (s1 / s01) if s01 > 0 else (float("inf") if s1 > 0 else 1.0)
+        bounded = name in BOUNDED_STATE
+        wall_flag = bool(wall_ratio > GATE_RATIO and t1 >= FLOOR_SEC)
+        state_gate = BOUNDED_SLACK if bounded else GATE_RATIO
+        state_flag = bool(state_ratio > state_gate)
+        rows[name] = {
+            "sf01_sec": round(t01, 4),
+            "sf1_sec": round(t1, 4),
+            "wall_ratio": round(wall_ratio, 3),
+            "sf01_state_rows": s01,
+            "sf1_state_rows": s1,
+            "state_ratio": round(state_ratio, 3) if state_ratio != float("inf") else None,
+            "bounded_state_claim": bounded,
+            "wall_flagged": wall_flag,
+            "state_flagged": state_flag,
+        }
+        if wall_flag:
+            wall_flagged.append(name)
+        if state_flag:
+            state_flagged.append(name)
+
+    out = {
+        "metric": "stream_sf1_over_sf01",
+        "gate_ratio": GATE_RATIO,
+        "floor_sec": FLOOR_SEC,
+        "bounded_slack": BOUNDED_SLACK,
+        "n_queries": len(rows),
+        "n_wall_flagged": len(wall_flagged),
+        "n_state_flagged": len(state_flagged),
+        "wall_flagged": wall_flagged,
+        "state_flagged": state_flagged,
+        "missing_in_one_file": missing,
+        "queries": rows,
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(
+        json.dumps(
+            {
+                k: out[k]
+                for k in (
+                    "metric",
+                    "n_queries",
+                    "n_wall_flagged",
+                    "wall_flagged",
+                    "n_state_flagged",
+                    "state_flagged",
+                )
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
