@@ -1738,7 +1738,9 @@ def d30_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        sizes.join(hits, "doc_id", "left")
+        # both sides of the final stitch are benchmark-sized (the eval
+        # slice), so the hit rollup broadcasts — no SMJ at any scale
+        sizes.join(F.broadcast(hits), "doc_id", "left")
         .select(
             "doc_id",
             F.col("set_size").cast("bigint").alias("total_grams"),
