@@ -1505,23 +1505,14 @@ def _d28_oracle() -> str:
     """
 
 
-@query("d28_incremental_components", oracle=_d28_oracle())
-def d28_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INCREMENTAL near-dup components — the graph-level member of the
-    incremental-dedup tier (d09 exact index probe, d25 Bloom index):
-    a re-ingest batch (d25's law: re-crawls + edits) joins an EXISTING
-    dedup graph without re-pairing history.  The delta path is the
-    point: the batch's band keys probe the stored band index
-    (minhash_checked_signatures seam), so candidate generation touches
-    batch x index — base-base pairs NEVER regenerate; verified new
-    edges then merge with the STORED labels (each (node, rep) label is
-    a connectivity-preserving edge), and connected_components_star
-    closes the union.  Correctness law: CC(labels U new_edges) =
-    CC(base_edges U new_edges) because labels contract exactly the
-    base connectivity — the oracle replays the FULL-recompute chain
-    over the union corpus and must match bit-for-bit.  At 100 TB the
-    daily increment costs O(batch x bands + affected components), not
-    O(history^2); the d21 output contract (node, rep) stays linear."""
+def _d28_graphs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """d28's full two-day construction, returning BOTH days' label
+    maps: (labels_day0 over the base corpus, labels_day1 over base ∪
+    batch).  Shared seam for d28 (which returns day1) and d31 (the
+    temporal stability report, which compares the days) — the
+    _t32_flags discipline: ONE incremental-merge law, two consumers."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     batch = docs.filter((F.col("doc_id") % 3).isin(0, 1)).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -1570,7 +1561,27 @@ def d28_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = labels.select(
         F.col("node").alias("id_a"), F.col("rep").alias("id_b")
     ).unionByName(new_edges)
-    return dedup.connected_components_star(merged)
+    return labels, dedup.connected_components_star(merged)
+
+
+@query("d28_incremental_components", oracle=_d28_oracle())
+def d28_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup components — the graph-level member of the
+    incremental-dedup tier (d09 exact index probe, d25 Bloom index):
+    a re-ingest batch (d25's law: re-crawls + edits) joins an EXISTING
+    dedup graph without re-pairing history.  The delta path is the
+    point: the batch's band keys probe the stored band index
+    (minhash_checked_signatures seam), so candidate generation touches
+    batch x index — base-base pairs NEVER regenerate; verified new
+    edges then merge with the STORED labels (each (node, rep) label is
+    a connectivity-preserving edge), and connected_components_star
+    closes the union.  Correctness law: CC(labels U new_edges) =
+    CC(base_edges U new_edges) because labels contract exactly the
+    base connectivity — the oracle replays the FULL-recompute chain
+    over the union corpus and must match bit-for-bit.  At 100 TB the
+    daily increment costs O(batch x bands + affected components), not
+    O(history^2); the d21 output contract (node, rep) stays linear."""
+    return _d28_graphs(spark, sf_dir)[1]
 
 
 # =========================================================================
@@ -1749,5 +1760,155 @@ def d30_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "cast((coalesce(hit_grams, 0) * 1000000L) div set_size as bigint)"
             ).alias("leak_micro"),
+        )
+    )
+
+
+# =========================================================================
+# Round 9 (19): dedup-class temporal stability
+# =========================================================================
+
+
+def _d31_oracle() -> str:
+    """One checked-minhash chain over the union corpus (d28's oracle
+    law), then TWO reachability closures — all edges (day 1) and the
+    base-endpoint-restricted edge set (day 0; a base-base edge is in
+    the union graph iff it is in the base graph, since banding and
+    verification are per-pair) — joined into the per-class drift
+    report."""
+    ctes, agree, np_ = _minhash_checked_ctes()
+    assert ctes.count("FROM documents") == 1
+    ctes = ctes.replace("FROM documents", "FROM alldocs", 1)
+    return f"""
+    WITH RECURSIVE alldocs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             CASE WHEN doc_id % 3 = 1 THEN text || ' updated' ELSE text END AS text
+      FROM documents WHERE doc_id % 3 IN (0, 1)
+    ), {ctes},
+    est AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b
+      WHERE ({agree}) / {float(np_)} >= 0.25
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM est
+      UNION
+      SELECT id_b, id_a FROM est
+    ), reach1(src, dst) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.dst FROM edges e JOIN reach1 r ON e.dst = r.src
+    ), labels1 AS (
+      SELECT src AS node, min(dst) AS rep FROM reach1 GROUP BY src
+    ), base_edges AS (
+      SELECT src, dst FROM edges WHERE src < 1000000 AND dst < 1000000
+    ), reach0(src, dst) AS (
+      SELECT DISTINCT src, src FROM base_edges
+      UNION
+      SELECT e.src, r.dst FROM base_edges e JOIN reach0 r ON e.dst = r.src
+    ), labels0 AS (
+      SELECT src AS node, min(dst) AS rep0 FROM reach0 GROUP BY src
+    ), scal AS (
+      SELECT (SELECT count(*) FROM documents) AS n_base,
+             (SELECT count(*) FROM documents WHERE doc_id % 3 IN (0, 1)) AS n_batch
+    ), joined AS (
+      SELECT m.rep, m.node,
+             CASE WHEN m.node >= 1000000 THEN 1 ELSE 0 END AS is_new,
+             coalesce(l0.rep0, m.node) AS rep0
+      FROM labels1 m LEFT JOIN labels0 l0 ON l0.node = m.node
+    ), agg AS (
+      SELECT rep,
+             count(*) AS size_day1,
+             count(*) - sum(is_new) AS old_members,
+             sum(is_new) AS new_members,
+             count(DISTINCT CASE WHEN is_new = 0 THEN rep0 END) AS day0_classes
+      FROM joined GROUP BY rep
+    )
+    SELECT CAST(rep AS BIGINT) AS rep,
+           CAST(size_day1 AS BIGINT) AS size_day1,
+           CAST(old_members AS BIGINT) AS old_members,
+           CAST(new_members AS BIGINT) AS new_members,
+           CAST(day0_classes AS BIGINT) AS day0_classes,
+           CAST((new_members * 1000) // size_day1 AS BIGINT) AS growth_permille,
+           CAST(CASE WHEN new_members * n_base > 2 * old_members * n_batch
+                     THEN 1 ELSE 0 END AS BIGINT) AS hot
+    FROM agg CROSS JOIN scal
+    """
+
+
+@query("d31_class_stability", oracle=_d31_oracle())
+def d31_class_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-CLASS TEMPORAL STABILITY — the report a crawl operator
+    actually reads off d28's incremental merge: per day-1 duplicate
+    class, how it MOVED between two ingest days (size drift, new-member
+    rate, and how many day-0 classes coalesced into it), flagging
+    classes whose growth outpaces the corpus ("hot" boilerplate — a
+    template suddenly stamped across the new crawl is the classic
+    signal this catches before it poisons the mixture).
+
+    Committed laws (all integer, engine-exact): membership = d28's
+    (node, rep) labels plus the representative itself (singletons never
+    appear — a class exists once it has ≥2 members); member origin =
+    the d28 batch-id law (doc_id ≥ 1e6 ⇒ day-1 arrival);
+    ``day0_classes`` counts distinct day-0 components among the old
+    members (base singletons count as their own class), so a value > 1
+    means the new batch BRIDGED previously-separate classes;
+    ``hot`` = new_members·n_base > 2·old_members·n_batch — the
+    cross-multiplied form of "class growth > 2× corpus growth", exact
+    in BIGINT (a class born entirely in the batch is hot by
+    definition).  The oracle replays the full chain with two
+    recursive-CTE closures; the Spark side reuses d28's construction
+    verbatim via the `_d28_graphs` seam, so d28's plan is pinned
+    unchanged.
+
+    Scale shape: everything downstream of d28's (already incremental)
+    graphs is ONE left join of two label maps (each linear in
+    non-singleton nodes, a vanishing fraction of the corpus) + one
+    rep-keyed rollup; the 2-scalar corpus-size frame broadcasts into
+    the final projection.  Output is linear in #classes.  Reference
+    witness: O2 keyed fold over O3-chained stage output
+    (src/Core/MapReduceC.hs:24-26, 40-47)."""
+    labels0, labels1 = _d28_graphs(spark, sf_dir)
+    members = labels1.unionByName(
+        labels1.select(F.col("rep").alias("node"), "rep").distinct()
+    )
+    joined = members.join(
+        labels0.select("node", F.col("rep").alias("rep0")), "node", "left"
+    ).select(
+        "rep",
+        (F.col("node") >= 1000000).cast("bigint").alias("is_new"),
+        F.coalesce("rep0", F.col("node")).alias("rep0"),
+    )
+    agg = joined.groupBy("rep").agg(
+        F.count(F.lit(1)).alias("size_day1"),
+        (F.count(F.lit(1)) - F.sum("is_new")).cast("bigint").alias("old_members"),
+        F.sum("is_new").cast("bigint").alias("new_members"),
+        F.countDistinct(
+            F.when(F.col("is_new") == 0, F.col("rep0"))
+        ).cast("bigint").alias("day0_classes"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    scal = docs.agg(
+        F.count(F.lit(1)).alias("n_base"),
+        F.sum(((F.col("doc_id") % 3).isin(0, 1)).cast("bigint")).alias("n_batch"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(scal))
+        .select(
+            F.col("rep").cast("bigint").alias("rep"),
+            F.col("size_day1").cast("bigint").alias("size_day1"),
+            "old_members",
+            "new_members",
+            "day0_classes",
+            F.expr("(new_members * 1000L) div size_day1")
+            .cast("bigint")
+            .alias("growth_permille"),
+            (
+                F.col("new_members") * F.col("n_base")
+                > 2 * F.col("old_members") * F.col("n_batch")
+            )
+            .cast("bigint")
+            .alias("hot"),
         )
     )

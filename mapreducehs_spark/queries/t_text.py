@@ -3608,3 +3608,168 @@ def _t46_build(spark: SparkSession, sf_dir: str):
         )
     )
     return per_seq, (kcache, pcache)
+
+
+# =========================================================================
+# Round 9 (19): HTML/boilerplate extraction
+# =========================================================================
+
+_T47_ORACLE = r"""
+    WITH injected AS (
+      SELECT source, text,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+             || CASE WHEN doc_id % 4 = 0
+                     THEN '<script type="text/javascript">var t='
+                          || CAST(doc_id AS VARCHAR) || ';</script>'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN '<style>p{margin:' || CAST(doc_id % 7 AS VARCHAR) || 'px}</style>'
+                     ELSE '' END
+             || '</head><body><nav><a href="/home">Home</a> | <a href="/s/'
+             || CAST(doc_id % 10 AS VARCHAR) || '">Hub</a></nav>'
+             || '<h1>Shard ' || CAST(doc_id % 7 AS VARCHAR) || '</h1><p>'
+             || replace(replace(text, ' and ', ' &amp; '), ' the ', ' <b>the</b> ')
+             || '</p><footer>&copy; 2026 Example &mdash; <a href="/terms">Terms</a></footer></body></html>'
+             AS html
+      FROM documents
+    ), extracted AS (
+      SELECT source, html,
+             regexp_replace(regexp_replace(regexp_replace(
+               replace(
+                 regexp_replace(regexp_replace(
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                     html,
+                     '(?s)<script[^>]*>.*?</script>', '', 'g'),
+                     '(?s)<style[^>]*>.*?</style>', '', 'g'),
+                     '(?s)<nav>.*?</nav>', '', 'g'),
+                     '(?s)<footer>.*?</footer>', '', 'g'),
+                   '</(p|h1|title)>', chr(10), 'g'),
+                   '<[^>]*>', '', 'g'),
+                 '&amp;', '&'),
+               '[ 	]+', ' ', 'g'),
+               ' *
+ *', chr(10), 'g'),
+               '^\s+|\s+$', '', 'g') AS clean
+      FROM injected
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(html)) AS BIGINT) AS raw_chars,
+           CAST(sum(len(clean)) AS BIGINT) AS kept_chars,
+           CAST(sum(len(list_filter(regexp_split_to_array(clean, '\s+'),
+                                    x -> x != ''))) AS BIGINT) AS kept_tokens,
+           CAST((sum(len(clean)) * 1000) // sum(len(html)) AS BIGINT) AS kept_permille,
+           CAST(sum(('0x' || substr(md5(clean), 1, 12))::BIGINT) AS BIGINT) AS clean_fold
+    FROM extracted
+    GROUP BY source
+"""
+
+
+def _t47_html_wrap(docs: DataFrame) -> Column:
+    """t47's deterministic markup injection: the synthetic corpus is
+    clean text, so the crawl artifact every real pipeline starts from
+    (tags, script/style payloads, nav/footer boilerplate, entities) is
+    derived from doc_id + text so both engines replay it bit-for-bit —
+    the t16 injection discipline applied to markup."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.lit("<html><head><title>Doc "), did.cast("string"), F.lit("</title>"),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit('<script type="text/javascript">var t='),
+                did.cast("string"),
+                F.lit(";</script>"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit("<style>p{margin:"), (did % 7).cast("string"), F.lit("px}</style>")
+            ),
+        ).otherwise(""),
+        F.lit('</head><body><nav><a href="/home">Home</a> | <a href="/s/'),
+        (did % 10).cast("string"),
+        F.lit('">Hub</a></nav>'),
+        F.lit("<h1>Shard "),
+        (did % 7).cast("string"),
+        F.lit("</h1><p>"),
+        F.replace(
+            F.replace(F.col("text"), F.lit(" and "), F.lit(" &amp; ")),
+            F.lit(" the "),
+            F.lit(" <b>the</b> "),
+        ),
+        F.lit(
+            '</p><footer>&copy; 2026 Example &mdash; <a href="/terms">Terms</a>'
+            "</footer></body></html>"
+        ),
+    )
+
+
+def _t47_extract(html: Column) -> Column:
+    """The committed extraction law (strip script/style WITH payload,
+    drop nav/footer boilerplate blocks, preserve block boundaries as
+    newlines, strip remaining tags, decode entities, collapse
+    whitespace, trim).  Every pass is a codegen'd regexp in the
+    Java∩RE2 subset (t16's oracle discipline) — the whole law replays
+    in DuckDB including the extracted BYTES."""
+    h = F.regexp_replace(html, r"(?s)<script[^>]*>.*?</script>", "")
+    h = F.regexp_replace(h, r"(?s)<style[^>]*>.*?</style>", "")
+    h = F.regexp_replace(h, r"(?s)<nav>.*?</nav>", "")
+    h = F.regexp_replace(h, r"(?s)<footer>.*?</footer>", "")
+    h = F.regexp_replace(h, r"</(p|h1|title)>", "\n")
+    h = F.regexp_replace(h, r"<[^>]*>", "")
+    h = F.replace(h, F.lit("&amp;"), F.lit("&"))
+    h = F.regexp_replace(h, "[ \t]+", " ")
+    h = F.regexp_replace(h, " *\n *", "\n")
+    return F.regexp_replace(h, r"^\s+|\s+$", "")
+
+
+@query("t47_html_extract", oracle=_T47_ORACLE)
+def t47_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction with boilerplate removal — the step every
+    crawl-derived corpus runs BEFORE any other text op here (CCNet,
+    Gopher, RefinedWeb all start from markup; trafilatura/jusText are
+    the reference tools).  The committed law: script/style payloads and
+    nav/footer boilerplate blocks are DROPPED (their bytes never reach
+    the corpus), block-level closes become newlines (paragraph
+    structure survives tag stripping), entities decode, whitespace
+    collapses.  Per-source accounting reports the retained-byte and
+    retained-token rates (kept_permille is the boilerplate-overhead
+    audit) and an md5-fold that pins the extracted output byte-for-byte.
+
+    Scale shape: ZERO UDF — markup injection and the 10-pass extraction
+    chain are all codegen'd string/regexp expressions fused into the
+    scan projection (one WholeStageCodegen span), and the only shuffle
+    is the n_sources-row rollup.  At 100 TB this is the ideal operator
+    class: embarrassingly parallel scan work whose output is a
+    fraction of its input.  Reference witness: O1 mapper fission
+    (src/Core/MapReduceC.hs:24-26) — per-record rewrite, keyed fold."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select("source", _t47_html_wrap(docs).alias("html"))
+    frame = injected.select(
+        "source",
+        F.length("html").alias("raw_len"),
+        _t47_extract(F.col("html")).alias("clean"),
+    )
+    fold = F.conv(F.substring(F.md5("clean"), 1, 12), 16, 10).cast("bigint")
+    return (
+        frame.select(
+            "source",
+            "raw_len",
+            F.length("clean").alias("kept_len"),
+            F.size(text.tokens("clean")).cast("bigint").alias("n_tok"),
+            fold.alias("fold"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("raw_len").cast("bigint").alias("raw_chars"),
+            F.sum("kept_len").cast("bigint").alias("kept_chars"),
+            F.sum("n_tok").cast("bigint").alias("kept_tokens"),
+            F.expr("(sum(kept_len) * 1000L) div sum(raw_len)")
+            .cast("bigint")
+            .alias("kept_permille"),
+            F.sum("fold").alias("clean_fold"),
+        )
+    )

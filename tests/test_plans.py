@@ -1093,3 +1093,47 @@ def test_d30_benchmark_side_broadcasts(q):
     plan = I.formatted_plan(df)
     assert I.broadcast_join_count(df) >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_t47_extraction_single_scan_no_udf(q):
+    """t47's scale contract: markup injection + the 10-pass extraction
+    law fuse into ONE codegen'd scan projection — no Python stage, no
+    Window, and the only exchange feeds the n_sources-row rollup."""
+    df = q("t47_html_extract")
+    plan = I.formatted_plan(df)
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert I.exchange_count(df) == 1  # the per-source hash rollup
+
+
+def test_d31_report_is_label_join_plus_rollup(q):
+    """d31's scale contract: downstream of d28's graphs the report adds
+    only label-map joins + one rep-keyed rollup; the 2-scalar corpus
+    frame broadcasts (never a shuffled cross join), and nothing
+    cartesians."""
+    df = q("d31_class_stability")
+    plan = I.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert I.broadcast_join_count(df) >= 1  # the 1-row scalar frame
+
+
+def test_d31_conservation_vs_d28(q):
+    """Membership conservation: d31's class sizes must re-add to d28's
+    label count plus one rep per class, and old+new partition every
+    class exactly."""
+    import pyspark.sql.functions as F
+
+    report = q("d31_class_stability").collect()
+    labels1_rows = q("d28_incremental_components").count()
+    assert sum(r["size_day1"] for r in report) == labels1_rows + len(report)
+    for r in report:
+        assert r["old_members"] + r["new_members"] == r["size_day1"]
+        assert 1 <= r["day0_classes"] + (r["old_members"] == 0) <= r["size_day1"]
+        assert 0 <= r["growth_permille"] <= 1000
+        # the hot law: entirely-batch-born classes are hot by definition
+        if r["old_members"] == 0:
+            assert r["hot"] == 1
