@@ -1046,3 +1046,118 @@ def _m18_build(spark: SparkSession, sf_dir: str):
         ),
         cache,
     )
+
+
+# =========================================================================
+# Round 9 (20): image-text pair curation funnel (DataComp-style)
+# =========================================================================
+
+_M19_ORACLE = """
+    WITH pair AS (
+      SELECT source,
+             16 * (2 + doc_id % 7) AS w,
+             16 * (2 + doc_id % 5) AS h,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
+                                                x -> x != ''))) AS BIGINT) AS n_uniq
+      FROM documents
+    ), flagged AS (
+      SELECT source, w, h, n_tok,
+             CASE
+               WHEN least(w, h) < 48 THEN 'size'
+               WHEN 2 * greatest(w, h) > 5 * least(w, h) THEN 'aspect'
+               WHEN n_tok < 5 THEN 'caption'
+               WHEN (n_uniq * 1000000) // n_tok < 500000 THEN 'quality'
+               ELSE 'kept'
+             END AS verdict
+      FROM pair
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN verdict = 'size' THEN 1 ELSE 0 END) AS BIGINT) AS drop_size,
+           CAST(sum(CASE WHEN verdict = 'aspect' THEN 1 ELSE 0 END) AS BIGINT) AS drop_aspect,
+           CAST(sum(CASE WHEN verdict = 'caption' THEN 1 ELSE 0 END) AS BIGINT) AS drop_caption,
+           CAST(sum(CASE WHEN verdict = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS drop_quality,
+           CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN verdict = 'kept'
+                         THEN (w // 16) * (h // 16) ELSE 0 END) AS BIGINT) AS kept_patch_tokens,
+           CAST(sum(CASE WHEN verdict = 'kept' THEN n_tok ELSE 0 END) AS BIGINT) AS kept_text_tokens
+    FROM flagged
+    GROUP BY source
+"""
+
+
+@query("m19_pair_curation_funnel", oracle=_M19_ORACLE)
+def m19_pair_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE-TEXT PAIR CURATION FUNNEL — the DataComp/LAION filtering
+    recipe as one attributed pass: every (image, caption) pair is
+    tested against the standard gate sequence — image size (min side ≥
+    48px), aspect ratio (≤ 2.5, the cross-multiplied integer form
+    2·max > 5·min so no float boundary exists), caption length (≥ 5
+    tokens), caption quality (the t45/t49 ``_quality_scored`` TTR law ≥
+    0.5) — with FIRST-FAILING attribution (t12's funnel discipline: a
+    pair dropped for size never reaches the caption test, so the
+    per-gate counts tell the operator which gate to retune), and the
+    kept mass is reported in m17's token-cost units (patch + text
+    tokens of surviving pairs — what the packer actually gets).
+
+    Image dims come from the m-series metadata raster law (w = 16·(2 +
+    id mod 7), h = 16·(2 + id mod 5)) — planning never decodes a pixel
+    (m17 discipline); pair-INTEGRITY (swapped images) is m15's decode
+    pass, and semantic dedup of survivors is d22's — this funnel is the
+    gate BETWEEN those stages in a production VLM pipeline.
+
+    Scale shape: ONE documents scan, every gate a codegen'd CASE arm
+    (gate count changes per-row arithmetic, never scan or shuffle
+    count), one n_sources-row rollup — t12's shape on the multimodal
+    axis.  Reference witness: O1 predicate fission + O2 keyed fold
+    (src/Core/MapReduceC.hs:24-26)."""
+    docs = _t(spark, sf_dir, "documents")
+    return _m19_rollup(_m19_flagged(docs))
+
+
+def _m19_flagged(docs: DataFrame) -> DataFrame:
+    """m19's stateless per-pair gate frame (source, w, h, n_tok,
+    verdict) — shared with the streaming ingest gate st30 (the
+    _t16_doc_frame seam discipline: ONE gate law, two topologies).
+    Input needs (doc_id, source, text)."""
+    did = F.col("doc_id")
+    toks = text.tokens("text")
+    pair = docs.select(
+        "source",
+        (16 * (2 + did % 7)).cast("bigint").alias("w"),
+        (16 * (2 + did % 5)).cast("bigint").alias("h"),
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
+    )
+    verdict = (
+        F.when(F.least("w", "h") < 48, F.lit("size"))
+        .when(2 * F.greatest("w", "h") > 5 * F.least("w", "h"), F.lit("aspect"))
+        .when(F.col("n_tok") < 5, F.lit("caption"))
+        .when(F.expr("(n_uniq * 1000000L) div n_tok") < 500000, F.lit("quality"))
+        .otherwise(F.lit("kept"))
+    )
+    return pair.select("source", "w", "h", "n_tok", verdict.alias("verdict"))
+
+
+def _m19_rollup(flagged: DataFrame) -> DataFrame:
+    """m19's per-source funnel rollup over ``_m19_flagged`` rows."""
+    kept = F.col("verdict") == "kept"
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("verdict") == "size").cast("bigint")).alias("drop_size"),
+        F.sum((F.col("verdict") == "aspect").cast("bigint")).alias("drop_aspect"),
+        F.sum((F.col("verdict") == "caption").cast("bigint")).alias("drop_caption"),
+        F.sum((F.col("verdict") == "quality").cast("bigint")).alias("drop_quality"),
+        F.sum(kept.cast("bigint")).alias("n_kept"),
+        F.sum(
+            F.when(kept, (F.col("w") / 16).cast("bigint") * (F.col("h") / 16).cast("bigint"))
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("kept_patch_tokens"),
+        F.sum(F.when(kept, F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_text_tokens"),
+    )

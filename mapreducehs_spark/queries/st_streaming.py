@@ -1260,3 +1260,25 @@ def st29_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducehs_spark import streaming as st
 
     return st.streaming_weighted_sample(_replayed_docs(spark, sf_dir), k=25)
+
+
+@query("st30_stream_pair_funnel", oracle=ORACLE["m19_pair_curation_funnel"])
+def st30_stream_pair_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING image-text pair curation — m19's DataComp gate
+    sequence applied on ARRIVAL (the st27/st28 ingest-hygiene posture:
+    a pair that will be dropped for size/aspect/caption/quality should
+    never cost downstream decode or storage): every arriving pair runs
+    the stateless ``_m19_flagged`` gate frame (ONE gate law, two
+    topologies) in a map over the stream — no state store, no
+    watermark, no shuffle before the sink; per-pair verdict rows land
+    in the sink and m19's funnel rollup is a batch projection over the
+    sink read.  Stream == batch holds trivially (the gate is per-row
+    deterministic metadata arithmetic — no pixel decoded at ingest
+    either), so m19's own oracle value-checks the whole ingest
+    topology verbatim."""
+    from mapreducehs_spark import streaming as st
+    from mapreducehs_spark.queries.m_multimodal import _m19_flagged, _m19_rollup
+
+    flagged = _m19_flagged(_replayed_docs(spark, sf_dir))
+    log = st.run_to_batch(flagged, "st30_sink", output_mode="append")
+    return _m19_rollup(log)

@@ -1148,13 +1148,15 @@ def t21_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _t22_oracle() -> str:
-    """t18's unrolled 3-merge replay, carrying ``lang`` through the
-    corpus state, ending in the per-language ENCODE report instead of
-    the merge table."""
-    head = """
+def _t22_merge_ctes(t0_cols: str = "lang", carry: str = "lang") -> str:
+    """t18's unrolled 3-merge replay as a reusable CTE chain: ``t0``
+    projects ``t0_cols`` plus the padded-symbol corpus state ``s``;
+    each t{i} re-applies the round's argmax merge carrying ``carry``
+    (the _bigram_pairs single-twin discipline — t22 and t48 consume
+    ONE merge replay, so the tiebreak/padding law cannot fork)."""
+    head = f"""
     WITH t0 AS (
-      SELECT lang, ' ' || array_to_string(
+      SELECT {t0_cols}, ' ' || array_to_string(
                list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''), ' ')
              || ' ' AS s
       FROM documents
@@ -1172,10 +1174,16 @@ def _t22_oracle() -> str:
     ), m{i} AS (
       SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
     ), t{i} AS (
-      SELECT lang, replace(s, ' ' || m.a || ' ' || m.b || ' ',
+      SELECT {carry}, replace(s, ' ' || m.a || ' ' || m.b || ' ',
                               ' ' || m.a || '_' || m.b || ' ') AS s
       FROM {prev}, m{i} m
     )""")
+    return head + "".join(parts)
+
+
+def _t22_oracle() -> str:
+    """The merge-replay chain carrying ``lang``, ending in the
+    per-language ENCODE report instead of the merge table."""
     tail = """
     , enc AS (
       SELECT lang,
@@ -1187,7 +1195,18 @@ def _t22_oracle() -> str:
            CAST(sum(len(syms)) AS BIGINT) AS n_symbols,
            CAST(sum(len(list_filter(syms, x -> contains(x, '_')))) AS BIGINT) AS n_merged
     FROM enc GROUP BY lang"""
-    return head + "".join(parts) + tail
+    return _t22_merge_ctes() + tail
+
+
+def _t22_syms(docs: DataFrame) -> Column:
+    """The Spark-side encode chain (t18's learned merges, broadcast as
+    literal replaces over the padded symbol string) — the ONE twin of
+    ``_t22_merge_ctes``, shared by t22 and t48."""
+    merges = [(a, b) for _, a, b, _, _ in text.bpe_merge_steps(docs, iters=3)]
+    s = F.concat(F.lit(" "), F.concat_ws(" ", text.tokens("text")), F.lit(" "))
+    for a, b in merges:
+        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}_{b} "))
+    return F.filter(F.split(F.trim(s), " "), lambda t: t != "")
 
 
 @query("t22_bpe_apply", oracle=_t22_oracle())
@@ -1204,12 +1223,7 @@ def t22_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle replays learning AND encoding (t18's unrolled loop
     carried through to the final report)."""
     docs = _t(spark, sf_dir, "documents")
-    merges = [(a, b) for _, a, b, _, _ in text.bpe_merge_steps(docs, iters=3)]
-    s = F.concat(F.lit(" "), F.concat_ws(" ", text.tokens("text")), F.lit(" "))
-    for a, b in merges:
-        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}_{b} "))
-    syms = F.filter(F.split(F.trim(s), " "), lambda t: t != "")
-    enc = docs.select("lang", syms.alias("syms"))
+    enc = docs.select("lang", _t22_syms(docs).alias("syms"))
     return enc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("syms")).alias("n_symbols"),
@@ -3364,6 +3378,30 @@ def t44_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 
+def _quality_scored(docs: DataFrame) -> DataFrame:
+    """The committed integer reward signal of the post-training tier —
+    type-token ratio in micro-units, ``(n_uniq · 1e6) div n_tok``,
+    zero-token docs dropped.  ONE twin of the t45/t49 scoring CTE
+    (the _bigram_pairs discipline), returning (source, doc_id, n_tok,
+    quality_micro)."""
+    toks = text.tokens("text")
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            F.size(toks).cast("bigint").alias("n_tok"),
+            F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
+        )
+        .filter(F.col("n_tok") > 0)
+        .select(
+            "source",
+            "doc_id",
+            "n_tok",
+            F.expr("(n_uniq * 1000000L) div n_tok").alias("quality_micro"),
+        )
+    )
+
+
 @query(
     "t45_preference_pairs",
     oracle="""
@@ -3424,17 +3462,7 @@ def t45_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere.  Reference witness: O2 keyed fold + O1 re-key
     (src/Core/MapReduceC.hs:24-26)."""
     docs = _t(spark, sf_dir, "documents")
-    toks = text.tokens("text")
-    scored = docs.select(
-        "source",
-        "doc_id",
-        F.size(toks).cast("bigint").alias("n_tok"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
-    ).filter(F.col("n_tok") > 0).select(
-        "source",
-        "doc_id",
-        F.expr("(n_uniq * 1000000L) div n_tok").alias("quality_micro"),
-    )
+    scored = _quality_scored(docs).select("source", "doc_id", "quality_micro")
     w_top = Window.partitionBy("source").orderBy(
         F.col("quality_micro").desc(), F.col("doc_id").asc()
     )
@@ -3773,3 +3801,166 @@ def t47_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("fold").alias("clean_fold"),
         )
     )
+
+
+# =========================================================================
+# Round 9 (20): tokenizer fertility + quality-decile corpus profile
+# =========================================================================
+
+
+def _t48_oracle() -> str:
+    """The shared merge-replay chain carrying (source, n_chars,
+    n_words) through the encode, ending in the per-source fertility
+    report."""
+    t0_cols = (
+        "source, len(text) AS n_chars,\n"
+        "             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),"
+        " x -> x != '')) AS BIGINT) AS n_words"
+    )
+    tail = """
+    , enc AS (
+      SELECT source, n_chars, n_words,
+             list_filter(str_split(trim(s), ' '), x -> x != '') AS syms
+      FROM t3
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(len(syms)) AS BIGINT) AS n_symbols,
+           CAST((sum(len(syms)) * 1000) // sum(n_words) AS BIGINT) AS fertility_milli,
+           CAST((sum(n_chars) * 1000) // sum(len(syms)) AS BIGINT) AS chars_per_token_milli
+    FROM enc GROUP BY source"""
+    return _t22_merge_ctes(t0_cols=t0_cols, carry="source, n_chars, n_words") + tail
+
+
+@query("t48_tokenizer_fertility", oracle=_t48_oracle())
+def t48_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY REPORT — the mixture-design input every
+    multilingual/multi-domain budget needs: after encoding with the
+    learned tokenizer, how many tokens does each source cost per word
+    and per character?  High-fertility sources (poorly covered by the
+    merges) consume disproportionate context-window budget, so mixture
+    weights (t42) and epoch plans (t44) are routinely corrected by
+    exactly this table (fertility is the standard metric — tokens per
+    word; chars-per-token is its compression dual).
+
+    Laws: encode = t18's 3 learned merges applied via the shared
+    ``_t22_syms`` chain (the SAME model t22 reports on — one twin);
+    fertility_milli = (Σsymbols · 1000) div Σwords, chars_per_token in
+    the same truncating-milli form — all BIGINT after the encode, so
+    the report value-checks bit-for-bit while the oracle replays
+    learning AND encoding end to end.
+
+    Scale shape: identical to t22 — the merge table is driver-held
+    (s05 model discipline) and broadcasts as literal replaces, so the
+    encode is pure scan-shaped projection work; the only shuffle is
+    the n_sources-row rollup.  Reference witness: O1 per-record
+    rewrite + O2 keyed fold (src/Core/MapReduceC.hs:24-26)."""
+    docs = _t(spark, sf_dir, "documents")
+    enc = docs.select(
+        "source",
+        F.length("text").cast("bigint").alias("n_chars_doc"),
+        F.size(text.tokens("text")).cast("bigint").alias("n_words_doc"),
+        _t22_syms(docs).alias("syms"),
+    )
+    return enc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars_doc").cast("bigint").alias("n_chars"),
+        F.sum("n_words_doc").cast("bigint").alias("n_words"),
+        F.sum(F.size("syms")).cast("bigint").alias("n_symbols"),
+        F.expr("(sum(size(syms)) * 1000L) div sum(n_words_doc)")
+        .cast("bigint")
+        .alias("fertility_milli"),
+        F.expr("(sum(n_chars_doc) * 1000L) div sum(size(syms))")
+        .cast("bigint")
+        .alias("chars_per_token_milli"),
+    )
+
+
+_T49_ORACLE = """
+    WITH q AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
+                                                x -> x != ''))) AS BIGINT) AS n_uniq
+      FROM documents
+    ), scored AS (
+      SELECT source, doc_id, n_tok, (n_uniq * 1000000) // n_tok AS quality_micro
+      FROM q WHERE n_tok > 0
+    ), ranked AS (
+      SELECT source, n_tok, quality_micro,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality_micro ASC, doc_id ASC) - 1 AS rank0,
+             count(*) OVER (PARTITION BY source) AS n_src
+      FROM scored
+    )
+    SELECT source,
+           CAST((rank0 * 10) // n_src AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(min(quality_micro) AS BIGINT) AS q_min,
+           CAST(max(quality_micro) AS BIGINT) AS q_max
+    FROM ranked GROUP BY 1, 2
+"""
+
+
+def _t49_build(spark: SparkSession, sf_dir: str):
+    """t49's pre-checkpoint frame + caches (q107 pin recipe)."""
+    from mapreducehs_spark.operators.sampling import grouped_prefix_sums_cached
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = _quality_scored(docs).withColumn("__one", F.lit(1).cast("long"))
+    ranked, cache = grouped_prefix_sums_cached(
+        scored, ["source"], ["quality_micro", "doc_id"], "__one", out_col="rank0"
+    )
+    sizes = scored.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    out = (
+        ranked.join(F.broadcast(sizes), "source")
+        .select(
+            "source",
+            F.expr("(rank0 * 10) div n_src").cast("bigint").alias("decile"),
+            "n_tok",
+            "quality_micro",
+        )
+        .groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.min("quality_micro").cast("bigint").alias("q_min"),
+            F.max("quality_micro").cast("bigint").alias("q_max"),
+        )
+    )
+    return out, cache
+
+
+@query("t49_quality_deciles", oracle=_T49_ORACLE)
+def t49_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-DECILE CORPUS PROFILE — the threshold-picking table of a
+    curation pipeline: per source, docs are ranked by the committed
+    integer quality signal (the t45 ``_quality_scored`` twin) and
+    bucketed into EXACT rank deciles; each (source, decile) row carries
+    doc count, token mass, and the quality range.  This is how a cutoff
+    is actually chosen ("drop the bottom two deciles of source X costs
+    N tokens") — percentile SKETCHES (q41) can't answer the token-mass
+    question, and a classifier threshold (t26) presumes the label this
+    table is used to set.
+
+    Laws: rank0 = #docs strictly before (quality_micro, doc_id) within
+    the source; decile = (rank0 · 10) div n_src — all-integer, so the
+    stratification value-checks bit-for-bit.
+
+    Scale shape: the oracle ranks with a per-source window, the engine
+    does NOT — rank0 comes from the grouped prefix-sum seam
+    (range-exchange global prefix sums on (source, quality, doc_id)
+    minus a broadcast per-source base; a bare PARTITION BY source
+    window puts a whole source — a terabyte shard — on one task); the
+    n_sources-row size frame broadcasts.  Window-free plan-pinned.
+    Reference witness: O2 ordered keyed fold (src/Core/MapReduceC.hs:
+    24-26)."""
+    out, cache = _t49_build(spark, sf_dir)
+    try:
+        return out.localCheckpoint()
+    finally:
+        cache.unpersist(blocking=False)

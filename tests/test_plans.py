@@ -1137,3 +1137,46 @@ def test_d31_conservation_vs_d28(q):
         # the hot law: entirely-batch-born classes are hot by definition
         if r["old_members"] == 0:
             assert r["hot"] == 1
+
+
+def test_t48_encode_is_scan_shaped(q):
+    """t48's scale contract: t22's broadcast-literal encode — no
+    Python stage, no Window, and the only exchange feeds the
+    n_sources rollup (merge learning runs driver-side beforehand)."""
+    df = q("t48_tokenizer_fertility")
+    plan = I.formatted_plan(df)
+    assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+    assert I.exchange_count(df) == 1
+
+
+def test_t49_deciles_window_free(q, spark):
+    """t49's scale contract: per-source ranks come from the grouped
+    prefix-sum seam (range exchange on (source, quality, doc_id) +
+    broadcast base/size frames) — no per-source Window anywhere, so a
+    terabyte source shard never lands on one task."""
+    from mapreducehs_spark.queries import _t49_build
+
+    df, cache = _t49_build(spark, SF)
+    try:
+        plan = I.formatted_plan(df)
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "rangepartitioning(source" in plan
+        assert I.broadcast_join_count(df) >= 2  # base offsets + sizes
+    finally:
+        cache.unpersist(blocking=False)
+
+
+def test_m19_funnel_single_scan_no_udf(q):
+    """m19's scale contract: every gate is a codegen'd CASE arm over
+    ONE metadata scan — no Python stage, no join, one rollup
+    exchange (t12's funnel shape on the multimodal axis)."""
+    df = q("m19_pair_curation_funnel")
+    plan = I.formatted_plan(df)
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+    assert I.exchange_count(df) == 1
