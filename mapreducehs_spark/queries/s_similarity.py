@@ -1758,3 +1758,127 @@ def s22_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(
         emb, emb.filter(F.col("vec_id") < 8), k=3, max_cosine=0.98
     )
+
+
+# =========================================================================
+# Round 9 (21): incremental IVF index maintenance
+# =========================================================================
+
+_S23_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16
+    ), base AS (
+      SELECT vec_id, v FROM e WHERE vec_id >= 8
+    ), batch AS (
+      SELECT vec_id + 1000000 AS vec_id, list_reverse(v) AS v
+      FROM e WHERE vec_id >= 8 AND vec_id % 3 = 0
+    ), assign_base AS (
+      SELECT vec_id, cid FROM (
+        SELECT b.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cid ASC
+               ) AS rn
+        FROM base b CROSS JOIN c
+      ) WHERE rn = 1
+    ), assign_new AS (
+      SELECT vec_id, cid FROM (
+        SELECT b.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cid ASC
+               ) AS rn
+        FROM batch b CROSS JOIN c
+      ) WHERE rn = 1
+    ), nb AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_base FROM assign_base GROUP BY 1
+    ), nn AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_new FROM assign_new GROUP BY 1
+    ), tot AS (
+      SELECT (SELECT count(*) FROM base) AS total_base,
+             (SELECT count(*) FROM batch) AS total_new
+    )
+    SELECT CAST(c.cid AS BIGINT) AS cell,
+           CAST(coalesce(nb.n_base, 0) AS BIGINT) AS n_base,
+           CAST(coalesce(nn.n_new, 0) AS BIGINT) AS n_new,
+           CAST((coalesce(nn.n_new, 0) * 1000)
+                // greatest(coalesce(nb.n_base, 0), 1) AS BIGINT) AS growth_permille,
+           CAST(CASE WHEN coalesce(nn.n_new, 0) * total_base
+                          > 2 * coalesce(nb.n_base, 0) * total_new
+                     THEN 1 ELSE 0 END AS BIGINT) AS hot
+    FROM c LEFT JOIN nb ON nb.cid = c.cid LEFT JOIN nn ON nn.cid = c.cid
+    CROSS JOIN tot
+"""
+
+
+@query("s23_ivf_index_maintenance", oracle=_S23_ORACLE)
+def s23_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL IVF INDEX MAINTENANCE — the ANN member of the
+    incremental-ingest tier (d09 exact index, d25 Bloom, d28 graph):
+    a production vector index ingests daily embedding batches WITHOUT
+    retraining the codebook — new vectors are assigned to the frozen
+    cells — and the operator reads exactly this health table: per
+    cell, base occupancy, new arrivals, growth rate, and a retrain
+    trigger for cells whose growth outpaces the ingest (a drifted
+    embedding distribution piles into few cells, recall collapses
+    there, and THIS report is what fires the k-means refresh —
+    the FAISS/Milvus index-maintenance loop).
+
+    Laws (engine-exact): codebook = the s02/s06 data-seeded 16-cell
+    `_seeded_centroids` law, frozen; batch = the d25/d28 re-ingest
+    law on vectors (every third corpus vector re-arrives re-embedded —
+    its REVERSED float array: a deterministic, arithmetic-free new
+    direction both engines produce bit-identically); assignment =
+    argmax cosine, ties to the lowest cell (s06's pin); growth in
+    truncating permille over max(n_base, 1); hot = d31's
+    cross-multiplied "grows > 2× ingest" test in BIGINT.
+
+    Scale shape: both assignment passes are s02's Arrow argmax kernel
+    (one BLAS matmul per batch, scan-shaped, NO shuffle carrying
+    vectors); the only shuffles are two 16-row cell rollups, and the
+    2-scalar totals frame broadcasts into the final 16-row stitch.
+    At 100 TB the daily batch never touches the stored corpus — cost
+    is O(|batch| · n_cells) kernel work + metadata-scale joins.
+    Reference witness: O1 assignment fission + O2 keyed fold
+    (src/Core/MapReduceC.hs:24-26)."""
+    from mapreducehs_spark.functions.vector_np import cell_argmax_udf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _seeded_centroids(emb)
+    assign = cell_argmax_udf(cents)
+    base = emb.filter(F.col("vec_id") >= 8).select(
+        "vec_id", assign(F.col("embedding")).alias("cell")
+    )
+    batch = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") % 3 == 0)).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        assign(F.reverse("embedding")).alias("cell"),
+    )
+    nb = base.groupBy("cell").agg(F.count(F.lit(1)).cast("bigint").alias("n_base"))
+    nn = batch.groupBy("cell").agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    tot = base.agg(F.count(F.lit(1)).alias("total_base")).crossJoin(
+        batch.agg(F.count(F.lit(1)).alias("total_new"))
+    )
+    cells = spark.range(16).select(F.col("id").cast("int").alias("cell"))
+    return (
+        cells.join(nb, "cell", "left")
+        .join(nn, "cell", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            F.coalesce("n_base", F.lit(0)).cast("bigint").alias("n_base"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            F.expr(
+                "(coalesce(n_new, 0L) * 1000L) div greatest(coalesce(n_base, 0L), 1L)"
+            )
+            .cast("bigint")
+            .alias("growth_permille"),
+            (
+                F.coalesce("n_new", F.lit(0)) * F.col("total_base")
+                > 2 * F.coalesce("n_base", F.lit(0)) * F.col("total_new")
+            )
+            .cast("bigint")
+            .alias("hot"),
+        )
+    )

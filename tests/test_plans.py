@@ -1180,3 +1180,21 @@ def test_m19_funnel_single_scan_no_udf(q):
     assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
     assert "Window" not in plan
     assert I.exchange_count(df) == 1
+
+
+def test_s23_maintenance_metadata_scale_joins(q):
+    """s23's scale contract: vectors never shuffle — both assignment
+    passes are Arrow kernels feeding 16-row cell rollups, and the
+    final stitch is metadata-scale with the 2-scalar totals frame
+    broadcast (never a shuffled cross join)."""
+    df = q("s23_ivf_index_maintenance")
+    plan = I.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert I.broadcast_join_count(df) >= 1
+    # the vector column must die at the kernel: no Exchange operator's
+    # section (formatted detail block) may carry the embedding column
+    import re as _re
+
+    for block in _re.split(r"\n\n", plan):
+        if _re.match(r"\(\d+\) (Exchange|BroadcastExchange)", block.strip()):
+            assert "embedding" not in block, block
