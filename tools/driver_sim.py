@@ -35,18 +35,30 @@ rows = E.entry(spark).count()
 assert rows > 0, "entry() returned 0 rows"
 print(f"entry: {rows} rows OK", flush=True)
 
-con = duckdb.connect()
-# An in-memory DuckDB has NO temp directory, so a big oracle (m14's
-# recursive closure, m16's banding at sf1) cannot spill and dies with
-# OutOfMemory/IOException instead.  Give it a spill dir + an explicit
-# limit so oracle-side capacity never masquerades as a query mismatch.
-con.execute("SET temp_directory='/tmp/duckdb_spill'")
-con.execute("SET memory_limit='95GB'")
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
-    p = os.path.join(SF_DIR, f"{t}.parquet")
-    if os.path.exists(p):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+def fresh_oracle():
+    """A clean DuckDB connection with spill + views.
+
+    An in-memory DuckDB has NO temp directory, so a big oracle (m14's
+    recursive closure, m16's banding at sf1) cannot spill and dies
+    with OutOfMemory/IOException instead — the spill dir + explicit
+    limit keep oracle-side capacity from masquerading as a mismatch.
+    Rebuilt AFTER any oracle error: a connection that just hit an
+    IO/OOM failure keeps leaked buffer-manager blocks, and every
+    subsequent non-trivial oracle then dies on kilobyte allocations —
+    the sf1 cascade where one genuine disk-capacity failure (m14)
+    turned six healthy oracles into phantom OOMs."""
+    c = duckdb.connect()
+    c.execute("SET temp_directory='/tmp/duckdb_spill'")
+    c.execute(f"SET memory_limit='{os.environ.get('DRIVER_SIM_MEM', '95GB')}'")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return c
+
+
+con = fresh_oracle()
 
 
 def canon(df: pd.DataFrame) -> str:
@@ -102,6 +114,11 @@ for name, fn in Q.items():
                          "spark_rows": len(sp), "oracle_rows": None,
                          "err": f"oracle:{type(ex).__name__}"}
         print(f"{name}: ORACLE ERROR {type(ex).__name__}: {str(ex)[:200]}", flush=True)
+        try:
+            con.close()
+        except Exception:
+            pass
+        con = fresh_oracle()  # don't let one capacity failure cascade
         continue
     rows_m = len(sp) == len(ora)
     schema_m = sorted(map(str, sp.columns)) == sorted(map(str, ora.columns))
