@@ -44,10 +44,14 @@ BOUNDED_SLACK = 2.0  # bounded-state claims may wobble (batch slicing), not grow
 #: (fixed sketches, LRU/TTL windows, per-source scalars, driver-held
 #: models).  Everything else is allowed to track the data volume.
 BOUNDED_STATE = {
-    "st12_stream_dedup_watermarked",  # TTL-evicted key window
+    # NOT st12 (TTL-evicted key window) or st21 (fixed ring PER USER):
+    # those are bounded per KEY, so total state ∝ key cardinality —
+    # and make_sf grows traffic density / users 10x in the SAME time
+    # window, so their measured 10.0x state is exactly the linear-in-
+    # keys law (st02/st15's class), not a leak.  Flat-total claims only
+    # belong here.
     "st13_stream_heavy_hitters",  # fixed Misra-Gries sketch
     "st20_stream_moments",  # per-type scalar moments
-    "st21_stream_anomaly",  # fixed ring buffer per user
     "st22_stream_bloom_dedup",  # fixed Bloom shards
     "st25_stream_histogram_quantiles",  # fixed histogram buckets
     "st26_stream_sequence_packing",  # one offset long per source
