@@ -3718,3 +3718,104 @@ def q121_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             free()
 
 
+
+# =========================================================================
+# Round 9: incremental MV maintenance under retractions (q94's dual)
+# =========================================================================
+
+_Q122_ORACLE = """
+    WITH applied AS (
+      SELECT CASE WHEN o_orderkey % 11 != 0 AND o_orderkey % 7 = 0
+                  THEN CAST(o_totalprice AS DECIMAL(18, 2)) + 10.00
+                  ELSE CAST(o_totalprice AS DECIMAL(18, 2)) END AS price,
+             CASE WHEN o_orderkey % 11 != 0 AND o_orderkey % 7 = 0
+                  THEN o_orderdate + INTERVAL 1 MONTH
+                  ELSE o_orderdate END AS d
+      FROM orders
+      WHERE o_orderkey % 11 != 0
+    )
+    SELECT CAST(year(d) * 100 + month(d) AS BIGINT) AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(price) AS VARCHAR) AS total_exact
+    FROM applied GROUP BY 1
+"""
+
+
+@query("q122_incremental_mv_retraction", oracle=_Q122_ORACLE)
+def q122_incremental_mv_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MV MAINTENANCE UNDER RETRACTIONS — the half q94's
+    append-only delta refresh cannot do: a CDC batch carrying DELETEs
+    and UPDATEs (an update that MOVES a row across group boundaries is
+    the hard case) maintains the stored monthly rollup by SIGNED
+    deltas — delete ⇒ (-1, -price) against the old group; update ⇒ a
+    retraction from the old month plus an insertion into the new —
+    and the merged result must equal a full recompute of the
+    post-CDC state bit-for-bit.  This is the incremental-view-
+    maintenance contract of a lakehouse MERGE pipeline (count/sum are
+    self-maintainable under retraction; the signed-delta algebra is
+    the classic Gupta–Mumick counting method).
+
+    CDC law (from o_orderkey, both engines replay it): key % 11 == 0 ⇒
+    DELETE; else key % 7 == 0 ⇒ UPDATE (price + 10.00, order month + 1
+    — a cross-group move).  Money stays DECIMAL(18,2) end to end
+    (q84's exact-ledger recipe: decimal sums are exact under ANY
+    partial-aggregation or merge order, so base ⊎ deltas == recompute
+    is an identity, not an approximation); the canonical-string render
+    pins it bit-for-bit.  Months as year·100+month BIGINT (never a raw
+    timestamp — FIXTURES discipline); the +1 MONTH shift only needs
+    the calendar month, so engine day-clamping differences are
+    unreachable.
+
+    Scale shape: in production the base MV is STORED (group-count
+    rows, metadata scale) and only the CDC batch is scanned — modeled
+    here by folding base partials with batch-only deltas whose
+    predicates push into the scan; the merge is a group-keyed union +
+    one rollup (no join at all), and a month whose rows all retract
+    drops out via the n > 0 filter.  Reference witness: O2 mergeable
+    fold (src/Core/MapReduceC.hs:25-26, the combiner-correctness
+    property q94 pins for appends, extended to signed deltas)."""
+    orders = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    m_old = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("bigint")
+    shifted = F.add_months("o_orderdate", 1)
+    m_new = (F.year(shifted) * 100 + F.month(shifted)).cast("bigint")
+
+    base_mv = orders.groupBy(m_old.alias("month")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dn"),
+        F.sum(price).alias("dtotal"),
+    )
+    is_del = key % 11 == 0
+    is_upd = (key % 11 != 0) & (key % 7 == 0)
+    d_rows = orders.filter(is_del).select(
+        m_old.alias("month"),
+        F.lit(-1).cast("bigint").alias("dn"),
+        (price * -1).alias("dtotal"),
+    )
+    u_retract = orders.filter(is_upd).select(
+        m_old.alias("month"),
+        F.lit(-1).cast("bigint").alias("dn"),
+        (price * -1).alias("dtotal"),
+    )
+    u_insert = orders.filter(is_upd).select(
+        m_new.alias("month"),
+        F.lit(1).cast("bigint").alias("dn"),
+        (price + F.lit(10.00).cast("decimal(18,2)")).alias("dtotal"),
+    )
+    merged = (
+        base_mv.select("month", "dn", F.col("dtotal").cast("decimal(28,2)").alias("dtotal"))
+        .unionByName(d_rows.select("month", "dn", F.col("dtotal").cast("decimal(28,2)").alias("dtotal")))
+        .unionByName(u_retract.select("month", "dn", F.col("dtotal").cast("decimal(28,2)").alias("dtotal")))
+        .unionByName(u_insert.select("month", "dn", F.col("dtotal").cast("decimal(28,2)").alias("dtotal")))
+        .groupBy("month")
+        .agg(
+            F.sum("dn").cast("bigint").alias("n_orders"),
+            F.sum("dtotal").alias("total"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return merged.select(
+        "month",
+        "n_orders",
+        F.col("total").cast("decimal(38,2)").cast("string").alias("total_exact"),
+    )

@@ -1242,3 +1242,19 @@ def test_t50_conservation_vs_t44(q):
             assert toks * 1000000 <= p["frac_epoch_ppm"] * p["tokens_total"] \
                 + toks // max(toks, 1) * 1000000 * p["tokens_total"], (src, epoch)
             assert toks <= p["tokens_total"]
+
+
+def test_q122_merge_is_union_rollup_no_join(q):
+    """q122's scale contract: base partials fold with batch deltas as
+    a group-keyed UNION + one rollup — no join anywhere, the CDC
+    predicates push into the batch-side scans, and the money column
+    stays decimal (exact merge algebra)."""
+    df = q("q122_incremental_mv_retraction")
+    plan = I.formatted_plan(df)
+    assert I.broadcast_join_count(df) == 0
+    assert I.sort_merge_join_count(df) == 0
+    assert "Union" in plan
+    import re as _re
+
+    pushed = _re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("o_orderkey" in p for p in pushed)  # batch scans filtered
