@@ -32,6 +32,7 @@ from mapreducehs_spark.queries import (  # noqa: F401  (import order = registrat
 from mapreducehs_spark.queries._registry import (  # noqa: F401
     ORACLE,
     QUERIES,
+    STAGED_ORACLE,
     query,
 )
 

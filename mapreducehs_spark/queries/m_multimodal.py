@@ -19,7 +19,12 @@ from mapreducehs_spark.operators.joins import asof_join
 from mapreducehs_spark.pipeline import word_count_pipeline
 from mapreducehs_spark.sources.catalog import load_table
 
-from mapreducehs_spark.queries._registry import ORACLE, QUERIES, query  # noqa: F401
+from mapreducehs_spark.queries._registry import (  # noqa: F401
+    ORACLE,
+    QUERIES,
+    STAGED_ORACLE,
+    query,
+)
 from mapreducehs_spark.queries._shared import (  # noqa: F401
     _d15_oracle,
     _t,
@@ -846,6 +851,136 @@ def m16_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_hash64_tail(h_table: str, p: str) -> str:
+    """_HASH64_CANONICAL_TAIL replayed as ';'-separated statements over
+    a materialized (doc_id, lo, hi) TEMP TABLE ``h_table``: grp →
+    banding/verify edges → recursive component closure → final select,
+    each stage its own statement so DuckDB frees the previous stage's
+    memory before the next (the STAGED_ORACLE discipline).  ``p``
+    prefixes the temp-table names.  Value-identical to the monolithic
+    tail: the closure runs over the SAME edge set, just materialized."""
+    return f"""
+    DROP TABLE IF EXISTS {p}_grp;
+    CREATE TEMP TABLE {p}_grp AS
+      SELECT lo, hi, min(doc_id) AS hrep, CAST(count(*) AS BIGINT) AS cnt
+      FROM {h_table} GROUP BY lo, hi;
+    DROP TABLE IF EXISTS {p}_edges;
+    CREATE TEMP TABLE {p}_edges AS
+      WITH gbanded AS (
+        SELECT hrep, b,
+               CASE b WHEN 0 THEN lo & 65535 WHEN 1 THEN lo >> 16
+                      WHEN 2 THEN hi & 65535 ELSE hi >> 16 END AS bk
+        FROM {p}_grp, unnest(range(4)) tb(b)
+      ), gcand AS (
+        SELECT DISTINCT a.hrep AS ra, b.hrep AS rb
+        FROM gbanded a JOIN gbanded b ON a.b = b.b AND a.bk = b.bk AND a.hrep < b.hrep
+      ), pe AS (
+        SELECT c.ra, c.rb
+        FROM gcand c JOIN {p}_grp ga ON ga.hrep = c.ra JOIN {p}_grp gb ON gb.hrep = c.rb
+        WHERE bit_count(xor(ga.lo, gb.lo)) + bit_count(xor(ga.hi, gb.hi)) <= 3
+      )
+      SELECT ra AS src, rb AS dst FROM pe UNION SELECT rb, ra FROM pe;
+    DROP TABLE IF EXISTS {p}_comp;
+    CREATE TEMP TABLE {p}_comp AS
+      WITH RECURSIVE reach(src, dst) AS (
+        SELECT DISTINCT src, src FROM {p}_edges
+        UNION
+        SELECT e.src, r.dst FROM {p}_edges e JOIN reach r ON e.dst = r.src
+      )
+      SELECT src AS hrep, min(dst) AS comp FROM reach GROUP BY src;
+    DROP TABLE {p}_edges;
+    WITH crep AS (
+      SELECT g.lo, g.hi, g.cnt, coalesce(c.comp, g.hrep) AS comp
+      FROM {p}_grp g LEFT JOIN {p}_comp c ON c.hrep = g.hrep
+    ), sizes AS (
+      SELECT comp, CAST(sum(cnt) AS BIGINT) AS class_size FROM crep GROUP BY comp
+    )
+    SELECT h.doc_id AS member, CAST(cr.comp AS BIGINT) AS rep, s.class_size
+    FROM {h_table} h JOIN crep cr ON cr.lo = h.lo AND cr.hi = h.hi
+    JOIN sizes s ON s.comp = cr.comp
+    WHERE h.doc_id != cr.comp
+    """
+
+
+#: m16 staged: the video-ahash head split at its two natural barriers
+#: (per-frame bits, then majority-pooled 64-bit hash) before the shared
+#: staged tail.  The monolithic _M16_ORACLE keeps cells→tot→fbits→
+#: vbits→h→banding→closure live at once and dies at sf1 with an
+#: internal allocation failure even isolated at a 108 GB limit
+#: (CORRECTNESS_sf1 r9); largest single stage here is the fbits
+#: build — well inside the box.
+STAGED_ORACLE["m16_video_dedup"] = (
+    """
+    DROP TABLE IF EXISTS m16_fbits;
+    CREATE TEMP TABLE m16_fbits AS
+      WITH cells AS (
+        SELECT doc_id, f, r, c,
+               CAST(sum((doc_id * 31 + f * 101 + (r * 16 + 2 * c + bc) * 7) % 256)
+                    AS BIGINT) AS cs
+        FROM documents,
+             unnest([0, 3, 6]) tf(f),
+             unnest(range(8)) tr(r), unnest(range(8)) tc(c),
+             unnest(range(2)) tbc(bc)
+        GROUP BY 1, 2, 3, 4
+      ), tot AS (
+        SELECT doc_id, f, CAST(sum(cs) AS BIGINT) AS total
+        FROM cells GROUP BY 1, 2
+      )
+      SELECT cells.doc_id, cells.f, (r * 8 + c) AS k,
+             CASE WHEN cs * 64 > total THEN 1 ELSE 0 END AS bit
+      FROM cells JOIN tot ON tot.doc_id = cells.doc_id AND tot.f = cells.f;
+    DROP TABLE IF EXISTS m16_h;
+    CREATE TEMP TABLE m16_h AS
+      WITH vbits AS (
+        SELECT doc_id, k,
+               CASE WHEN sum(bit) >= 2 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        FROM m16_fbits GROUP BY 1, 2
+      )
+      SELECT doc_id,
+             CAST(sum(CASE WHEN k < 32 THEN bit << k ELSE 0 END) AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN k >= 32 THEN bit << (k - 32) ELSE 0 END) AS BIGINT) AS hi
+      FROM vbits GROUP BY 1;
+    DROP TABLE m16_fbits;
+    """
+    + _staged_hash64_tail("m16_h", "m16")
+)
+
+
+#: m14 staged: each ARM (m11's image classes, d07's caption drop list —
+#: both sf1-green standalone) materializes into one edge temp table,
+#: then the cross-modal closure runs over the materialized edges alone.
+#: The monolithic _m14_oracle() replays both arms AND the recursive
+#: closure in one statement and overflows the 79 GB spill disk at sf1
+#: (CORRECTNESS_sf1 r9).  INSERT instead of the original UNION between
+#: arms is value-identical: the symmetric-edges UNION dedups anyway.
+STAGED_ORACLE["m14_crossmodal_dedup"] = f"""
+    DROP TABLE IF EXISTS xm14_e0;
+    CREATE TEMP TABLE xm14_e0 AS
+      SELECT member AS a, rep AS b FROM ({_M11_ORACLE}) tim;
+    INSERT INTO xm14_e0
+      SELECT doc_id AS a, rep_id AS b
+      FROM ({_d15_oracle(est_threshold=0.25, jaccard_threshold=0.6)}) ttx;
+    DROP TABLE IF EXISTS xm14_edges;
+    CREATE TEMP TABLE xm14_edges AS
+      SELECT a AS src, b AS dst FROM xm14_e0 UNION SELECT b, a FROM xm14_e0;
+    DROP TABLE xm14_e0;
+    DROP TABLE IF EXISTS xm14_comp;
+    CREATE TEMP TABLE xm14_comp AS
+      WITH RECURSIVE reach(src, dst) AS (
+        SELECT DISTINCT src, src FROM xm14_edges
+        UNION
+        SELECT e.src, r.dst FROM xm14_edges e JOIN reach r ON e.dst = r.src
+      )
+      SELECT src AS member, min(dst) AS comp FROM reach GROUP BY src;
+    DROP TABLE xm14_edges;
+    WITH sizes AS (
+      SELECT comp, CAST(count(*) AS BIGINT) AS class_size
+      FROM xm14_comp GROUP BY comp
+    )
+    SELECT c.member, CAST(c.comp AS BIGINT) AS rep, s.class_size
+    FROM xm14_comp c JOIN sizes s USING (comp)
+    WHERE c.member != c.comp
+    """
 
 
 # =========================================================================

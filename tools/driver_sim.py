@@ -82,6 +82,13 @@ def canon(df: pd.DataFrame) -> str:
 
 Q = E.queries()
 O = E.oracle_sql()
+# Staged (multi-statement TEMP TABLE) replays for oracles whose
+# monolithic form is memory-infeasible at sf1 — value-identical by
+# construction; see queries/_registry.py STAGED_ORACLE.
+try:
+    from mapreducehs_spark.queries import STAGED_ORACLE as STAGED
+except ImportError:
+    STAGED = {}
 fails = []
 records = {}
 for name, fn in Q.items():
@@ -107,7 +114,7 @@ for name, fn in Q.items():
         print(f"{name}: {status} ({dt:.1f}s)", flush=True)
         continue
     try:
-        ora = con.execute(O[name]).fetchdf()
+        ora = con.execute(STAGED.get(name, O[name])).fetchdf()
     except Exception as ex:
         fails.append(name)
         records[name] = {"rows_match": None, "schema_match": None, "hash_match": None,
