@@ -1287,7 +1287,7 @@ def _m19_rollup(flagged: DataFrame) -> DataFrame:
         F.sum((F.col("verdict") == "quality").cast("bigint")).alias("drop_quality"),
         F.sum(kept.cast("bigint")).alias("n_kept"),
         F.sum(
-            F.when(kept, (F.col("w") / 16).cast("bigint") * (F.col("h") / 16).cast("bigint"))
+            F.when(kept, F.expr("(w div 16) * (h div 16)"))
             .otherwise(0)
         )
         .cast("bigint")

@@ -4122,15 +4122,16 @@ def t50_epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset = exclusive prefix sum of token counts in (key, doc_id)
     order within (source, epoch); the partial epoch keeps docs while
     start·1e6 < frac_ppm·tokens_total (t44's ppm law made token-exact);
-    shards are contiguous {_T50_SHARD}-token ranges of the permuted
-    order (t33's balanced-shard posture).  Empty docs never ship.
+    shards are contiguous _T50_SHARD-token (16384) ranges of the
+    permuted order (t33's balanced-shard posture).  Empty docs never
+    ship.
 
     Scale shape: the n_sources-row plan broadcasts onto the token
     projection; the epoch explode multiplies rows by ≤ 4 (the t44
     cap); offsets come from the grouped prefix-sum seam (range
     exchange on (source, epoch, key, doc_id) + broadcast bases —
     never a per-(source, epoch) window); output is linear in
-    total-epoch-tokens / {_T50_SHARD}.  Window-free plan-pinned.
+    total-epoch-tokens / _T50_SHARD.  Window-free plan-pinned.
     Reference witness: O1 fission + O2 ordered keyed fold
     (src/Core/MapReduceC.hs:24-26)."""
     out, cache = _t50_build(spark, sf_dir)

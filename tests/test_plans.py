@@ -1223,12 +1223,25 @@ def test_t50_manifest_window_free(q, spark):
         cache.unpersist(blocking=False)
 
 
-def test_t50_conservation_vs_t44(q):
+def test_t50_conservation_vs_t44(q, spark):
     """Token conservation: full epochs ship the whole source, and the
-    partial epoch's token mass never exceeds the ppm target (truncating
-    law: it can fall short by at most one document)."""
+    partial epoch's token mass exceeds the ppm target by at most the
+    source's largest single document (truncating prefix law: the last
+    kept doc STARTS below the target, so the overshoot is bounded by
+    its own token count)."""
+    from pyspark.sql import functions as F
+
+    from mapreducehs_spark.queries import _mixture_tok, _t
+
     plan = {r["source"]: r for r in q("t44_epoch_repeat_plan").collect()}
     rows = q("t50_epoch_shuffle_manifest").collect()
+    max_doc = {
+        r["source"]: r["mx"]
+        for r in _mixture_tok(_t(spark, SF, "documents"))
+        .groupBy("source")
+        .agg(F.max("n_tokens").alias("mx"))
+        .collect()
+    }
     from collections import defaultdict
 
     per_se = defaultdict(int)
@@ -1240,7 +1253,7 @@ def test_t50_conservation_vs_t44(q):
             assert toks == p["tokens_total"], (src, epoch)
         else:
             assert toks * 1000000 <= p["frac_epoch_ppm"] * p["tokens_total"] \
-                + toks // max(toks, 1) * 1000000 * p["tokens_total"], (src, epoch)
+                + max_doc[src] * 1000000, (src, epoch)
             assert toks <= p["tokens_total"]
 
 

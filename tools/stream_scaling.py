@@ -49,7 +49,7 @@ BOUNDED_STATE = {
     # and make_sf grows traffic density / users 10x in the SAME time
     # window, so their measured 10.0x state is exactly the linear-in-
     # keys law (st02/st15's class), not a leak.  Flat-total claims only
-    # belong here.
+    # belong here; per-key claims get the PER_KEY_BOUNDED gate below.
     "st13_stream_heavy_hitters",  # fixed Misra-Gries sketch
     "st20_stream_moments",  # per-type scalar moments
     "st22_stream_bloom_dedup",  # fixed Bloom shards
@@ -66,6 +66,38 @@ BOUNDED_STATE = {
 }
 
 
+#: st queries whose docstrings claim state bounded PER KEY (a fixed
+#: number of state rows/longs per live key): total state may track key
+#: cardinality but must NOT outgrow it.  Gate: state_ratio must stay
+#: within BOUNDED_SLACK of the measured distinct-key growth between the
+#: two SFs — a leak in st12's TTL eviction or st21's ring trimming
+#: shows up as state growing FASTER than keys (ADVICE r9: dropping them
+#: to the generic 12x budget would mask exactly that).  Values are the
+#: key expression counted over each SF's events table.
+PER_KEY_BOUNDED = {
+    "st12_stream_dedup_watermarked": "user_id, event_type",
+    "st21_stream_anomaly": "user_id",
+}
+
+
+def _key_counts(sf_dir: str) -> dict[str, int]:
+    """Distinct-key cardinality per PER_KEY_BOUNDED query at sf_dir."""
+    import duckdb
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(path):
+        return {}
+    con = duckdb.connect()
+    out = {}
+    for name, keys in PER_KEY_BOUNDED.items():
+        out[name] = con.execute(
+            f"SELECT count(*) FROM (SELECT DISTINCT {keys} "
+            f"FROM read_parquet('{path}'))"
+        ).fetchone()[0]
+    con.close()
+    return out
+
+
 def main() -> None:
     sf1_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stream_bench_sf1.json"
     sf01_path = (
@@ -74,6 +106,9 @@ def main() -> None:
     out_path = (
         sys.argv[3] if len(sys.argv) > 3 else os.path.join(REPO, "STREAM_SCALING.json")
     )
+    sf1_dir = sys.argv[4] if len(sys.argv) > 4 else "/tmp/sf1"
+    sf01_dir = sys.argv[5] if len(sys.argv) > 5 else "/root/testdata/sf0.1"
+    keys1, keys01 = _key_counts(sf1_dir), _key_counts(sf01_dir)
 
     with open(sf1_path) as f:
         b1 = json.load(f)
@@ -94,7 +129,14 @@ def main() -> None:
         state_ratio = (s1 / s01) if s01 > 0 else (float("inf") if s1 > 0 else 1.0)
         bounded = name in BOUNDED_STATE
         wall_flag = bool(wall_ratio > GATE_RATIO and t1 >= FLOOR_SEC)
-        state_gate = BOUNDED_SLACK if bounded else GATE_RATIO
+        per_key = name in PER_KEY_BOUNDED and name in keys1 and name in keys01
+        if per_key:
+            # state must not outgrow the measured key-cardinality growth
+            key_ratio = keys1[name] / max(keys01[name], 1)
+            state_gate = key_ratio * BOUNDED_SLACK
+        else:
+            key_ratio = None
+            state_gate = BOUNDED_SLACK if bounded else GATE_RATIO
         state_flag = bool(state_ratio > state_gate)
         rows[name] = {
             "sf01_sec": round(t01, 4),
@@ -104,6 +146,8 @@ def main() -> None:
             "sf1_state_rows": s1,
             "state_ratio": round(state_ratio, 3) if state_ratio != float("inf") else None,
             "bounded_state_claim": bounded,
+            "per_key_bounded_claim": name in PER_KEY_BOUNDED,
+            "key_ratio": round(key_ratio, 3) if key_ratio is not None else None,
             "wall_flagged": wall_flag,
             "state_flagged": state_flag,
         }
