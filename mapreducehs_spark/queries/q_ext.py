@@ -3264,6 +3264,38 @@ def q116_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q117_log(orders: DataFrame) -> DataFrame:
+    """q117/q123's shared change log (the ONE-helper seam discipline):
+    base snapshot rows as seq-0 upserts plus 3 epochs of synthesized
+    upserts/deletes — (k+e)%4 selects changed keys, (k*e)%5 picks
+    delete vs update.  Columns (k, status, cents, seq, op)."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.filter(F.col("o_orderkey") % 10 < 8).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        cents.alias("cents"),
+        F.lit(0).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    chg = (
+        orders.select(
+            "o_orderkey", "o_orderstatus", cents.alias("__cents"),
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("e"),
+        )
+        .filter((F.col("o_orderkey") + F.col("e")) % 4 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            (F.col("__cents") + F.col("e") * 100).alias("cents"),
+            F.col("e").alias("seq"),
+            F.when((F.col("o_orderkey") * F.col("e")) % 5 == 0, "D")
+            .otherwise("U")
+            .alias("op"),
+        )
+    )
+    return base.unionByName(chg)
+
+
 @query(
     "q117_cdc_merge",
     oracle="""
@@ -3306,33 +3338,9 @@ def q117_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3 epochs; (k+e)%4 selects, (k*e)%5 picks delete vs update) so the
     oracle replays the exact merge."""
     orders = _t(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    base = orders.filter(F.col("o_orderkey") % 10 < 8).select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_orderstatus").alias("status"),
-        cents.alias("cents"),
-        F.lit(0).alias("seq"),
-        F.lit("U").alias("op"),
-    )
-    chg = (
-        orders.select(
-            "o_orderkey", "o_orderstatus", cents.alias("__cents"),
-            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("e"),
-        )
-        .filter((F.col("o_orderkey") + F.col("e")) % 4 == 0)
-        .select(
-            F.col("o_orderkey").alias("k"),
-            F.col("o_orderstatus").alias("status"),
-            (F.col("__cents") + F.col("e") * 100).alias("cents"),
-            F.col("e").alias("seq"),
-            F.when((F.col("o_orderkey") * F.col("e")) % 5 == 0, "D")
-            .otherwise("U")
-            .alias("op"),
-        )
-    )
     w = Window.partitionBy("k").orderBy(F.col("seq").desc())
     return (
-        base.unionByName(chg)
+        _q117_log(orders)
         .withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & (F.col("op") == "U"))
         .select(
@@ -3818,4 +3826,76 @@ def q122_incremental_mv_retraction(spark: SparkSession, sf_dir: str) -> DataFram
         "month",
         "n_orders",
         F.col("total").cast("decimal(38,2)").cast("string").alias("total_exact"),
+    )
+
+
+@query(
+    "q123_time_travel",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             0 AS seq, 'U' AS op
+      FROM orders WHERE o_orderkey % 10 < 8
+    ), chg AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) + e * 100 AS cents,
+             e AS seq,
+             CASE WHEN (o_orderkey * e) % 5 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders, unnest([1, 2, 3]) te(e)
+      WHERE (o_orderkey + e) % 4 = 0
+    ), log_ AS (
+      SELECT * FROM base UNION ALL SELECT * FROM chg
+    ), snapped AS (
+      SELECT l.*, s.snap
+      FROM log_ l, unnest([1, 3]) s(snap)
+      WHERE l.seq <= s.snap
+    ), latest AS (
+      SELECT snap, k, status, cents, seq, op,
+             row_number() OVER (PARTITION BY snap, k ORDER BY seq DESC) AS rn
+      FROM snapped
+    )
+    SELECT CAST(snap AS BIGINT) AS snapshot_seq, k AS o_orderkey, status,
+           cents AS total_cents, CAST(seq AS BIGINT) AS last_seq
+    FROM latest WHERE rn = 1 AND op = 'U'
+    """,
+)
+def q123_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT / TIME-TRAVEL READ — the lakehouse `SELECT ... AS OF`
+    primitive (Delta time travel, Iceberg snapshot reads) that closes
+    the tier around q117's MERGE, q122's incremental MV, and q91's
+    SCD2: reconstruct the table AS OF change-sequence s from q117's
+    change log alone — latest row with seq ≤ s per key, tombstones
+    dropped — at two pinned snapshots (s = 1 mid-stream, s = 3 = s_max)
+    in one pass.  Conservation law (pytest-pinned): as_of(s_max) must
+    equal q117's merge EXACTLY — the snapshot read and the compaction
+    are the same fold stopped at different points, which is the
+    correctness contract a time-travel implementation owes its users.
+
+    Scale shape: the log is built once (the _q117_log seam), each row
+    fans out only to the snapshots that can see it (≤ 2×), and the
+    keyed-latest is q117's WindowGroupLimit shape on (snap, k) — ONE
+    exchange total, carrying ~|snapshots| · |live keys| after the
+    per-map-task group limit, never |log| (plan-pinned
+    exchange_count == 1).  A real deployment reads the manifest to
+    prune files by snapshot first; the fold here is what runs after
+    that prune.  Reference witness: O2 keyed fold + O4 re-sort
+    (src/Core/MapReduceC.hs:24-27)."""
+    orders = _t(spark, sf_dir, "orders")
+    snapped = (
+        _q117_log(orders)
+        .select("*", F.explode(F.array(F.lit(1), F.lit(3))).alias("snap"))
+        .filter(F.col("seq") <= F.col("snap"))
+    )
+    w = Window.partitionBy("snap", "k").orderBy(F.col("seq").desc())
+    return (
+        snapped.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            F.col("snap").cast("bigint").alias("snapshot_seq"),
+            F.col("k").alias("o_orderkey"),
+            "status",
+            F.col("cents").alias("total_cents"),
+            F.col("seq").cast("bigint").alias("last_seq"),
+        )
     )

@@ -1282,3 +1282,92 @@ def st30_stream_pair_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = _m19_flagged(_replayed_docs(spark, sf_dir))
     log = st.run_to_batch(flagged, "st30_sink", output_mode="append")
     return _m19_rollup(log)
+
+
+@query("st31_stream_incremental_mv", oracle=ORACLE["q122_incremental_mv_retraction"])
+def st31_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING INCREMENTAL MV WITH RETRACTIONS — q122's topology
+    twin via ``foreachBatch``: the monthly rollup is a STORED serving
+    table (the MV as it stood before the CDC arrived), and each
+    micro-batch of signed CDC delta rows (delete ⇒ retraction; update
+    ⇒ retraction + insertion into the shifted month — the
+    Gupta–Mumick counting method, q122's exact law in integer cents)
+    pre-aggregates within the batch and folds into the stored rollup
+    by a group-keyed union + re-aggregate (st10's MERGE-INTO pattern
+    on plain parquet).  Signed-delta sums are ORDER-FREE, so trigger
+    slicing is free — any chunking of the CDC log folds to the same
+    state, and q122's own batch oracle value-checks the final table
+    verbatim (the st16/st26 stream == batch discipline).
+
+    State: NO state store at all (the serving table IS the state —
+    O(months) rows, metadata scale); per batch the work is one
+    batch-local partial aggregate (O(batch) scan, ≤ O(months) rows
+    out) plus a rollup-sized merge.  Months whose rows all retract
+    survive as zero rows DURING the run (dropping them mid-stream
+    would lose mass if a later insert resurrects the month) and fall
+    out at the final n > 0 read — q122's tombstone rule applied at
+    serving time.  At 100 TB/day the same body merges into a
+    Delta/Iceberg MV; only the sink changes."""
+    import os
+    import shutil
+    import tempfile
+
+    from mapreducehs_spark import streaming as st
+
+    base_mv, replay = st.prepare_cdc_mv_dir(spark, sf_dir, n_chunks=4)
+    serving = os.path.join(
+        tempfile.gettempdir(),
+        f"mapreducehs_mv_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(serving, ignore_errors=True)
+    shutil.copytree(base_mv, serving)
+
+    cdc = (
+        spark.readStream.schema(st.CDC_MV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        deltas = batch_df.groupBy("month").agg(
+            F.sum("dn").cast("bigint").alias("n"),
+            F.sum("dcents").cast("bigint").alias("cents"),
+        )
+        merged = (
+            sp.read.parquet(serving)
+            .unionByName(deltas)
+            .groupBy("month")
+            .agg(
+                F.sum("n").cast("bigint").alias("n"),
+                F.sum("cents").cast("bigint").alias("cents"),
+            )
+        )
+        tmp = serving + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(serving)
+        os.rename(tmp, serving)
+
+    q = (
+        cdc.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout=600):
+            raise TimeoutError("st31 stream did not finish")
+    finally:
+        q.stop()
+    final = spark.read.parquet(serving).filter(F.col("n") > 0)
+    try:
+        return final.select(
+            "month",
+            F.col("n").alias("n_orders"),
+            F.concat(
+                F.expr("cast(cents div 100 as string)"),
+                F.lit("."),
+                F.lpad(F.expr("cast(cents % 100 as string)"), 2, "0"),
+            ).alias("total_exact"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(serving, ignore_errors=True)

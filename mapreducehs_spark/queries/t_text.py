@@ -3383,12 +3383,14 @@ def _t44_plan(docs: DataFrame) -> DataFrame:
 # =========================================================================
 
 
-def _quality_scored(docs: DataFrame) -> DataFrame:
+def _quality_scored(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """The committed integer reward signal of the post-training tier —
     type-token ratio in micro-units, ``(n_uniq · 1e6) div n_tok``,
     zero-token docs dropped.  ONE twin of the t45/t49 scoring CTE
     (the _bigram_pairs discipline), returning (source, doc_id, n_tok,
-    quality_micro)."""
+    quality_micro).  ``carry`` appends extra doc columns unchanged
+    (t51 carries text so the render never re-scans the corpus);
+    the default plan is untouched."""
     toks = text.tokens("text")
     return (
         docs.select(
@@ -3396,6 +3398,7 @@ def _quality_scored(docs: DataFrame) -> DataFrame:
             "doc_id",
             F.size(toks).cast("bigint").alias("n_tok"),
             F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
+            *carry,
         )
         .filter(F.col("n_tok") > 0)
         .select(
@@ -3403,7 +3406,44 @@ def _quality_scored(docs: DataFrame) -> DataFrame:
             "doc_id",
             "n_tok",
             F.expr("(n_uniq * 1000000L) div n_tok").alias("quality_micro"),
+            *carry,
         )
+    )
+
+
+def _t45_pairs(scored: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """t45's best-vs-worst pairing law as the ONE seam helper (the
+    _quality_scored discipline): per source, rank-i by quality DESC is
+    chosen, rank-i by quality ASC is rejected (doc_id tiebreaks,
+    i ≤ 5), degenerate pairs dropped.  ``carry`` duplicates extra
+    per-doc columns of ``scored`` onto both sides as chosen_<c> /
+    rejected_<c> — t51 threads text + n_tok through the
+    WindowGroupLimit so the SFT render needs no second corpus scan."""
+    w_top = Window.partitionBy("source").orderBy(
+        F.col("quality_micro").desc(), F.col("doc_id").asc()
+    )
+    w_bot = Window.partitionBy("source").orderBy(
+        F.col("quality_micro").asc(), F.col("doc_id").desc()
+    )
+    top = (
+        scored.withColumn("pair_rank", F.row_number().over(w_top).cast("bigint"))
+        .filter(F.col("pair_rank") <= 5)
+        .select("source", "pair_rank",
+                F.col("doc_id").alias("chosen_id"),
+                F.col("quality_micro").alias("chosen_q"),
+                *[F.col(c).alias(f"chosen_{c}") for c in carry])
+    )
+    bot = (
+        scored.withColumn("pair_rank", F.row_number().over(w_bot).cast("bigint"))
+        .filter(F.col("pair_rank") <= 5)
+        .select("source", "pair_rank",
+                F.col("doc_id").alias("rejected_id"),
+                F.col("quality_micro").alias("rejected_q"),
+                *[F.col(c).alias(f"rejected_{c}") for c in carry])
+    )
+    return top.join(bot, ["source", "pair_rank"]).filter(
+        (F.col("chosen_id") != F.col("rejected_id"))
+        & (F.col("chosen_q") > F.col("rejected_q"))
     )
 
 
@@ -3468,37 +3508,10 @@ def t45_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src/Core/MapReduceC.hs:24-26)."""
     docs = _t(spark, sf_dir, "documents")
     scored = _quality_scored(docs).select("source", "doc_id", "quality_micro")
-    w_top = Window.partitionBy("source").orderBy(
-        F.col("quality_micro").desc(), F.col("doc_id").asc()
-    )
-    w_bot = Window.partitionBy("source").orderBy(
-        F.col("quality_micro").asc(), F.col("doc_id").desc()
-    )
-    top = (
-        scored.withColumn("pair_rank", F.row_number().over(w_top).cast("bigint"))
-        .filter(F.col("pair_rank") <= 5)
-        .select("source", "pair_rank",
-                F.col("doc_id").alias("chosen_id"),
-                F.col("quality_micro").alias("chosen_q"))
-    )
-    bot = (
-        scored.withColumn("pair_rank", F.row_number().over(w_bot).cast("bigint"))
-        .filter(F.col("pair_rank") <= 5)
-        .select("source", "pair_rank",
-                F.col("doc_id").alias("rejected_id"),
-                F.col("quality_micro").alias("rejected_q"))
-    )
-    return (
-        top.join(bot, ["source", "pair_rank"])
-        .filter(
-            (F.col("chosen_id") != F.col("rejected_id"))
-            & (F.col("chosen_q") > F.col("rejected_q"))
-        )
-        .select(
-            "source", "pair_rank", "chosen_id", "rejected_id",
-            "chosen_q", "rejected_q",
-            (F.col("chosen_q") - F.col("rejected_q")).alias("margin_micro"),
-        )
+    return _t45_pairs(scored).select(
+        "source", "pair_rank", "chosen_id", "rejected_id",
+        "chosen_q", "rejected_q",
+        (F.col("chosen_q") - F.col("rejected_q")).alias("margin_micro"),
     )
 
 
@@ -4139,3 +4152,275 @@ def t50_epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         cache.unpersist(blocking=False)
+
+
+# =========================================================================
+# Round 10: post-training export (SFT assembly + rejection sampling)
+# =========================================================================
+
+
+_T51_SYSTEM = "You are a careful rewriting assistant."
+
+#: t51's fixed chat-template literals (ChatML-style markers).  The
+#: PREFIX covers everything whose tokens are loss-MASKED (system turn,
+#: user turn, assistant header); the RESPONSE (chosen text + end
+#: marker) is the trained span.  The prefix ends with a newline, so
+#: whitespace tokenization never glues a prefix token to a response
+#: token and masked + trained == tokens(rendered) exactly.
+_T51_ORACLE = """
+    WITH q AS (
+      SELECT source, doc_id, text,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
+                                                x -> x != ''))) AS BIGINT) AS n_uniq
+      FROM documents
+    ), scored AS (
+      SELECT source, doc_id, text, (n_uniq * 1000000) // n_tok AS quality_micro
+      FROM q WHERE n_tok > 0
+    ), top AS (
+      SELECT source, doc_id, text, quality_micro, rn FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source ORDER BY quality_micro DESC, doc_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ), bot AS (
+      SELECT source, doc_id, text, quality_micro, rn FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source ORDER BY quality_micro ASC, doc_id DESC) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ), pairs AS (
+      SELECT t.source, t.rn AS pair_rank, t.text AS chosen_text,
+             b.text AS rejected_text
+      FROM top t JOIN bot b ON b.source = t.source AND b.rn = t.rn
+      WHERE t.doc_id != b.doc_id AND t.quality_micro > b.quality_micro
+    ), rendered AS (
+      SELECT source, pair_rank,
+             '<|im_start|>system' || chr(10)
+               || 'You are a careful rewriting assistant.<|im_end|>' || chr(10)
+               || '<|im_start|>user' || chr(10)
+               || 'Rewrite sample ' || CAST(pair_rank AS VARCHAR) || ' from '
+               || source || ' to higher quality:' || chr(10)
+               || rejected_text || '<|im_end|>' || chr(10)
+               || '<|im_start|>assistant' || chr(10) AS prefix,
+             chosen_text || '<|im_end|>' AS response
+      FROM pairs
+    ), spans AS (
+      SELECT source,
+             CAST(len(list_filter(regexp_split_to_array(prefix, '\\s+'),
+                                  x -> x != '')) AS BIGINT) AS masked,
+             CAST(len(list_filter(regexp_split_to_array(response, '\\s+'),
+                                  x -> x != '')) AS BIGINT) AS trained,
+             ('0x' || substr(md5(prefix || response), 1, 12))::BIGINT AS fold
+      FROM rendered
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_examples,
+           CAST(sum(masked) AS BIGINT) AS masked_tokens,
+           CAST(sum(trained) AS BIGINT) AS trained_tokens,
+           CAST(sum(masked + trained) AS BIGINT) AS total_tokens,
+           CAST(sum(trained) * 1000000 // sum(masked + trained) AS BIGINT)
+             AS trained_share_ppm,
+           CAST(max(masked + trained) AS BIGINT) AS max_seq_tokens,
+           CAST(sum(fold) AS BIGINT) AS template_fold
+    FROM spans
+    GROUP BY source
+"""
+
+
+def _t51_rendered(docs: DataFrame) -> DataFrame:
+    """t51's render stage: t45's pairs (text carried through the
+    WindowGroupLimit via the _t45_pairs seam) → (source, pair_rank,
+    prefix, response) chat-template strings, pure codegen concat."""
+    scored = _quality_scored(docs, carry=("text",)).select(
+        "source", "doc_id", "quality_micro", "text"
+    )
+    pairs = _t45_pairs(scored, carry=("text",))
+    nl = F.lit("\n")
+    prefix = F.concat(
+        F.lit("<|im_start|>system"), nl,
+        F.lit(_T51_SYSTEM + "<|im_end|>"), nl,
+        F.lit("<|im_start|>user"), nl,
+        F.lit("Rewrite sample "), F.col("pair_rank").cast("string"),
+        F.lit(" from "), F.col("source"), F.lit(" to higher quality:"), nl,
+        F.col("rejected_text"), F.lit("<|im_end|>"), nl,
+        F.lit("<|im_start|>assistant"), nl,
+    )
+    response = F.concat(F.col("chosen_text"), F.lit("<|im_end|>"))
+    return pairs.select(
+        "source", "pair_rank",
+        prefix.alias("prefix"), response.alias("response"),
+    )
+
+
+@query("t51_sft_assembly", oracle=_T51_ORACLE)
+def t51_sft_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT / CHAT-TEMPLATE ASSEMBLY — the export step every
+    instruction-tuning pipeline runs on preference data: render each
+    t45 pair into a deterministic chat template (fixed ChatML-style
+    literal markers; system turn, user turn asking to rewrite the
+    REJECTED text, assistant turn carrying the CHOSEN text) and emit
+    the per-turn LOSS-MASK SPAN arithmetic — prompt tokens masked,
+    response tokens trained — as per-source masked/trained token
+    accounting (Ouyang et al. 2022's SFT recipe; the loss mask is what
+    separates chat SFT from plain LM finetuning).
+
+    Span law: the template prefix (system + user + assistant header)
+    ends with a newline, so under whitespace tokenization
+    masked + trained == tokens(rendered) EXACTLY — the mask boundary
+    is an integer token offset, never a character heuristic
+    (test_plans pins the conservation).  ``template_fold`` (md5 fold
+    of each fully-rendered example, summed) proves both engines built
+    byte-identical strings, not just matching counts — the whole
+    render replays in DuckDB as string concat + chr(10).
+
+    Scale shape: t45's WindowGroupLimit pair plan with text carried
+    through the top-k (k·n_sources rows after the limit — the corpus
+    never re-scans for the render); the render + span count is one
+    codegen projection over ≤ 5·n_sources rows; output is the
+    n_sources rollup.  Zero Python UDFs.  Reference witness: O1
+    per-record rewrite + O2 keyed fold (src/Core/MapReduceC.hs:24-26)."""
+    docs = _t(spark, sf_dir, "documents")
+    rendered = _t51_rendered(docs)
+    toks_of = lambda c: F.size(text.tokens(c)).cast("bigint")  # noqa: E731
+    spans = rendered.select(
+        "source",
+        toks_of("prefix").alias("masked"),
+        toks_of("response").alias("trained"),
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("prefix"), F.col("response"))), 1, 12),
+            16, 10,
+        ).cast("bigint").alias("fold"),
+    )
+    return spans.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_examples"),
+        F.sum("masked").cast("bigint").alias("masked_tokens"),
+        F.sum("trained").cast("bigint").alias("trained_tokens"),
+        F.sum(F.col("masked") + F.col("trained")).cast("bigint").alias("total_tokens"),
+        F.expr("CAST(sum(trained) * 1000000 div sum(masked + trained) AS BIGINT)")
+        .alias("trained_share_ppm"),
+        F.max(F.col("masked") + F.col("trained")).cast("bigint").alias("max_seq_tokens"),
+        F.sum("fold").cast("bigint").alias("template_fold"),
+    )
+
+
+_T52_ORACLE = """
+    WITH q AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
+                                                x -> x != ''))) AS BIGINT) AS n_uniq
+      FROM documents
+    ), scored AS (
+      SELECT source, doc_id, n_tok, (n_uniq * 1000000) // n_tok AS quality_micro
+      FROM q WHERE n_tok > 0
+    ), gn AS (
+      SELECT *, doc_id % 64 AS gid,
+             2 + ('0x' || substr(md5(source || ':' || CAST(doc_id % 64 AS VARCHAR)
+                                     || ':t52'), 1, 12))::BIGINT % 7 AS n_g
+      FROM scored
+    ), samp AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source, gid ORDER BY doc_id ASC) AS rn_sample
+        FROM gn
+      ) WHERE rn_sample <= n_g
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY source, gid ORDER BY quality_micro DESC, doc_id ASC) AS rn_best
+      FROM samp
+    ), pg AS (
+      SELECT source, gid,
+             CAST(count(*) AS BIGINT) AS n_cand,
+             CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+             max(CASE WHEN rn_best = 1 THEN quality_micro END) AS best_q,
+             max(CASE WHEN rn_best = 2 THEN quality_micro END) AS second_q,
+             max(CASE WHEN rn_best = 1 THEN n_tok END) AS best_tok
+      FROM ranked GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n_cand) AS BIGINT) AS n_candidates,
+           CAST(sum(n_cand) - count(*) AS BIGINT) AS n_dropped,
+           CAST(sum(best_tok) AS BIGINT) AS kept_tokens,
+           CAST(sum(tok_sum - best_tok) AS BIGINT) AS dropped_tokens,
+           CAST(sum(best_q) AS BIGINT) AS kept_q_micro,
+           CAST(sum(coalesce(best_q - second_q, 0)) AS BIGINT) AS margin_micro
+    FROM pg GROUP BY source
+"""
+
+
+@query("t52_rejection_sampling", oracle=_T52_ORACLE)
+def t52_rejection_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEST-OF-N REJECTION SAMPLING — the other half of the
+    post-training export tier (Bai et al. 2022 / Llama-2's SFT
+    bootstrapping: sample n candidates per prompt, keep the
+    argmax-of-n under the reward model, train on the survivors): docs
+    hash into prompt groups (doc_id mod 64 within source — the group
+    plays the prompt role, its members the sampled candidates), each
+    group's candidate budget n varies 2..8 by a salted md5 fold of the
+    group key (real pipelines vary n per prompt by difficulty), and
+    the committed reward is the t45/t49 ``_quality_scored`` twin —
+    ONE scoring law across the whole post-training tier.
+
+    Selection law: candidates are the first n docs in doc_id order
+    (the deterministic "sample draw"); the keeper is argmax
+    quality_micro with min-doc_id tiebreak; the per-group margin is
+    best minus runner-up (the rejection-sampling confidence signal).
+    Per-source report: groups, candidates, dropped count, kept/dropped
+    token mass, kept reward mass, summed margin.
+
+    Scale shape: the sample-draw window is ``row_number() <= 8``
+    (constant cap) — WindowGroupLimit prunes per partition BEFORE the
+    (source, gid) exchange (t45's pin), the exact n_g filter runs on
+    the ≤ 8 survivors; the argmax window and both rollups reuse the
+    SAME (source, gid) partitioning, so the whole query is one
+    exchange + one final n_sources shuffle.  Zero UDFs.  Reference
+    witness: O2 keyed fold (src/Core/MapReduceC.hs:25-26)."""
+    docs = _t(spark, sf_dir, "documents")
+    gn = (
+        _quality_scored(docs)
+        .withColumn("gid", (F.col("doc_id") % 64).cast("bigint"))
+        .withColumn(
+            "n_g",
+            2
+            + F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("source"), F.lit(":"),
+                                   F.col("gid").cast("string"), F.lit(":t52"))),
+                    1, 12,
+                ),
+                16, 10,
+            ).cast("bigint") % 7,
+        )
+    )
+    w_samp = Window.partitionBy("source", "gid").orderBy(F.col("doc_id").asc())
+    samp = (
+        gn.withColumn("rn_sample", F.row_number().over(w_samp))
+        .filter(F.col("rn_sample") <= 8)  # constant cap -> WindowGroupLimit
+        .filter(F.col("rn_sample") <= F.col("n_g"))
+    )
+    w_best = Window.partitionBy("source", "gid").orderBy(
+        F.col("quality_micro").desc(), F.col("doc_id").asc()
+    )
+    ranked = samp.withColumn("rn_best", F.row_number().over(w_best))
+    pg = ranked.groupBy("source", "gid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand"),
+        F.sum("n_tok").cast("bigint").alias("tok_sum"),
+        F.max(F.when(F.col("rn_best") == 1, F.col("quality_micro"))).alias("best_q"),
+        F.max(F.when(F.col("rn_best") == 2, F.col("quality_micro"))).alias("second_q"),
+        F.max(F.when(F.col("rn_best") == 1, F.col("n_tok"))).alias("best_tok"),
+    )
+    return pg.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("n_cand").cast("bigint").alias("n_candidates"),
+        (F.sum("n_cand") - F.count(F.lit(1))).cast("bigint").alias("n_dropped"),
+        F.sum("best_tok").cast("bigint").alias("kept_tokens"),
+        F.sum(F.col("tok_sum") - F.col("best_tok")).cast("bigint")
+        .alias("dropped_tokens"),
+        F.sum("best_q").cast("bigint").alias("kept_q_micro"),
+        F.sum(F.coalesce(F.col("best_q") - F.col("second_q"), F.lit(0)))
+        .cast("bigint").alias("margin_micro"),
+    )

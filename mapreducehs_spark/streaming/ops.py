@@ -2043,3 +2043,99 @@ def streaming_weighted_sample(docs: DataFrame, k: int = 25) -> DataFrame:
         "w",
         F.round(F.col("__key") * 1_000_000, 4).alias("cost_micro"),
     )
+
+
+#: Schema of the q122-law CDC delta replay (st31): signed per-row
+#: deltas against the stored monthly rollup, integer cents so the fold
+#: is exact under any batch slicing.
+CDC_MV_SCHEMA = StructType(
+    [
+        StructField("month", LongType()),
+        StructField("dn", LongType()),
+        StructField("dcents", LongType()),
+    ]
+)
+
+
+def prepare_cdc_mv_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 4,
+    base_dir: str = "/tmp/mapreducehs_stream_cdc",
+) -> tuple[str, str]:
+    """Materialize st31's inputs: the STORED base rollup (the MV as it
+    stood before the CDC arrived) and a chunked replay of q122's signed
+    CDC deltas (delete ⇒ one retraction row; update ⇒ retraction from
+    the old month + insertion into the shifted month, +10.00 cents law
+    — queries/q_ext._Q122 law, integer cents).  Returns
+    (base_mv_parquet, replay_dir).  Idempotent per sf_dir fingerprint
+    (build_fixture_once); chunk mtimes are spaced so the file source
+    replays them in order, one per trigger."""
+    from mapreducehs_spark.sources.catalog import (
+        build_fixture_once,
+        guard_driver_fixture,
+        source_fingerprint,
+    )
+
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}_c{n_chunks}"
+        f"_{source_fingerprint(sf_dir, 'orders')}"
+    )
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        orders = load_table(spark, sf_dir, "orders")
+        key_c = F.col("o_orderkey")
+        cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+        m_old = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("bigint")
+        shifted = F.add_months("o_orderdate", 1)
+        m_new = (F.year(shifted) * 100 + F.month(shifted)).cast("bigint")
+        base_mv = orders.groupBy(m_old.alias("month")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(cents).cast("bigint").alias("cents"),
+        )
+        base_mv.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "base_mv")
+        )
+        is_del = key_c % 11 == 0
+        is_upd = (key_c % 11 != 0) & (key_c % 7 == 0)
+        d_rows = orders.filter(is_del).select(
+            key_c.alias("k"),
+            m_old.alias("month"),
+            F.lit(-1).cast("bigint").alias("dn"),
+            (-cents).alias("dcents"),
+        )
+        u_retract = orders.filter(is_upd).select(
+            key_c.alias("k"),
+            m_old.alias("month"),
+            F.lit(-1).cast("bigint").alias("dn"),
+            (-cents).alias("dcents"),
+        )
+        u_insert = orders.filter(is_upd).select(
+            key_c.alias("k"),
+            m_new.alias("month"),
+            F.lit(1).cast("bigint").alias("dn"),
+            (cents + 1000).alias("dcents"),
+        )
+        cdc = d_rows.unionByName(u_retract).unionByName(u_insert)
+        guard_driver_fixture(cdc, f"cdc mv replay chunks ({sf_dir})")
+        pdf = (
+            cdc.toPandas()
+            .sort_values(["k", "dn"], kind="mergesort", ignore_index=True)
+            .drop(columns=["k"])
+        )
+        replay = os.path.join(tmp, "replay")
+        os.makedirs(replay, exist_ok=True)
+        n = len(pdf)
+        bounds = [round(i * n / n_chunks) for i in range(n_chunks + 1)]
+        now = time.time()
+        for i in range(n_chunks):
+            chunk = pdf.iloc[bounds[i] : bounds[i + 1]]
+            if len(chunk) == 0:
+                continue
+            p = os.path.join(replay, f"chunk_{i:04d}.parquet")
+            chunk.to_parquet(p, index=False)
+            os.utime(p, (now + i * 10, now + i * 10))
+
+    base = build_fixture_once(os.path.join(base_dir, key), build)
+    return os.path.join(base, "base_mv"), os.path.join(base, "replay")
