@@ -1271,3 +1271,85 @@ def test_q122_merge_is_union_rollup_no_join(q):
 
     pushed = _re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("o_orderkey" in p for p in pushed)  # batch scans filtered
+
+
+def test_q123_time_travel_one_exchange(q):
+    """q123's scale contract (q117's shape on (snap, k)): the keyed
+    latest lowers to WindowGroupLimit, there is no join anywhere, and
+    the WHOLE time-travel read is ONE exchange — it carries
+    ~|snapshots|·|live keys| after the per-map-task group limit."""
+    df = q("q123_time_travel")
+    plan = I.formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+    assert I.exchange_count(df) == 1
+
+
+def test_q123_as_of_max_equals_q117(q):
+    """Conservation: the snapshot read at s_max IS q117's merge — the
+    time-travel fold and the compaction are the same law stopped at
+    different points."""
+    merged = {
+        r["o_orderkey"]: (r["status"], r["total_cents"], r["last_seq"])
+        for r in q("q117_cdc_merge").collect()
+    }
+    asof = {
+        r["o_orderkey"]: (r["status"], r["total_cents"], r["last_seq"])
+        for r in q("q123_time_travel").collect()
+        if r["snapshot_seq"] == 3
+    }
+    assert asof == merged
+
+
+def test_t51_span_conservation(q, spark):
+    """t51's mask-boundary law: masked + trained == tokens(rendered)
+    for EVERY example (the prefix ends with a newline, so whitespace
+    tokenization never glues across the loss-mask boundary)."""
+    from pyspark.sql import functions as F
+
+    from mapreducehs_spark.operators import text
+    from mapreducehs_spark.queries import _t, _t51_rendered
+
+    rendered = _t51_rendered(_t(spark, SF, "documents"))
+    bad = (
+        rendered.select(
+            (
+                F.size(text.tokens("prefix"))
+                + F.size(text.tokens("response"))
+                - F.size(text.tokens(F.concat(F.col("prefix"), F.col("response"))))
+            ).alias("d")
+        )
+        .filter(F.col("d") != 0)
+        .count()
+    )
+    assert bad == 0
+    assert rendered.count() > 0
+
+
+def test_t51_assembly_codegen_only(q):
+    """t51's scale contract: t45's WindowGroupLimit pair plan with the
+    render as a pure codegen projection — zero Python evaluation, no
+    cartesian, and the corpus is never re-scanned for text (the carry
+    seam): only `documents` scans appear, one per ranking branch."""
+    df = q("t51_sft_assembly")
+    plan = I.formatted_plan(df)
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert I.exchange_count(df) <= 2
+
+
+def test_t52_sampling_shape(q):
+    """t52's scale contract: the constant-cap sample window lowers to
+    WindowGroupLimit; the argmax window and both rollups reuse the
+    (source, gid) partitioning, so the whole query is that exchange
+    plus the final n_sources rollup — and nothing joins or leaves
+    codegen."""
+    df = q("t52_rejection_sampling")
+    plan = I.formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert I.exchange_count(df) == 2

@@ -63,6 +63,7 @@ BOUNDED_STATE = {
     "st27_stream_decontaminate",
     "st28_stream_pii_redact",
     "st29_stream_weighted_sample",
+    "st31_stream_incremental_mv",  # foreachBatch serving-table fold
 }
 
 
