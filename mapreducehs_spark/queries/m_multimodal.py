@@ -27,6 +27,7 @@ from mapreducehs_spark.queries._registry import (  # noqa: F401
 )
 from mapreducehs_spark.queries._shared import (  # noqa: F401
     _d15_oracle,
+    _d15_staged_stmts,
     _t,
 )
 
@@ -851,14 +852,28 @@ def m16_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _staged_hash64_tail(h_table: str, p: str) -> str:
+def _staged_hash64_tail(h_table: str, p: str, into: str | None = None) -> str:
     """_HASH64_CANONICAL_TAIL replayed as ';'-separated statements over
     a materialized (doc_id, lo, hi) TEMP TABLE ``h_table``: grp →
     banding/verify edges → recursive component closure → final select,
     each stage its own statement so DuckDB frees the previous stage's
     memory before the next (the STAGED_ORACLE discipline).  ``p``
     prefixes the temp-table names.  Value-identical to the monolithic
-    tail: the closure runs over the SAME edge set, just materialized."""
+    tail: the closure runs over the SAME edge set, just materialized.
+    With ``into``, the final (member, rep, class_size) select
+    materializes as a TEMP TABLE of that name (m14's arms) and the
+    scratch tables are dropped, instead of being the script result."""
+    if into is not None:
+        return (
+            _staged_hash64_tail(h_table, p).replace(
+                "WITH crep AS (",
+                f"DROP TABLE IF EXISTS {into};\n"
+                f"    CREATE TEMP TABLE {into} AS\n"
+                f"    WITH crep AS (",
+                1,
+            )
+            + f";\n    DROP TABLE {p}_grp;\n    DROP TABLE {p}_comp;\n"
+        )
     return f"""
     DROP TABLE IF EXISTS {p}_grp;
     CREATE TEMP TABLE {p}_grp AS
@@ -947,19 +962,31 @@ STAGED_ORACLE["m16_video_dedup"] = (
 
 
 #: m14 staged: each ARM (m11's image classes, d07's caption drop list —
-#: both sf1-green standalone) materializes into one edge temp table,
-#: then the cross-modal closure runs over the materialized edges alone.
-#: The monolithic _m14_oracle() replays both arms AND the recursive
-#: closure in one statement and overflows the 79 GB spill disk at sf1
-#: (CORRECTNESS_sf1 r9).  INSERT instead of the original UNION between
-#: arms is value-identical: the symmetric-edges UNION dedups anyway.
+#: both sf1-green standalone) replays FULLY staged — ahash head +
+#: staged canonical tail for the image arm, _d15_staged_stmts for the
+#: caption arm — then the cross-modal closure runs over the two
+#: materialized edge tables alone.  The monolithic _m14_oracle()
+#: overflows the 79 GB spill disk at sf1, and even arm-per-statement
+#: staging OOMs on a 32 GiB hash allocation (one arm's peak plus the
+#: sibling's buffer-manager residue), so every internal barrier is its
+#: own statement (CORRECTNESS_sf1 r9/r10).  INSERT instead of the
+#: original UNION between arms is value-identical: the symmetric-edges
+#: UNION dedups anyway.
 STAGED_ORACLE["m14_crossmodal_dedup"] = f"""
+    DROP TABLE IF EXISTS m14i_h;
+    CREATE TEMP TABLE m14i_h AS
+      WITH {_AHASH_CTES}
+      SELECT doc_id, lo, hi FROM h;
+    {_staged_hash64_tail("m14i_h", "m14i", into="m14i_cls")}
+    DROP TABLE m14i_h;
+    {_d15_staged_stmts("m14t", est_threshold=0.25, jaccard_threshold=0.6)}
     DROP TABLE IF EXISTS xm14_e0;
     CREATE TEMP TABLE xm14_e0 AS
-      SELECT member AS a, rep AS b FROM ({_M11_ORACLE}) tim;
+      SELECT member AS a, rep AS b FROM m14i_cls;
     INSERT INTO xm14_e0
-      SELECT doc_id AS a, rep_id AS b
-      FROM ({_d15_oracle(est_threshold=0.25, jaccard_threshold=0.6)}) ttx;
+      SELECT doc_id AS a, rep_id AS b FROM m14t_drop;
+    DROP TABLE m14i_cls;
+    DROP TABLE m14t_drop;
     DROP TABLE IF EXISTS xm14_edges;
     CREATE TEMP TABLE xm14_edges AS
       SELECT a AS src, b AS dst FROM xm14_e0 UNION SELECT b, a FROM xm14_e0;
