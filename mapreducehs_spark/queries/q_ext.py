@@ -3899,3 +3899,198 @@ def q123_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("seq").cast("bigint").alias("last_seq"),
         )
     )
+
+
+#: q124/q125's shared log-replay CTE text — q117's base/chg/log_
+#: construction verbatim (the _q117_log seam's oracle half).
+_Q117_LOG_CTES = """base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             0 AS seq, 'U' AS op
+      FROM orders WHERE o_orderkey % 10 < 8
+    ), chg AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) + e * 100 AS cents,
+             e AS seq,
+             CASE WHEN (o_orderkey * e) % 5 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders, unnest([1, 2, 3]) te(e)
+      WHERE (o_orderkey + e) % 4 = 0
+    ), log_ AS (
+      SELECT * FROM base UNION ALL SELECT * FROM chg
+    )"""
+
+
+@query(
+    "q124_change_data_feed",
+    oracle=f"""
+    WITH {_Q117_LOG_CTES}, v AS (
+      SELECT k, status, cents, seq, op,
+             lag(op) OVER (PARTITION BY k ORDER BY seq) AS prev_op,
+             lag(status) OVER (PARTITION BY k ORDER BY seq) AS prev_status,
+             lag(cents) OVER (PARTITION BY k ORDER BY seq) AS prev_cents
+      FROM log_
+    ), w AS (
+      SELECT * FROM v WHERE seq > 1 AND seq <= 3
+    )
+    SELECT CAST(seq AS BIGINT) AS change_seq, k AS o_orderkey,
+           'insert' AS change_type, status, cents AS total_cents
+    FROM w WHERE op = 'U' AND (prev_op IS NULL OR prev_op = 'D')
+    UNION ALL
+    SELECT CAST(seq AS BIGINT), k, 'update_preimage', prev_status, prev_cents
+    FROM w WHERE op = 'U' AND prev_op = 'U'
+    UNION ALL
+    SELECT CAST(seq AS BIGINT), k, 'update_postimage', status, cents
+    FROM w WHERE op = 'U' AND prev_op = 'U'
+    UNION ALL
+    SELECT CAST(seq AS BIGINT), k, 'delete', prev_status, prev_cents
+    FROM w WHERE op = 'D' AND prev_op = 'U'
+    """,
+)
+def q124_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE-DATA-FEED READ — Delta's `table_changes(from, to)` /
+    Iceberg's changelog scan, the primitive an incremental CONSUMER
+    (a downstream MV, a search-index updater, a reverse-ETL sync)
+    reads instead of diffing snapshots: every change committed in
+    sequence range (1, 3] is emitted as typed row images — `insert`
+    (no live prior version), `update_preimage` + `update_postimage`
+    (prior live version exists), `delete` (the destroyed image) —
+    exactly the four-row-kind contract of Delta CDF.  A delete of an
+    already-dead key and the base-load itself emit nothing.
+
+    The prior version comes from ONE lag() window over q117's log
+    (the `_q117_log` seam) — no self-join of the log against itself;
+    the image fan-out is a per-row conditional array explode (≤ 2
+    rows per change), so the single (k)-keyed exchange carries the
+    log once and output is linear in CHANGES, never in table size.
+    At 100 TB the log scan prunes to the requested sequence range
+    first via the commit manifest; the window here spans versions
+    only because preimages need the last pre-window version — a real
+    deployment reads that from the range-pruned prior snapshot.
+    Reference witness: O2 keyed ordered fold + O1 fission
+    (src/Core/MapReduceC.hs:24-26)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("k").orderBy(F.col("seq").asc())
+    v = (
+        _q117_log(orders)
+        .withColumn("prev_op", F.lag("op").over(w))
+        .withColumn("prev_status", F.lag("status").over(w))
+        .withColumn("prev_cents", F.lag("cents").over(w))
+        .filter((F.col("seq") > 1) & (F.col("seq") <= 3))
+    )
+    images = F.when(
+        (F.col("op") == "U")
+        & (F.col("prev_op").isNull() | (F.col("prev_op") == "D")),
+        F.array(
+            F.struct(
+                F.lit("insert").alias("change_type"),
+                F.col("status").alias("status"),
+                F.col("cents").alias("total_cents"),
+            )
+        ),
+    ).when(
+        (F.col("op") == "U") & (F.col("prev_op") == "U"),
+        F.array(
+            F.struct(
+                F.lit("update_preimage").alias("change_type"),
+                F.col("prev_status").alias("status"),
+                F.col("prev_cents").alias("total_cents"),
+            ),
+            F.struct(
+                F.lit("update_postimage").alias("change_type"),
+                F.col("status").alias("status"),
+                F.col("cents").alias("total_cents"),
+            ),
+        ),
+    ).when(
+        (F.col("op") == "D") & (F.col("prev_op") == "U"),
+        F.array(
+            F.struct(
+                F.lit("delete").alias("change_type"),
+                F.col("prev_status").alias("status"),
+                F.col("prev_cents").alias("total_cents"),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<change_type:string,status:string,total_cents:bigint>>"))
+    return (
+        v.select(
+            F.col("seq").cast("bigint").alias("change_seq"),
+            F.col("k").alias("o_orderkey"),
+            F.explode_outer(images).alias("__img"),
+        )
+        .filter(F.col("__img").isNotNull())
+        .select(
+            "change_seq",
+            "o_orderkey",
+            F.col("__img.change_type").alias("change_type"),
+            F.col("__img.status").alias("status"),
+            F.col("__img.total_cents").alias("total_cents"),
+        )
+    )
+
+
+@query(
+    "q125_vacuum_plan",
+    oracle=f"""
+    WITH {_Q117_LOG_CTES}, nxt AS (
+      SELECT k, seq, op,
+             lead(seq) OVER (PARTITION BY k ORDER BY seq) AS nxt_seq
+      FROM log_
+    ), cls AS (
+      SELECT seq,
+             CASE WHEN nxt_seq IS NOT NULL AND nxt_seq <= 2 THEN 1 ELSE 0 END AS vac,
+             CASE WHEN op = 'D' AND nxt_seq IS NULL AND seq <= 2 THEN 1 ELSE 0 END
+               AS purge_tomb
+      FROM nxt
+    )
+    SELECT CAST(seq AS BIGINT) AS seq,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(vac) AS BIGINT) AS n_vacuumable,
+           CAST(sum(purge_tomb) AS BIGINT) AS n_purgeable_tombstones,
+           CAST(count(*) - sum(vac) - sum(purge_tomb) AS BIGINT) AS n_retained,
+           CAST((sum(vac) + sum(purge_tomb)) * 1000000 // count(*) AS BIGINT)
+             AS vacuum_ppm
+    FROM cls GROUP BY 1
+    """,
+)
+def q125_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM / RETENTION PLAN — the physical-deletion planner behind
+    Delta VACUUM / Iceberg `expire_snapshots` with retention horizon
+    s_ret = 2 (snapshots below it are no longer readable): a log row
+    is VACUUMABLE when a newer version of its key exists at sequence
+    ≤ s_ret (it is shadowed at every still-readable snapshot — q123's
+    read law can never return it), and a tombstone is PURGEABLE when
+    it is its key's final version at sequence ≤ s_ret (every shadowed
+    row beneath it is itself vacuumable, so nothing remains for it to
+    mask).  Reported per commit sequence with the row counts an
+    operator sizes reclaim from.
+
+    One lead() window over q117's log (the `_q117_log` seam) + one
+    seq-keyed rollup — the exchange carries the log once and the
+    output is 4 rows; no join, no self-diff of snapshots.  At 100 TB
+    this is the metadata pass that runs BEFORE any data file is
+    touched: decisions are per log entry, file-level reclaim follows
+    from the manifest mapping.  Reference witness: O2 keyed ordered
+    fold (src/Core/MapReduceC.hs:25-26)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("k").orderBy(F.col("seq").asc())
+    nxt = _q117_log(orders).withColumn("nxt_seq", F.lead("seq").over(w))
+    vac = (F.col("nxt_seq").isNotNull() & (F.col("nxt_seq") <= 2)).cast("bigint")
+    purge = (
+        (F.col("op") == "D") & F.col("nxt_seq").isNull() & (F.col("seq") <= 2)
+    ).cast("bigint")
+    return (
+        nxt.select(F.col("seq").cast("bigint").alias("seq"),
+                   vac.alias("vac"), purge.alias("purge_tomb"))
+        .groupBy("seq")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("vac").cast("bigint").alias("n_vacuumable"),
+            F.sum("purge_tomb").cast("bigint").alias("n_purgeable_tombstones"),
+            (F.count(F.lit(1)) - F.sum("vac") - F.sum("purge_tomb"))
+            .cast("bigint")
+            .alias("n_retained"),
+            F.expr(
+                "CAST((sum(vac) + sum(purge_tomb)) * 1000000 div count(*) AS BIGINT)"
+            ).alias("vacuum_ppm"),
+        )
+    )

@@ -1371,3 +1371,37 @@ def st31_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(serving, ignore_errors=True)
+
+
+@query("st32_stream_change_feed", oracle=ORACLE["q124_change_data_feed"])
+def st32_stream_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CHANGE-DATA-FEED SERVE — q124's typed row images
+    produced ON ARRIVAL: a live CDC consumer (search-index updater,
+    downstream MV, reverse-ETL sync) cannot lag() over the whole log;
+    it holds each key's LATEST VERSION as state (three scalars —
+    `stateful_cdc_images` via ``applyInPandasWithState`` on the merge
+    key) and classifies every arriving log row against it: no live
+    prior ⇒ insert, live prior upsert ⇒ update pre+post images,
+    delete of a live row ⇒ delete image, delete of a dead key ⇒
+    nothing.  The replay is chunked one commit sequence per trigger
+    (`prepare_cdc_log_dir`), so per-key version order holds across
+    micro-batches by construction — the same guarantee a Kafka
+    key-partitioned CDC topic gives — and q124's batch oracle
+    value-checks the emitted feed verbatim (the st16 order-sensitive
+    stream == batch discipline).
+
+    State is O(|live keys|) × 3 scalars (the st02/st15 linear-in-keys
+    class, gated by STREAM_SCALING's growth budget); emitted rows are
+    linear in CHANGES in the requested window.  At 100 TB/day the
+    same body reads a Kafka compacted topic; only the source line
+    changes."""
+    from mapreducehs_spark import streaming as st
+
+    replay = st.prepare_cdc_log_dir(spark, sf_dir)
+    log = (
+        spark.readStream.schema(st.CDC_LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    images = st.stateful_cdc_images(log)
+    return st.run_to_batch(images, "st32_sink", output_mode="append")

@@ -4424,3 +4424,122 @@ def t52_rejection_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce(F.col("best_q") - F.col("second_q"), F.lit(0)))
         .cast("bigint").alias("margin_micro"),
     )
+
+
+_T53_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+                  AS BIGINT) + 1 AS w
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, w,
+             coalesce(sum(w) OVER (ORDER BY doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM tok
+    ), tot AS (
+      SELECT CAST(sum(w) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_docs
+      FROM tok
+    ), per AS (
+      SELECT l.ctx_len,
+             CAST(sum(CASE WHEN (start + w - 1) // l.ctx_len != start // l.ctx_len
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+             CAST(sum((start + w - 1) // l.ctx_len - start // l.ctx_len) AS BIGINT)
+               AS n_crossings,
+             CAST(sum(CASE WHEN (start + w - 1) // l.ctx_len != start // l.ctx_len
+                           THEN w ELSE 0 END) AS BIGINT) AS split_tokens
+      FROM pos, (SELECT unnest([512, 2048, 8192]) AS ctx_len) l
+      GROUP BY 1
+    )
+    SELECT CAST(p.ctx_len AS BIGINT) AS ctx_len,
+           t.n_docs,
+           t.total AS total_tokens,
+           CAST((t.total + p.ctx_len - 1) // p.ctx_len AS BIGINT) AS n_seqs,
+           p.n_split_docs,
+           CAST(p.n_split_docs * 1000000 // t.n_docs AS BIGINT) AS split_doc_ppm,
+           p.n_crossings,
+           CAST(p.split_tokens * 1000000 // t.total AS BIGINT) AS split_token_ppm,
+           CAST((t.total - ((t.total + p.ctx_len - 1) // p.ctx_len - 1) * p.ctx_len)
+                * 1000000 // p.ctx_len AS BIGINT) AS tail_fill_ppm
+    FROM per p, tot t
+"""
+
+
+@query("t53_packing_efficiency", oracle=_T53_ORACLE)
+def t53_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTEXT-LENGTH PACKING EFFICIENCY — the table a pretraining run
+    reads BEFORE committing to a context length: for each candidate
+    window size L ∈ {512, 2048, 8192}, how t40's greedy concat packing
+    behaves — sequence count, documents split across a boundary (split
+    docs lose attention locality; the cost the packer trades against
+    padding), total boundary crossings, token mass living in split
+    docs, and the final ragged tail's fill rate (the truncation loss
+    if the export drops it).  t40 EXECUTES the pack at one committed
+    L; this is the sweep that chooses it — same interval arithmetic,
+    three L values in one pass.
+
+    Scale shape: document start offsets are computed ONCE via t40's
+    weighted two-phase prefix-sum seam (never a global ORDER BY
+    window on the engine side — the oracle may window, the engine
+    never does), then the L-sweep is a 3× explode over (w, start)
+    pairs folding straight into a 3-group rollup: per extra candidate
+    L the cost is one arithmetic pass, not a re-scan or re-sort.  The
+    2-scalar totals frame broadcasts into the 3-row projection.
+    Output: one row per L.  Reference witness: O1 fission + O2 keyed
+    fold (src/Core/MapReduceC.hs:24-26)."""
+    from mapreducehs_spark.operators.sampling import global_prefix_sums_cached
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        (F.size(text.tokens("text")).cast("bigint") + F.lit(1)).alias("w"),
+    )
+    starts, cache = global_prefix_sums_cached(keyed, ["doc_id"], "w", out_col="start")
+    L = F.col("ctx_len")
+    first_seq = F.expr("start div ctx_len")
+    last_seq = F.expr("(start + w - 1) div ctx_len")
+    per = (
+        starts.select(
+            "w",
+            "start",
+            F.explode(F.array(F.lit(512), F.lit(2048), F.lit(8192))).alias("ctx_len"),
+        )
+        .select(
+            L.cast("bigint").alias("ctx_len"),
+            (last_seq != first_seq).cast("bigint").alias("is_split"),
+            (last_seq - first_seq).cast("bigint").alias("crossings"),
+            F.when(last_seq != first_seq, F.col("w")).otherwise(0).alias("sw"),
+        )
+        .groupBy("ctx_len")
+        .agg(
+            F.sum("is_split").cast("bigint").alias("n_split_docs"),
+            F.sum("crossings").cast("bigint").alias("n_crossings"),
+            F.sum("sw").cast("bigint").alias("split_tokens"),
+        )
+    )
+    tot = keyed.agg(
+        F.sum("w").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    out = per.crossJoin(F.broadcast(tot)).select(
+        "ctx_len",
+        "n_docs",
+        F.col("total").alias("total_tokens"),
+        F.expr("CAST((total + ctx_len - 1) div ctx_len AS BIGINT)").alias("n_seqs"),
+        "n_split_docs",
+        F.expr("CAST(n_split_docs * 1000000 div n_docs AS BIGINT)").alias(
+            "split_doc_ppm"
+        ),
+        "n_crossings",
+        F.expr("CAST(split_tokens * 1000000 div total AS BIGINT)").alias(
+            "split_token_ppm"
+        ),
+        F.expr(
+            "CAST((total - ((total + ctx_len - 1) div ctx_len - 1) * ctx_len)"
+            " * 1000000 div ctx_len AS BIGINT)"
+        ).alias("tail_fill_ppm"),
+    )
+    try:
+        return out.localCheckpoint()
+    finally:
+        cache.unpersist(blocking=False)
