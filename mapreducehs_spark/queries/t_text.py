@@ -4487,6 +4487,17 @@ def t53_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-scalar totals frame broadcasts into the 3-row projection.
     Output: one row per L.  Reference witness: O1 fission + O2 keyed
     fold (src/Core/MapReduceC.hs:24-26)."""
+    out, cache = _t53_build(spark, sf_dir)
+    try:
+        return out.localCheckpoint()
+    finally:
+        cache.unpersist(blocking=False)
+
+
+def _t53_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """t53 pre-checkpoint builder (q107 discipline: plan pins inspect
+    THIS; the query returns a checkpointed result so the positions
+    cache can be freed)."""
     from mapreducehs_spark.operators.sampling import global_prefix_sums_cached
 
     docs = _t(spark, sf_dir, "documents")
@@ -4539,7 +4550,4 @@ def t53_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div ctx_len AS BIGINT)"
         ).alias("tail_fill_ppm"),
     )
-    try:
-        return out.localCheckpoint()
-    finally:
-        cache.unpersist(blocking=False)
+    return out, cache

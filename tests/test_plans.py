@@ -1353,3 +1353,55 @@ def test_t52_sampling_shape(q):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert I.exchange_count(df) == 2
+
+
+def test_q124_cdf_one_exchange_no_join(q):
+    """q124's scale contract: preimages come from ONE lag() window
+    over the log — no self-join of the log, one (k)-keyed exchange,
+    image fan-out is a per-row conditional array explode."""
+    df = q("q124_change_data_feed")
+    plan = I.formatted_plan(df)
+    assert "Join" not in plan
+    assert I.exchange_count(df) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q125_vacuum_window_plus_rollup(q):
+    """q125's scale contract: one lead() window + one seq-keyed
+    rollup — two exchanges total, no join, output is 4 rows."""
+    df = q("q125_vacuum_plan")
+    plan = I.formatted_plan(df)
+    assert "Join" not in plan
+    assert I.exchange_count(df) == 2
+
+
+def test_t53_sweep_window_free(spark):
+    """t53's scale contract: offsets come from the weighted two-phase
+    prefix-sum seam (range exchange) computed ONCE; the three-L sweep
+    is an explode + rollup and the 2-scalar totals frame broadcasts —
+    no Window operator anywhere, nothing cartesians."""
+    from mapreducehs_spark.queries import _t53_build
+
+    df, cache = _t53_build(spark, SF)
+    try:
+        plan = I.formatted_plan(df)
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "rangepartitioning" in plan
+        assert I.broadcast_join_count(df) >= 1
+    finally:
+        cache.unpersist(blocking=False)
+
+
+def test_t53_agrees_with_t40_at_committed_length(q):
+    """Conservation: the sweep's 2048 row must describe exactly the
+    pack t40 executes — same sequence count, same total token mass,
+    and the boundary-crossing count equals t40's multi-doc overlap
+    surplus (each crossing adds one (doc, seq) row)."""
+    sweep = {r["ctx_len"]: r for r in q("t53_packing_efficiency").collect()}
+    t40 = q("t40_sequence_packing").collect()
+    row = sweep[2048]
+    assert row["n_seqs"] == len(t40)
+    assert row["total_tokens"] == sum(r["n_fill"] for r in t40)
+    n_doc_seq_rows = sum(r["n_docs"] for r in t40)
+    assert n_doc_seq_rows == row["n_docs"] + row["n_crossings"]
