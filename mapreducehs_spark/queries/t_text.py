@@ -4551,3 +4551,152 @@ def _t53_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         ).alias("tail_fill_ppm"),
     )
     return out, cache
+
+
+_T54_ORACLE = """
+    WITH q AS (
+      SELECT source, doc_id, text,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
+                                                x -> x != ''))) AS BIGINT) AS n_uniq
+      FROM documents
+    ), scored AS (
+      SELECT source, doc_id, text, (n_uniq * 1000000) // n_tok AS quality_micro
+      FROM q WHERE n_tok > 0
+    ), top AS (
+      SELECT source, doc_id, text, quality_micro, rn FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source ORDER BY quality_micro DESC, doc_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ), bot AS (
+      SELECT source, doc_id, text, quality_micro, rn FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source ORDER BY quality_micro ASC, doc_id DESC) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ), pairs AS (
+      SELECT t.source, t.rn AS pair_rank, t.text AS chosen_text,
+             b.text AS rejected_text
+      FROM top t JOIN bot b ON b.source = t.source AND b.rn = t.rn
+      WHERE t.doc_id != b.doc_id AND t.quality_micro > b.quality_micro
+    ), blocks AS (
+      SELECT source, pair_rank,
+             '<|im_start|>user' || chr(10)
+               || 'Rewrite sample ' || CAST(pair_rank AS VARCHAR) || ' from '
+               || source || ' to higher quality:' || chr(10)
+               || rejected_text || '<|im_end|>' || chr(10) AS ub,
+             '<|im_start|>assistant' || chr(10)
+               || chosen_text || '<|im_end|>' || chr(10) AS ab
+      FROM pairs
+    ), toks AS (
+      SELECT source, pair_rank,
+             CAST(len(list_filter(regexp_split_to_array(ub, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS m,
+             CAST(len(list_filter(regexp_split_to_array(ab, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS t,
+             ('0x' || substr(md5(ub || ab), 1, 12))::BIGINT AS block_fold
+      FROM blocks
+    ), sys AS (
+      SELECT CAST(len(list_filter(regexp_split_to_array(
+               '<|im_start|>system' || chr(10)
+               || 'You are a careful rewriting assistant.<|im_end|>' || chr(10),
+               '\\s+'), x -> x != '')) AS BIGINT) AS s
+    ), spans AS (
+      SELECT source, pair_rank, m, t, block_fold,
+             coalesce(sum(m + t) OVER (
+               PARTITION BY source ORDER BY pair_rank ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM toks
+    )
+    SELECT sp.source,
+           CAST(sp.pair_rank AS BIGINT) AS turn,
+           CAST(s.s + sp.prior AS BIGINT) AS mask_start,
+           CAST(s.s + sp.prior + sp.m AS BIGINT) AS train_start,
+           CAST(s.s + sp.prior + sp.m + sp.t AS BIGINT) AS train_end,
+           sp.m AS masked_len,
+           sp.t AS trained_len,
+           sp.block_fold
+    FROM spans sp, sys s
+"""
+
+
+@query("t54_multiturn_assembly", oracle=_T54_ORACLE)
+def t54_multiturn_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TURN CONVERSATION ASSEMBLY — t51's loss-mask law at its
+    general arity: a source's preference pairs stitch (in pair_rank
+    order) into ONE conversation — system turn, then per pair a user
+    turn (rewrite request + the rejected text, MASKED) and an
+    assistant turn (the chosen text, TRAINED) — and the trainer
+    consumes the per-turn SPAN TABLE this emits: (mask_start,
+    train_start, train_end) as absolute token offsets into the
+    rendered conversation.  Multi-turn is where span arithmetic earns
+    its keep: turn i's offsets depend on every prior turn's length,
+    the thing single-example SFT (t51) never needs.
+
+    Laws: every block ends with a newline, so block token counts ADD
+    exactly (no gluing at block boundaries) and
+    train_end(last turn) == tokens(whole rendered conversation) — the
+    conservation pytest renders the full concat and checks it.
+    ``block_fold`` pins each turn's rendered bytes.  Turn order =
+    pair_rank (t45's committed ranking), so conversations are
+    deterministic under any partitioning.
+
+    Scale shape: t45's WindowGroupLimit pair plan (text carried, the
+    t51 seam); the per-conversation prefix sum is a window over ≤ 5
+    rows per source — partition size is bounded by the PAIR CAP, a
+    constant, not by corpus size, which is the one case a per-group
+    window is the right tool (t42/t44's bounded-window case).  Output
+    is ≤ 5 rows per source.  Reference witness: O2 ordered keyed fold
+    + O1 per-record rewrite (src/Core/MapReduceC.hs:24-26)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = _quality_scored(docs, carry=("text",)).select(
+        "source", "doc_id", "quality_micro", "text"
+    )
+    pairs = _t45_pairs(scored, carry=("text",))
+    nl = F.lit("\n")
+    ub = F.concat(
+        F.lit("<|im_start|>user"), nl,
+        F.lit("Rewrite sample "), F.col("pair_rank").cast("string"),
+        F.lit(" from "), F.col("source"), F.lit(" to higher quality:"), nl,
+        F.col("rejected_text"), F.lit("<|im_end|>"), nl,
+    )
+    ab = F.concat(
+        F.lit("<|im_start|>assistant"), nl,
+        F.col("chosen_text"), F.lit("<|im_end|>"), nl,
+    )
+    toks_of = lambda c: F.size(text.tokens(c)).cast("bigint")  # noqa: E731
+    sys_block = F.lit("<|im_start|>system\n" + _T51_SYSTEM + "<|im_end|>\n")
+    toks = pairs.select(
+        "source",
+        "pair_rank",
+        toks_of(ub).alias("m"),
+        toks_of(ab).alias("t"),
+        F.conv(F.substring(F.md5(F.concat(ub, ab)), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("block_fold"),
+        toks_of(sys_block).alias("__sys"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("pair_rank").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = toks.withColumn(
+        "prior", F.coalesce(F.sum(F.col("m") + F.col("t")).over(w), F.lit(0))
+    )
+    return spans.select(
+        "source",
+        F.col("pair_rank").cast("bigint").alias("turn"),
+        (F.col("__sys") + F.col("prior")).cast("bigint").alias("mask_start"),
+        (F.col("__sys") + F.col("prior") + F.col("m"))
+        .cast("bigint")
+        .alias("train_start"),
+        (F.col("__sys") + F.col("prior") + F.col("m") + F.col("t"))
+        .cast("bigint")
+        .alias("train_end"),
+        F.col("m").alias("masked_len"),
+        F.col("t").alias("trained_len"),
+        "block_fold",
+    )

@@ -1405,3 +1405,62 @@ def test_t53_agrees_with_t40_at_committed_length(q):
     assert row["total_tokens"] == sum(r["n_fill"] for r in t40)
     n_doc_seq_rows = sum(r["n_docs"] for r in t40)
     assert n_doc_seq_rows == row["n_docs"] + row["n_crossings"]
+
+
+def test_t54_conversation_conservation(q, spark):
+    """t54's span law end-to-end: rendering the WHOLE conversation
+    (system block + blocks in turn order) and tokenizing it must land
+    exactly on the last turn's train_end, and spans must tile without
+    gaps (each turn's mask_start == previous train_end)."""
+    from pyspark.sql import functions as F
+
+    from mapreducehs_spark.operators import text
+    from mapreducehs_spark.queries import _t, _t45_pairs, _quality_scored, _T51_SYSTEM
+
+    rows = sorted(
+        q("t54_multiturn_assembly").collect(), key=lambda r: (r["source"], r["turn"])
+    )
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    # spans tile: mask_start of turn i == train_end of turn i-1
+    for src, turns in by_src.items():
+        for a, b in zip(turns, turns[1:]):
+            assert b["mask_start"] == a["train_end"], (src, b["turn"])
+        for r in turns:
+            assert r["mask_start"] < r["train_start"] <= r["train_end"]
+            assert r["train_start"] - r["mask_start"] == r["masked_len"]
+            assert r["train_end"] - r["train_start"] == r["trained_len"]
+    # full-render conservation at the corpus level
+    docs = _t(spark, SF, "documents")
+    scored = _quality_scored(docs, carry=("text",)).select(
+        "source", "doc_id", "quality_micro", "text"
+    )
+    pairs = _t45_pairs(scored, carry=("text",))
+    nl = F.lit("\n")
+    block = F.concat(
+        F.lit("<|im_start|>user"), nl,
+        F.lit("Rewrite sample "), F.col("pair_rank").cast("string"),
+        F.lit(" from "), F.col("source"), F.lit(" to higher quality:"), nl,
+        F.col("rejected_text"), F.lit("<|im_end|>"), nl,
+        F.lit("<|im_start|>assistant"), nl,
+        F.col("chosen_text"), F.lit("<|im_end|>"), nl,
+    )
+    convs = (
+        pairs.select("source", "pair_rank", block.alias("b"))
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit("<|im_start|>system\n" + _T51_SYSTEM + "<|im_end|>\n"),
+                F.concat_ws("", F.array_sort(F.collect_list(F.struct("pair_rank", "b"))).getField("b")),
+            ).alias("conv")
+        )
+    )
+    totals = {
+        r["source"]: r["n"]
+        for r in convs.select(
+            "source", F.size(text.tokens("conv")).alias("n")
+        ).collect()
+    }
+    for src, turns in by_src.items():
+        assert totals[src] == turns[-1]["train_end"], src
