@@ -964,14 +964,20 @@ STAGED_ORACLE["m16_video_dedup"] = (
 #: m14 staged: each ARM (m11's image classes, d07's caption drop list —
 #: both sf1-green standalone) replays FULLY staged — ahash head +
 #: staged canonical tail for the image arm, _d15_staged_stmts for the
-#: caption arm — then the cross-modal closure runs over the two
-#: materialized edge tables alone.  The monolithic _m14_oracle()
-#: overflows the 79 GB spill disk at sf1, and even arm-per-statement
-#: staging OOMs on a 32 GiB hash allocation (one arm's peak plus the
-#: sibling's buffer-manager residue), so every internal barrier is its
-#: own statement (CORRECTNESS_sf1 r9/r10).  INSERT instead of the
-#: original UNION between arms is value-identical: the symmetric-edges
-#: UNION dedups anyway.
+#: caption arm — and the cross-modal closure is CONTRACTED to the REP
+#: GRAPH before the recursive CTE.  The real sf1 bomb (bisected
+#: statement-by-statement, r10) is not the arms: it is the MEMBER-level
+#: ``reach``, which materializes every transitive (src, dst) pair —
+#: Σ class_size² rows, a 32 GiB un-spillable hash allocation at sf1's
+#: class sizes (this is also why the monolithic form overflowed the
+#: spill disk).  Contraction is value-identical: each arm's rep is its
+#: class MINIMUM, so every node has an edge to a ≤-valued rep, the
+#: merged component's minimum is always a rep vertex, and components
+#: of the member graph = components of the rep graph (reps sharing a
+#: node are merged).  The rep-graph reach is Σ (classes-per-merged-
+#: component)², quadratic in CLASSES merged, not members.  INSERT
+#: instead of the original UNION between arms is value-identical: the
+#: nm self-join dedups anyway.
 STAGED_ORACLE["m14_crossmodal_dedup"] = f"""
     DROP TABLE IF EXISTS m14i_h;
     CREATE TEMP TABLE m14i_h AS
@@ -987,19 +993,32 @@ STAGED_ORACLE["m14_crossmodal_dedup"] = f"""
       SELECT doc_id AS a, rep_id AS b FROM m14t_drop;
     DROP TABLE m14i_cls;
     DROP TABLE m14t_drop;
-    DROP TABLE IF EXISTS xm14_edges;
-    CREATE TEMP TABLE xm14_edges AS
-      SELECT a AS src, b AS dst FROM xm14_e0 UNION SELECT b, a FROM xm14_e0;
+    DROP TABLE IF EXISTS xm14_nm;
+    CREATE TEMP TABLE xm14_nm AS
+      SELECT a AS node, b AS r FROM xm14_e0
+      UNION
+      SELECT DISTINCT b, b FROM xm14_e0;
     DROP TABLE xm14_e0;
+    DROP TABLE IF EXISTS xm14_redges;
+    CREATE TEMP TABLE xm14_redges AS
+      SELECT DISTINCT x.r AS src, y.r AS dst
+      FROM xm14_nm x JOIN xm14_nm y ON x.node = y.node;
+    DROP TABLE IF EXISTS xm14_rcomp;
+    CREATE TEMP TABLE xm14_rcomp AS
+      WITH RECURSIVE reach(src, dst) AS (
+        SELECT src, dst FROM xm14_redges
+        UNION
+        SELECT e.src, r.dst FROM xm14_redges e JOIN reach r ON e.dst = r.src
+      )
+      SELECT src AS r, min(dst) AS comp FROM reach GROUP BY src;
+    DROP TABLE xm14_redges;
     DROP TABLE IF EXISTS xm14_comp;
     CREATE TEMP TABLE xm14_comp AS
-      WITH RECURSIVE reach(src, dst) AS (
-        SELECT DISTINCT src, src FROM xm14_edges
-        UNION
-        SELECT e.src, r.dst FROM xm14_edges e JOIN reach r ON e.dst = r.src
-      )
-      SELECT src AS member, min(dst) AS comp FROM reach GROUP BY src;
-    DROP TABLE xm14_edges;
+      SELECT n.node AS member, min(c.comp) AS comp
+      FROM xm14_nm n JOIN xm14_rcomp c ON c.r = n.r
+      GROUP BY n.node;
+    DROP TABLE xm14_nm;
+    DROP TABLE xm14_rcomp;
     WITH sizes AS (
       SELECT comp, CAST(count(*) AS BIGINT) AS class_size
       FROM xm14_comp GROUP BY comp
