@@ -1855,6 +1855,13 @@ def s23_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1000000).alias("vec_id"),
         assign(F.reverse("embedding")).alias("cell"),
     )
+    return _s23_stitch(spark, base, batch)
+
+
+def _s23_stitch(spark: SparkSession, base: DataFrame, batch: DataFrame) -> DataFrame:
+    """s23's health-table tail as the ONE seam (st33 feeds it the
+    sink-read streaming assignments): two 16-row cell rollups, the
+    2-scalar totals broadcast, growth/hot laws."""
     nb = base.groupBy("cell").agg(F.count(F.lit(1)).cast("bigint").alias("n_base"))
     nn = batch.groupBy("cell").agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
     tot = base.agg(F.count(F.lit(1)).alias("total_base")).crossJoin(
@@ -1880,5 +1887,108 @@ def s23_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("hot"),
+        )
+    )
+
+
+# =========================================================================
+# Round 10: quantization recall (the third arm of the recall matrix)
+# =========================================================================
+
+
+@query(
+    "s24_quantization_recall",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8
+    ), qz AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CASE WHEN s = 0 THEN 0
+                    ELSE CAST(floor(CAST(x AS DOUBLE) / s * 127 + 0.5) AS BIGINT) END) AS qv
+      FROM (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+        FROM embeddings
+      )
+    ), a_pairs AS (
+      SELECT p.vec_id AS query_id, c.vec_id AS match_id,
+             round(list_dot_product(p.qv, c.qv)
+                   / sqrt(list_dot_product(p.qv, p.qv) * list_dot_product(c.qv, c.qv)),
+                   6) AS qcosine
+      FROM qz p JOIN qz c ON p.vec_id < 8 AND c.vec_id != p.vec_id
+    ), approx AS (
+      SELECT query_id, match_id, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY qcosine DESC, match_id ASC) AS rank
+        FROM a_pairs
+      ) WHERE rank <= 5
+    ), x_pairs AS (
+      SELECT q.query_id, c.vec_id AS match_id,
+             round(list_cosine_similarity(q.qv, c.v), 6) AS cosine
+      FROM q JOIN e c ON c.vec_id != q.query_id
+    ), exact AS (
+      SELECT query_id, match_id, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, match_id ASC) AS rank
+        FROM x_pairs
+      ) WHERE rank <= 5
+    )
+    SELECT x.query_id,
+           CAST(5 AS BIGINT) AS k,
+           CAST(count(a.match_id) AS BIGINT) AS n_hit,
+           CAST((count(a.match_id) * 1000000) // 5 AS BIGINT) AS recall_micro,
+           CAST(max(CASE WHEN x.rank = 1 AND a.rank = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS top1_hit
+    FROM exact x LEFT JOIN approx a USING (query_id, match_id)
+    GROUP BY x.query_id
+    """,
+)
+def s24_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTIZATION RECALL REPORT — the decision table behind shipping
+    an int8 index (FAISS SQ8 / pgvector halfvec tradeoff): recall@5 of
+    s08's scalar-quantized ranking against the exact float top-5, per
+    query, plus whether the TOP-1 survived (the metric that gates
+    serving swaps — a recall@5 miss at rank 5 is tolerable, a top-1
+    flip is user-visible).  Completes the recall matrix s13 (IVF) and
+    s15 (SRP/PQ arms) started: every approximate path in the engine
+    now carries an oracle-verified, integer-valued quality row, so an
+    index-format migration is a diff of committed tables, not a rerun
+    of ad-hoc notebooks.
+
+    Both arms are deterministic (floor-quantization, round(·, 6)
+    scores, total tie-break orders), so recall itself value-checks —
+    the checked-twin discipline applied to the EVALUATION, not just
+    the operator.  Scale shape: the 8-query frames broadcast into both
+    scoring passes (corpus never shuffles); the report join is
+    8×5 vs 8×5 rows.  At 100 TB the exact arm runs on a query SAMPLE
+    (evaluation cost = queries × corpus, controlled by sample size)
+    while the quantized arm is the production path being audited.
+    Reference witness: O5 evaluator/oracle + O2 keyed fold
+    (src/Core/MapReduceC.hs:24-26, test/Generator.hs:83-92)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    approx = similarity.quantized_cosine_topk(emb, queries_df, k=5).select(
+        "query_id", "match_id", F.col("rank").alias("arank")
+    )
+    exact = similarity.cosine_topk(emb, queries_df, k=5).select(
+        "query_id", "match_id", F.col("rank").alias("xrank")
+    )
+    return (
+        exact.join(F.broadcast(approx), ["query_id", "match_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.lit(5).cast("bigint").alias("k"),
+            F.count("arank").cast("bigint").alias("n_hit"),
+            F.expr("cast((count(arank) * 1000000L) div 5 as bigint)").alias(
+                "recall_micro"
+            ),
+            F.max(
+                F.when((F.col("xrank") == 1) & (F.col("arank") == 1), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("top1_hit"),
         )
     )

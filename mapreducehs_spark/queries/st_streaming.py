@@ -1405,3 +1405,51 @@ def st32_stream_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     images = st.stateful_cdc_images(log)
     return st.run_to_batch(images, "st32_sink", output_mode="append")
+
+
+@query("st33_stream_ivf_ingest", oracle=ORACLE["s23_ivf_index_maintenance"])
+def st33_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING IVF INGEST — s23's index maintenance fed by a LIVE
+    embedding feed (the production posture: vectors arrive
+    continuously, assign to the FROZEN codebook on arrival, and the
+    health table that fires the k-means refresh reads the running
+    assignments): each micro-batch of re-embedded arrivals runs the
+    same Arrow argmax kernel (`cell_argmax_udf` over the driver-held
+    16-cell codebook — st17's broadcast-model posture) as a STATELESS
+    map in the stream — no state store, no watermark, no shuffle
+    before the sink, and the vectors themselves never shuffle; per-
+    vector (vec_id, cell) assignments land in the sink and s23's
+    health-table stitch (`_s23_stitch` — ONE growth/hot law, two
+    topologies) runs as a batch projection over the sink read plus
+    the stored base assignments.  Stream == batch holds trivially
+    (assignment is per-row deterministic), so s23's own oracle
+    value-checks the whole ingest topology verbatim (the st28/st30
+    ingest-hygiene discipline applied to the vector tier)."""
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    from mapreducehs_spark import streaming as st
+    from mapreducehs_spark.functions.vector_np import cell_argmax_udf
+    from mapreducehs_spark.queries.s_similarity import _s23_stitch, _seeded_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _seeded_centroids(emb)
+    assign = cell_argmax_udf(cents)
+
+    replay = st.prepare_emb_stream_dir(spark, sf_dir, n_chunks=4)
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+        .select("vec_id", assign(F.col("embedding")).alias("cell"))
+    )
+    log = st.run_to_batch(stream, "st33_sink", output_mode="append")
+    base = emb.filter(F.col("vec_id") >= 8).select(
+        "vec_id", assign(F.col("embedding")).alias("cell")
+    )
+    return _s23_stitch(spark, base, log)

@@ -2304,3 +2304,49 @@ def stateful_cdc_images(log_stream: DataFrame, n_shards: int = 64) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def prepare_emb_stream_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 4,
+    base_dir: str = "/tmp/mapreducehs_stream_emb",
+) -> str:
+    """Materialize st33's embedding re-ingest replay: s23's batch law
+    (every third corpus vector re-arrives re-embedded — its reversed
+    float array, id offset by 1e6) chunked into ``n_chunks`` files for
+    one-batch-per-trigger replay.  Idempotent per sf_dir fingerprint."""
+    from mapreducehs_spark.sources.catalog import (
+        build_fixture_once,
+        guard_driver_fixture,
+        source_fingerprint,
+    )
+
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}_c{n_chunks}"
+        f"_{source_fingerprint(sf_dir, 'embeddings')}"
+    )
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        emb = load_table(spark, sf_dir, "embeddings")
+        batch = emb.filter(
+            (F.col("vec_id") >= 8) & (F.col("vec_id") % 3 == 0)
+        ).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.reverse("embedding").alias("embedding"),
+        )
+        guard_driver_fixture(batch, f"embedding re-ingest chunks ({sf_dir})")
+        pdf = batch.toPandas().sort_values("vec_id", ignore_index=True)
+        n = len(pdf)
+        bounds = [round(i * n / n_chunks) for i in range(n_chunks + 1)]
+        now = time.time()
+        for i in range(n_chunks):
+            chunk = pdf.iloc[bounds[i] : bounds[i + 1]]
+            if len(chunk) == 0:
+                continue
+            p = os.path.join(tmp, f"chunk_{i:04d}.parquet")
+            chunk.to_parquet(p, index=False)
+            os.utime(p, (now + i * 10, now + i * 10))
+
+    return build_fixture_once(os.path.join(base_dir, key), build)

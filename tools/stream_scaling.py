@@ -64,6 +64,7 @@ BOUNDED_STATE = {
     "st28_stream_pii_redact",
     "st29_stream_weighted_sample",
     "st31_stream_incremental_mv",  # foreachBatch serving-table fold
+    "st33_stream_ivf_ingest",  # stateless argmax map, driver-held codebook
 }
 
 
