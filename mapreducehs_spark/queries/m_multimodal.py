@@ -860,20 +860,31 @@ def _staged_hash64_tail(h_table: str, p: str, into: str | None = None) -> str:
     memory before the next (the STAGED_ORACLE discipline).  ``p``
     prefixes the temp-table names.  Value-identical to the monolithic
     tail: the closure runs over the SAME edge set, just materialized.
-    With ``into``, the final (member, rep, class_size) select
-    materializes as a TEMP TABLE of that name (m14's arms) and the
-    scratch tables are dropped, instead of being the script result."""
-    if into is not None:
-        return (
-            _staged_hash64_tail(h_table, p).replace(
-                "WITH crep AS (",
-                f"DROP TABLE IF EXISTS {into};\n"
-                f"    CREATE TEMP TABLE {into} AS\n"
-                f"    WITH crep AS (",
-                1,
-            )
-            + f";\n    DROP TABLE {p}_grp;\n    DROP TABLE {p}_comp;\n"
+    The final (member, rep, class_size) select ALWAYS materializes as
+    a TEMP TABLE (``into`` if given — m14's arms — else ``{p}_cls``)
+    and the scratch tables are dropped once consumed, so no
+    memory-critical residue outlives the stage; without ``into`` a
+    trailing ``SELECT * FROM {p}_cls`` makes it the script result
+    (only the small class table itself remains live)."""
+    out = into if into is not None else f"{p}_cls"
+    script = (
+        _staged_hash64_body(h_table, p).replace(
+            "WITH crep AS (",
+            f"DROP TABLE IF EXISTS {out};\n"
+            f"    CREATE TEMP TABLE {out} AS\n"
+            f"    WITH crep AS (",
+            1,
         )
+        + f";\n    DROP TABLE {p}_grp;\n    DROP TABLE {p}_comp;\n"
+    )
+    if into is None:
+        script += f"    SELECT * FROM {out}\n    "
+    return script
+
+
+def _staged_hash64_body(h_table: str, p: str) -> str:
+    """The raw stage script for :func:`_staged_hash64_tail` (ends with
+    the bare final select; callers wrap/materialize it)."""
     return f"""
     DROP TABLE IF EXISTS {p}_grp;
     CREATE TEMP TABLE {p}_grp AS

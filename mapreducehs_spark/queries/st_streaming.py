@@ -1328,7 +1328,22 @@ def st31_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(replay)
     )
 
+    def last_applied() -> int:
+        marker = os.path.join(serving, "_last_batch_id")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                return int(fh.read().strip())
+        return -1
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a retried micro-batch must
+        # not double-apply signed deltas.  The last applied batch_id
+        # travels INSIDE the atomically-renamed serving dir (an
+        # underscore file, invisible to the parquet reader), so data
+        # and watermark can never disagree — the MERGE-INTO
+        # idempotency rule the docstring invokes.
+        if batch_id <= last_applied():
+            return
         sp = batch_df.sparkSession
         deltas = batch_df.groupBy("month").agg(
             F.sum("dn").cast("bigint").alias("n"),
@@ -1345,6 +1360,8 @@ def st31_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         tmp = serving + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_last_batch_id"), "w") as fh:
+            fh.write(str(batch_id))
         shutil.rmtree(serving)
         os.rename(tmp, serving)
 

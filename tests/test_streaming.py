@@ -695,3 +695,67 @@ def test_bloom_dedup_false_positive_regime(spark):
     # otherwise this test isn't exercising the FP regime
     distinct = {(r["user_id"], r["event_type"]) for r in rows}
     assert len(want) < len(distinct)
+
+
+def test_cdc_images_checkpoint_restart_matches_q124(spark, tmp_path):
+    """Kill-and-restart for st32's SHARDED version-map state
+    (`stateful_cdc_images`): the per-shard key->latest-version arrays
+    must reload from the checkpoint so post-restart commit sequences
+    classify against the PRE-kill state — a reset state would re-emit
+    every post-restart upsert as an `insert` (wrong change_type, no
+    preimage); a replayed chunk would duplicate images.  The recovered
+    feed must equal q124's batch oracle verbatim (the stream == batch
+    discipline, restart edition).  Reference witness: the retry loop's
+    resume-not-restart discipline (src/ImplServer.hs:86-90)."""
+    import glob
+    import shutil
+
+    from mapreducehs_spark.queries.q_ext import q124_change_data_feed
+
+    sf = "/root/testdata/sf0.001"
+    replay = st.prepare_cdc_log_dir(spark, sf)
+    files = sorted(glob.glob(os.path.join(replay, "*.parquet")))
+    assert len(files) >= 3, "need a mid-replay kill point"
+
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        log = (
+            spark.readStream.schema(st.CDC_LOG_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
+        q = (
+            st.stateful_cdc_images(log)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    cols = ["change_seq", "o_orderkey", "change_type", "status", "total_cents"]
+    # kill after all but the LAST commit sequence: the emit window is
+    # (1, 3] over seqs 0..3, so run 1 emits the seq-2 images and the
+    # restart emits seq-3's — both sides of the kill carry feed rows
+    mid = len(files) - 1
+    for f in files[:mid]:
+        shutil.copy2(f, staged)
+    run_once()
+    emitted_before = spark.read.parquet(out).count()
+    for f in files[mid:]:
+        shutil.copy2(f, staged)
+    run_once()  # restart: version maps must RESUME, not reset
+
+    got = sorted(map(tuple, spark.read.parquet(out).select(*cols).collect()))
+    want = sorted(
+        map(tuple, q124_change_data_feed(spark, sf).select(*cols).collect())
+    )
+    assert got == want
+    # the kill point must be genuinely mid-feed: both runs emitted rows
+    assert 0 < emitted_before < len(got)

@@ -113,20 +113,46 @@ for name, fn in Q.items():
                          "spark_rows": len(sp), "oracle_rows": None, "err": "no_oracle"}
         print(f"{name}: {status} ({dt:.1f}s)", flush=True)
         continue
+    # Canonical (monolithic) oracle first so small-SF runs keep
+    # exercising it; fall back to the STAGED (TEMP-TABLE) replay only
+    # when the monolithic form raises (e.g. m14/m16 capacity at sf1) —
+    # keeps the two forms from drifting apart undetected.
     try:
-        ora = con.execute(STAGED.get(name, O[name])).fetchdf()
+        ora = con.execute(O[name]).fetchdf()
     except Exception as ex:
-        fails.append(name)
-        records[name] = {"rows_match": None, "schema_match": None, "hash_match": None,
-                         "spark_rows": len(sp), "oracle_rows": None,
-                         "err": f"oracle:{type(ex).__name__}"}
-        print(f"{name}: ORACLE ERROR {type(ex).__name__}: {str(ex)[:200]}", flush=True)
         try:
             con.close()
         except Exception:
             pass
         con = fresh_oracle()  # don't let one capacity failure cascade
-        continue
+        if name in STAGED:
+            try:
+                ora = con.execute(STAGED[name]).fetchdf()
+                print(f"{name}: monolithic oracle raised "
+                      f"{type(ex).__name__}; staged replay used", flush=True)
+            except Exception as ex2:
+                fails.append(name)
+                records[name] = {"rows_match": None, "schema_match": None,
+                                 "hash_match": None, "spark_rows": len(sp),
+                                 "oracle_rows": None,
+                                 "err": f"oracle:{type(ex2).__name__}"}
+                print(f"{name}: ORACLE ERROR (staged) {type(ex2).__name__}: "
+                      f"{str(ex2)[:200]}", flush=True)
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                con = fresh_oracle()
+                continue
+        else:
+            fails.append(name)
+            records[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(sp),
+                             "oracle_rows": None,
+                             "err": f"oracle:{type(ex).__name__}"}
+            print(f"{name}: ORACLE ERROR {type(ex).__name__}: "
+                  f"{str(ex)[:200]}", flush=True)
+            continue
     rows_m = len(sp) == len(ora)
     schema_m = sorted(map(str, sp.columns)) == sorted(map(str, ora.columns))
     hash_m = schema_m and canon(sp) == canon(ora)

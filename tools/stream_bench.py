@@ -75,11 +75,17 @@ class StateFootprintListener(StreamingQueryListener):
         p = event.progress
         name = p.name or str(p.id)
         state_rows = sum(int(so.numRowsTotal) for so in p.stateOperators)
+        # memoryUsedBytes is the honest scale signal for SHARDED state
+        # (st32's 64 version-map rows): numRowsTotal is flat by
+        # construction there, while the bytes track |live keys|
+        # (VERDICT r10 gap 1)
+        state_bytes = sum(int(so.memoryUsedBytes) for so in p.stateOperators)
         with self._lock:
             d = self.stats.setdefault(
-                name, {"peak_state_rows": 0, "batches": 0}
+                name, {"peak_state_rows": 0, "peak_state_bytes": 0, "batches": 0}
             )
             d["peak_state_rows"] = max(d["peak_state_rows"], state_rows)
+            d["peak_state_bytes"] = max(d["peak_state_bytes"], state_bytes)
             d["batches"] += 1
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
@@ -137,6 +143,7 @@ def main() -> None:
         best_sec = None
         rows = 0
         peak = 0
+        peak_bytes = 0
         batches = 0
         for _ in range(max(REPEATS, 1)):
             before = listener.snapshot()
@@ -160,14 +167,19 @@ def main() -> None:
             # peak/batches are the MAX across repeats: the state-store
             # footprint is a property of the plan, not of the fastest run
             for sink, d in after.items():
-                prev = before.get(sink, {"peak_state_rows": 0, "batches": 0})
+                prev = before.get(
+                    sink,
+                    {"peak_state_rows": 0, "peak_state_bytes": 0, "batches": 0},
+                )
                 if d["batches"] > prev["batches"]:
                     peak = max(peak, d["peak_state_rows"])
+                    peak_bytes = max(peak_bytes, d.get("peak_state_bytes", 0))
                     batches = max(batches, d["batches"] - prev["batches"])
             results[name] = {
                 "sec": round(best_sec, 4),
                 "rows": int(rows),
                 "peak_state_rows": int(peak),
+                "peak_state_bytes": int(peak_bytes),
                 "batches": int(batches),
             }
         print(

@@ -77,21 +77,31 @@ BOUNDED_STATE = {
 #: to the generic 12x budget would mask exactly that).  Values are the
 #: key expression counted over each SF's events table.
 PER_KEY_BOUNDED = {
-    "st12_stream_dedup_watermarked": "user_id, event_type",
-    "st21_stream_anomaly": "user_id",
+    "st12_stream_dedup_watermarked": ("events", "user_id, event_type"),
+    "st21_stream_anomaly": ("events", "user_id"),
+}
+
+#: SHARDED-state class (VERDICT r10 gap 1): the state store holds a
+#: fixed number of shard ROWS (st32: 64 version-map rows, flat by
+#: construction — numRowsTotal is a vacuous gate there) while the real
+#: state lives in per-shard arrays whose total size is O(|live keys|).
+#: Gate the state BYTES (stream_bench's peak_state_bytes, from the
+#: progress telemetry's memoryUsedBytes) against measured key growth.
+PER_KEY_BYTES = {
+    "st32_stream_change_feed": ("orders", "o_orderkey"),
 }
 
 
 def _key_counts(sf_dir: str) -> dict[str, int]:
-    """Distinct-key cardinality per PER_KEY_BOUNDED query at sf_dir."""
+    """Distinct-key cardinality per gated query at sf_dir."""
     import duckdb
 
-    path = os.path.join(sf_dir, "events.parquet")
-    if not os.path.exists(path):
-        return {}
     con = duckdb.connect()
     out = {}
-    for name, keys in PER_KEY_BOUNDED.items():
+    for name, (table, keys) in {**PER_KEY_BOUNDED, **PER_KEY_BYTES}.items():
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        if not os.path.exists(path):
+            continue
         out[name] = con.execute(
             f"SELECT count(*) FROM (SELECT DISTINCT {keys} "
             f"FROM read_parquet('{path}'))"
@@ -132,6 +142,17 @@ def main() -> None:
         bounded = name in BOUNDED_STATE
         wall_flag = bool(wall_ratio > GATE_RATIO and t1 >= FLOOR_SEC)
         per_key = name in PER_KEY_BOUNDED and name in keys1 and name in keys01
+        per_key_skipped = name in PER_KEY_BOUNDED and not per_key
+        if per_key_skipped:
+            # the intended per-key gate could not run (key counts
+            # unavailable — usually a missing sf data dir); fall back
+            # LOUDLY, never silently (ADVICE r10)
+            print(
+                f"WARNING: per-key state gate SKIPPED for {name} "
+                f"(key counts unavailable at {sf1_dir!r} / {sf01_dir!r}); "
+                f"falling back to generic gate",
+                file=sys.stderr,
+            )
         if per_key:
             # state must not outgrow the measured key-cardinality growth
             key_ratio = keys1[name] / max(keys01[name], 1)
@@ -140,6 +161,30 @@ def main() -> None:
             key_ratio = None
             state_gate = BOUNDED_SLACK if bounded else GATE_RATIO
         state_flag = bool(state_ratio > state_gate)
+        # sharded-state BYTES gate (PER_KEY_BYTES): rows are flat by
+        # construction, so the leak signal is bytes vs key growth
+        b01 = int(q01[name].get("peak_state_bytes", 0))
+        b1 = int(q1[name].get("peak_state_bytes", 0))
+        bytes_ratio = (b1 / b01) if b01 > 0 else (float("inf") if b1 > 0 else 1.0)
+        per_key_b = (
+            name in PER_KEY_BYTES
+            and name in keys1
+            and name in keys01
+            and b01 > 0
+        )
+        bytes_gate_skipped = name in PER_KEY_BYTES and not per_key_b
+        if bytes_gate_skipped:
+            print(
+                f"WARNING: state-BYTES gate SKIPPED for {name} "
+                f"(key counts or peak_state_bytes unavailable); the "
+                f"sharded-state claim is UNGATED this run",
+                file=sys.stderr,
+            )
+        bytes_flag = False
+        bkey_ratio = None
+        if per_key_b:
+            bkey_ratio = keys1[name] / max(keys01[name], 1)
+            bytes_flag = bool(bytes_ratio > bkey_ratio * BOUNDED_SLACK)
         rows[name] = {
             "sf01_sec": round(t01, 4),
             "sf1_sec": round(t1, 4),
@@ -149,13 +194,25 @@ def main() -> None:
             "state_ratio": round(state_ratio, 3) if state_ratio != float("inf") else None,
             "bounded_state_claim": bounded,
             "per_key_bounded_claim": name in PER_KEY_BOUNDED,
+            "per_key_gate_skipped": per_key_skipped,
             "key_ratio": round(key_ratio, 3) if key_ratio is not None else None,
+            "sf01_state_bytes": b01,
+            "sf1_state_bytes": b1,
+            "state_bytes_ratio": (
+                round(bytes_ratio, 3) if bytes_ratio != float("inf") else None
+            ),
+            "per_key_bytes_claim": name in PER_KEY_BYTES,
+            "bytes_gate_skipped": bytes_gate_skipped,
+            "bytes_key_ratio": (
+                round(bkey_ratio, 3) if bkey_ratio is not None else None
+            ),
             "wall_flagged": wall_flag,
             "state_flagged": state_flag,
+            "bytes_flagged": bytes_flag,
         }
         if wall_flag:
             wall_flagged.append(name)
-        if state_flag:
+        if state_flag or bytes_flag:
             state_flagged.append(name)
 
     out = {
