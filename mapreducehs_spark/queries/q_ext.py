@@ -4094,3 +4094,182 @@ def q125_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vacuum_ppm"),
         )
     )
+
+
+# =========================================================================
+# Round 11 (3): schema-evolution read (q126)
+# =========================================================================
+
+_Q126_ORACLE = """
+    WITH g1 AS (
+      SELECT o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), g2 AS (
+      SELECT o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderpriority AS channel
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT 'gen1' AS generation, status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(0 AS BIGINT) AS n_with_channel
+    FROM g1 GROUP BY 2
+    UNION ALL
+    SELECT 'gen2' AS generation, status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(count(channel) AS BIGINT) AS n_with_channel
+    FROM g2 GROUP BY 2
+"""
+
+
+def _q126_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q126's pre-checkpoint frame (q107 pin recipe): builds the
+    two-generation fixture and returns the field-id-unified rollup;
+    the caller owns the fieldId read confs + materialization.
+    See q126_schema_evolution_read for the full design argument,
+    which continues: the last lakehouse reader primitive next
+    to q123/q124/q125: two physical parquet generations of the same
+    table, where generation 2 RENAMED a column (cents -> amount_cents),
+    WIDENED its type (int32 -> bigint), and ADDED one (channel), are
+    unified through the parquet FIELD-ID contract — Iceberg's column
+    resolution law and Delta's `delta.columnMapping.mode = id`: every
+    column carries a stable numeric id in the file footer, and readers
+    match the requested schema BY ID, never by name or position.  One
+    canonical read schema (ids 1..4, the table's current logical
+    schema) therefore reads BOTH generations: gen1's `cents` lands in
+    `amount_cents` because it is field 3, its int32 values widen to
+    bigint in the scan, and the missing field 4 back-fills NULL —
+    q90's name-based unionByName cannot express the rename without a
+    side table; the id contract makes it metadata-only.
+
+    The fixture writes real field ids through Spark's own
+    `parquet.field.id` column metadata (write side) and reads them
+    back under `spark.sql.parquet.fieldId.read.enabled` — the whole
+    rename/widen/back-fill round trip happens in the vectorized scan,
+    and the oracle replays the generation split from the base table so
+    the round trip is value-checked end to end.
+
+    Scale shape: ONE FileScan per generation (plan-pinned), each with
+    the canonical ReadSchema resolved per file footer — no shuffle
+    until the final tiny rollup; at 100 TB this is exactly how an
+    Iceberg/Delta table with years of heterogeneous files is read
+    (resolution is per-file and embarrassingly parallel).  Reference
+    witness: O12 pluggable-store read path (src/Core/Store.hs) —
+    the store contract is keyed by stable ids, not display names."""
+    import os
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from mapreducehs_spark.sources.catalog import (
+        build_fixture_once,
+        source_fingerprint,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fp = source_fingerprint(sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0)
+
+    def build(tmp: str) -> None:
+        # generation 1: pre-evolution export (cents int32, field id 3)
+        (
+            orders.filter(F.col("o_orderkey") % 2 == 0)
+            .select(
+                F.col("o_orderkey").alias("k", metadata={"parquet.field.id": 1}),
+                F.col("o_orderstatus").alias(
+                    "status", metadata={"parquet.field.id": 2}
+                ),
+                cents.cast("int").alias("cents", metadata={"parquet.field.id": 3}),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "gen1"))
+        )
+        # generation 2: field 3 renamed + widened, field 4 added
+        (
+            orders.filter(F.col("o_orderkey") % 2 == 1)
+            .select(
+                F.col("o_orderkey").alias("k", metadata={"parquet.field.id": 1}),
+                F.col("o_orderstatus").alias(
+                    "status", metadata={"parquet.field.id": 2}
+                ),
+                cents.cast("bigint").alias(
+                    "amount_cents", metadata={"parquet.field.id": 3}
+                ),
+                F.col("o_orderpriority").alias(
+                    "channel", metadata={"parquet.field.id": 4}
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "gen2"))
+        )
+
+    base = build_fixture_once(
+        os.path.join(tempfile.gettempdir(), f"mapreducehs_schevo_{tag}_{fp}"),
+        build,
+    )
+    md = lambda i: {"parquet.field.id": i}  # noqa: E731
+    canonical = StructType(
+        [
+            StructField("k", LongType(), True, md(1)),
+            StructField("status", StringType(), True, md(2)),
+            StructField("amount_cents", LongType(), True, md(3)),
+            StructField("channel", StringType(), True, md(4)),
+        ]
+    )
+    frames = [
+        spark.read.schema(canonical)
+        .parquet(os.path.join(base, gen))
+        .withColumn("generation", F.lit(gen))
+        for gen in ("gen1", "gen2")
+    ]
+    return (
+        frames[0]
+        .unionByName(frames[1])
+        .groupBy("generation", "status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("amount_cents").cast("bigint").alias("total_cents"),
+            F.count("channel").cast("bigint").alias("n_with_channel"),
+        )
+    )
+
+
+@query("q126_schema_evolution_read", oracle=_Q126_ORACLE)
+def q126_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA-EVOLUTION READ — the last lakehouse reader primitive
+    next to q123/q124/q125: two physical parquet generations of the
+    same table — generation 2 RENAMED a column (cents ->
+    amount_cents), WIDENED its type (int32 -> bigint), and ADDED one
+    (channel) — are unified through the parquet FIELD-ID contract
+    (Iceberg's column resolution law; Delta's `delta.columnMapping
+    .mode = id`): every column carries a stable numeric id in the
+    file footer and readers match the requested schema BY ID, never
+    by name or position, so one canonical read schema (ids 1..4)
+    reads BOTH generations — the rename, the int32->bigint widening,
+    and the NULL back-fill all happen in the vectorized scan.  The
+    full design argument lives on _q126_build; the oracle replays the
+    generation split from the base table, value-checking the write+
+    read round trip end to end.  The fieldId read confs are set only
+    around the materialization (localCheckpoint) so the session is
+    left untouched."""
+    confs = {
+        "spark.sql.parquet.fieldId.read.enabled": "true",
+        "spark.sql.parquet.fieldId.read.ignoreMissing": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # the field-id scan confs must be live when the scan RUNS, not
+        # just when the plan is built — materialize before restoring
+        return _q126_build(spark, sf_dir).localCheckpoint()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

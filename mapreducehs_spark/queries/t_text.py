@@ -2099,9 +2099,11 @@ def _t33_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     return df, cache
 
 
-@query(
-    "t34_perplexity_buckets",
-    oracle="""
+#: t17's per-doc integer LM score keyed for ranking — the ONE oracle
+#: twin of the t34/t55 difficulty signal (the _bigram_pairs CTE
+#: discipline): ends with `keyed(doc_id, source, n_tokens, qk)` where
+#: qk = (Σ libm micro-nats · 1e6) div n_tokens (higher = more fluent).
+_T34_KEYED_CTES = """
     WITH toks AS (
       SELECT doc_id, source,
              unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
@@ -2122,7 +2124,14 @@ def _t33_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     ), keyed AS (
       SELECT doc_id, source, n_tokens, (s * 1000000) // n_tokens AS qk
       FROM per_doc
-    ), ranked AS (
+    )"""
+
+
+@query(
+    "t34_perplexity_buckets",
+    oracle=_T34_KEYED_CTES
+    + """
+    , ranked AS (
       SELECT source, n_tokens, qk,
              row_number() OVER (PARTITION BY source ORDER BY qk DESC, doc_id) AS rn,
              count(*) OVER (PARTITION BY source) AS ns
@@ -2162,10 +2171,12 @@ def t34_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         cache.unpersist(blocking=False)
 
 
-def _t34_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """t34 pre-checkpoint builder (q107 discipline)."""
-    from mapreducehs_spark.operators.sampling import global_positions_cached
-
+def _t34_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t17's per-doc integer LM score keyed for ranking — the ONE
+    Spark twin of the t34/t55 difficulty signal (_T34_KEYED_CTES is
+    its oracle mirror): (doc_id, source, n_tokens, qk, neg_qk) with
+    qk = (Σ libm micro-nats · 1e6) div n_tokens, higher = more
+    fluent/easier.  Zero-token docs never appear (no term rows)."""
     docs = _t(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     toks = (
@@ -2186,7 +2197,7 @@ def _t34_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         )
         .select("term", "micro")
     )
-    keyed = (
+    return (
         doc_term.join(F.broadcast(scored), "term")
         .groupBy("doc_id", "source")
         .agg(
@@ -2197,6 +2208,13 @@ def _t34_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         .withColumn("neg_qk", -F.col("qk"))
         .select("doc_id", "source", "n_tokens", "qk", "neg_qk")
     )
+
+
+def _t34_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """t34 pre-checkpoint builder (q107 discipline)."""
+    from mapreducehs_spark.operators.sampling import global_positions_cached
+
+    keyed = _t34_keyed(spark, sf_dir)
     pos, cache = global_positions_cached(keyed, ["source", "neg_qk", "doc_id"])
     srcagg = pos.groupBy("source").agg(
         F.min("pos").alias("p0"), F.count(F.lit(1)).alias("ns")
@@ -3411,14 +3429,22 @@ def _quality_scored(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     )
 
 
-def _t45_pairs(scored: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+def _t45_pairs(
+    scored: DataFrame,
+    carry: tuple[str, ...] = (),
+    keep_degenerate: bool = False,
+) -> DataFrame:
     """t45's best-vs-worst pairing law as the ONE seam helper (the
     _quality_scored discipline): per source, rank-i by quality DESC is
     chosen, rank-i by quality ASC is rejected (doc_id tiebreaks,
     i ≤ 5), degenerate pairs dropped.  ``carry`` duplicates extra
     per-doc columns of ``scored`` onto both sides as chosen_<c> /
     rejected_<c> — t51 threads text + n_tok through the
-    WindowGroupLimit so the SFT render needs no second corpus scan."""
+    WindowGroupLimit so the SFT render needs no second corpus scan.
+    ``keep_degenerate=True`` returns ALL candidate pairs including
+    identical-doc and non-positive-margin ones — t56's health report
+    needs to COUNT what the training export drops, not just see the
+    survivors (the default path is untouched)."""
     w_top = Window.partitionBy("source").orderBy(
         F.col("quality_micro").desc(), F.col("doc_id").asc()
     )
@@ -3441,7 +3467,10 @@ def _t45_pairs(scored: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
                 F.col("quality_micro").alias("rejected_q"),
                 *[F.col(c).alias(f"rejected_{c}") for c in carry])
     )
-    return top.join(bot, ["source", "pair_rank"]).filter(
+    joined = top.join(bot, ["source", "pair_rank"])
+    if keep_degenerate:
+        return joined
+    return joined.filter(
         (F.col("chosen_id") != F.col("rejected_id"))
         & (F.col("chosen_q") > F.col("rejected_q"))
     )
@@ -4699,4 +4728,211 @@ def t54_multiturn_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").alias("masked_len"),
         F.col("t").alias("trained_len"),
         "block_fold",
+    )
+
+
+# =========================================================================
+# Round 11 (1): curriculum-ordering export (t55)
+# =========================================================================
+
+_T55_ORACLE = _T34_KEYED_CTES + """
+    , ranked AS (
+      SELECT source, doc_id, n_tokens, qk,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY qk DESC, doc_id ASC) - 1 AS rank0,
+             count(*) OVER (PARTITION BY source) AS n_src
+      FROM keyed
+    ), dec AS (
+      SELECT source, n_tokens, qk, (rank0 * 10) // n_src AS decile
+      FROM ranked
+    ), buckets AS (
+      SELECT CAST(decile AS BIGINT) AS decile, source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(min(qk) AS BIGINT) AS qk_min,
+             CAST(max(qk) AS BIGINT) AS qk_max
+      FROM dec GROUP BY 1, 2
+    )
+    SELECT decile, source, n_docs, n_tokens, qk_min, qk_max,
+           CAST(coalesce(sum(n_tokens) OVER (
+             ORDER BY decile ASC, source ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS start_tokens
+    FROM buckets
+"""
+
+
+def _t55_build(spark: SparkSession, sf_dir: str):
+    """t55's pre-checkpoint frame + caches (q107 pin recipe)."""
+    from mapreducehs_spark.operators.sampling import (
+        global_prefix_sums_cached,
+        grouped_prefix_sums_cached,
+    )
+
+    keyed = _t34_keyed(spark, sf_dir).withColumn("__one", F.lit(1).cast("long"))
+    ranked, c1 = grouped_prefix_sums_cached(
+        keyed, ["source"], ["neg_qk", "doc_id"], "__one", out_col="rank0"
+    )
+    # sizes read the PERSISTED sorted frame via ranked, not a fresh
+    # token scan (the t17 pipeline is the expensive part of this plan)
+    sizes = ranked.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    buckets = (
+        ranked.join(F.broadcast(sizes), "source")
+        .select(
+            F.expr("(rank0 * 10) div n_src").cast("bigint").alias("decile"),
+            "source",
+            "n_tokens",
+            "qk",
+        )
+        .groupBy("decile", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.min("qk").cast("bigint").alias("qk_min"),
+            F.max("qk").cast("bigint").alias("qk_max"),
+        )
+    )
+    sched, c2 = global_prefix_sums_cached(
+        buckets, ["decile", "source"], "n_tokens", out_col="start_tokens"
+    )
+    return sched, (c1, c2)
+
+
+@query("t55_curriculum_schedule", oracle=_T55_ORACLE)
+def t55_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM-ORDERING EXPORT — the schedule table a curriculum
+    training run (Bengio et al. 2009 ordering; data-mixing curricula a
+    la Xu et al.) reads instead of shuffling uniformly: the corpus is
+    ordered easy -> hard under the COMMITTED difficulty signal (t17's
+    integer LM score: higher qk = more fluent = easier) and emitted as
+    per-(decile, source) buckets with each bucket's GLOBAL token start
+    offset in the curriculum order, so shard writers and the trainer's
+    sampler agree on positions by arithmetic alone.
+
+    Laws: deciles are t49's exact rank-decile law applied per source
+    to the t34/t17 difficulty key (rank0 = #docs strictly before
+    (neg_qk, doc_id) within the source; decile = rank0 * 10 div n_src
+    — difficulty is RELATIVE to the source, so a hard doc in an easy
+    domain still lands late); start_tokens = sum of n_tokens over
+    buckets strictly before in (decile ASC, source ASC) order.
+    All-integer, value-checks bit-for-bit.  Conservation vs t49's
+    decile masses is pytest-pinned (exact rank deciles put the same
+    doc COUNT in a (source, decile) cell regardless of ordering key).
+
+    Scale shape: the oracle ranks with per-source windows; the engine
+    does NOT — rank0 comes from the grouped prefix-sum seam (range
+    exchange, never a whole source on one task), bucket aggregation is
+    an ordinary hash rollup to <= 10 * n_sources rows, and the global
+    offsets run the SAME two-phase prefix-sum seam over that tiny
+    bucket frame (window-free end to end, plan-pinned).  At 100 TB the
+    heavy data makes exactly two shuffles (the t17 token aggs) plus
+    one range exchange.  Reference witness: O2 ordered keyed fold
+    (src/Core/MapReduceC.hs:24-26)."""
+    out, caches = _t55_build(spark, sf_dir)
+    try:
+        return out.localCheckpoint()
+    finally:
+        for c in caches:
+            c.unpersist(blocking=False)
+
+
+# =========================================================================
+# Round 11 (2): DPO margin readout (t56)
+# =========================================================================
+
+#: t56 margin-bin width in quality micro-units (0.1 quality units per
+#: bin) — fixed integer width so the histogram is engine-exact (q116's
+#: calibration-bin discipline).
+_T56_BIN = 100000
+
+_T56_ORACLE = f"""
+    WITH q AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
+                                                x -> x != ''))) AS BIGINT) AS n_uniq
+      FROM documents
+    ), scored AS (
+      SELECT source, doc_id, (n_uniq * 1000000) // n_tok AS quality_micro
+      FROM q WHERE n_tok > 0
+    ), top AS (
+      SELECT source, doc_id, quality_micro, rn FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source ORDER BY quality_micro DESC, doc_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ), bot AS (
+      SELECT source, doc_id, quality_micro, rn FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source ORDER BY quality_micro ASC, doc_id DESC) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ), cl AS (
+      SELECT t.source,
+             t.quality_micro - b.quality_micro AS margin,
+             (t.quality_micro - b.quality_micro) // {_T56_BIN} AS margin_bin,
+             t.doc_id = b.doc_id AS is_identical
+      FROM top t JOIN bot b ON b.source = t.source AND b.rn = t.rn
+    ), tot AS (
+      SELECT source, count(*) AS n_src FROM cl GROUP BY 1
+    )
+    SELECT cl.source,
+           CAST(margin_bin AS BIGINT) AS margin_bin,
+           is_identical,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(margin) AS BIGINT) AS gap_mass_micro,
+           CAST((count(*) * 1000000) // max(t.n_src) AS BIGINT) AS share_ppm
+    FROM cl JOIN tot t ON t.source = cl.source
+    GROUP BY 1, 2, 3
+"""
+
+
+@query("t56_dpo_margin_readout", oracle=_T56_ORACLE)
+def t56_dpo_margin_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO MARGIN READOUT — q116's calibration discipline applied to
+    t45's preference pairs: the go/no-go table a DPO/RLHF run is gated
+    on BEFORE burning GPU (Rafailov et al. 2023's loss needs a healthy
+    chosen-vs-rejected reward gap; a margin distribution collapsed at
+    zero or dominated by degenerate pairs trains nothing).  Per
+    (source, fixed-width margin bin, identical-pair flag): pair count,
+    reward-gap mass, and each cell's share of the source's candidate
+    pairs in exact ppm — the margin-zero rate IS the bin-0 share, the
+    degenerate rate the is_identical share.
+
+    Laws: pairs are t45's pairing law via the `_t45_pairs` seam with
+    ``keep_degenerate=True`` — the report must COUNT what the export
+    drops, so it reads the pre-filter candidates (same windows, same
+    tiebreaks; one law, two consumers); margin = chosen_q - rejected_q
+    in quality micro-units; bin = margin div 100000 (Spark `div` and
+    DuckDB `//` both truncate toward zero, so negative inverted-pair
+    margins bin identically); share_ppm = (n · 1e6) div n_src.
+    All-integer — value-checks bit-for-bit.
+
+    Scale shape: identical to t45 — the rankings lower to
+    WindowGroupLimit (per-partition top-5 before the exchange), so the
+    join and rollup touch ≤ 5 · n_sources rows however big the corpus
+    is; the totals frame broadcasts.  Reference witness: O2 keyed fold
+    over ranked pairs (src/Core/MapReduceC.hs:24-26)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _t45_pairs(_quality_scored(docs), keep_degenerate=True)
+    cl = pairs.select(
+        "source",
+        (F.col("chosen_q") - F.col("rejected_q")).alias("margin"),
+        F.expr(f"(chosen_q - rejected_q) div {_T56_BIN}")
+        .cast("bigint")
+        .alias("margin_bin"),
+        (F.col("chosen_id") == F.col("rejected_id")).alias("is_identical"),
+    )
+    tot = cl.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    return (
+        cl.join(F.broadcast(tot), "source")
+        .groupBy("source", "margin_bin", "is_identical")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("margin").cast("bigint").alias("gap_mass_micro"),
+            F.expr("(count(1) * 1000000L) div max(n_src)")
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
     )

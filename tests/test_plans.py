@@ -1464,3 +1464,89 @@ def test_t54_conversation_conservation(q, spark):
     }
     for src, turns in by_src.items():
         assert totals[src] == turns[-1]["train_end"], src
+
+
+def test_t55_schedule_window_free(spark):
+    """t55's scale contract: per-source difficulty ranks come from the
+    grouped prefix-sum seam and the bucket offsets from the global
+    prefix-sum seam — no Window operator anywhere, so neither a whole
+    source nor the whole schedule ever lands on one task."""
+    from mapreducehs_spark.queries.t_text import _t55_build
+
+    df, caches = _t55_build(spark, SF)
+    try:
+        plan = I.formatted_plan(df)
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "rangepartitioning(source" in plan
+    finally:
+        for c in caches:
+            c.unpersist(blocking=False)
+
+
+def test_t55_conservation_vs_t49(q):
+    """Exact rank deciles put the same DOC COUNT in each (source,
+    decile) cell regardless of the ordering key — t55 (t17 difficulty)
+    and t49 (type-token quality) must agree on cell masses, and t55's
+    start_tokens must be exactly the running token mass in
+    (decile, source) curriculum order."""
+    t55 = sorted(
+        q("t55_curriculum_schedule").collect(),
+        key=lambda r: (r["decile"], r["source"]),
+    )
+    t49 = {(r["source"], r["decile"]): r["n_docs"]
+           for r in q("t49_quality_deciles").collect()}
+    assert {(r["source"], r["decile"]) for r in t55} == set(t49)
+    for r in t55:
+        assert r["n_docs"] == t49[(r["source"], r["decile"])], (
+            r["source"], r["decile"])
+    run = 0
+    for r in t55:
+        assert r["start_tokens"] == run, (r["decile"], r["source"])
+        run += r["n_tokens"]
+
+
+def test_t56_readout_agrees_with_t45(q):
+    """t56 reads the SAME pairing law as t45 (one seam, pre-filter
+    view): candidate mass per source is min(5, n_docs); at this
+    fixture scale every source has >= 10 docs so no pair is identical
+    or margin-degenerate — the readout's non-degenerate pair count
+    must equal t45's emitted pairs exactly; shares sum to 1e6 up to
+    one truncated ppm per cell."""
+    from collections import defaultdict
+
+    t45 = defaultdict(int)
+    for r in q("t45_preference_pairs").collect():
+        t45[r["source"]] += 1
+    n_pairs = defaultdict(int)
+    clean = defaultdict(int)
+    shares = defaultdict(int)
+    cells = defaultdict(int)
+    for r in q("t56_dpo_margin_readout").collect():
+        n_pairs[r["source"]] += r["n_pairs"]
+        if not r["is_identical"] and r["margin_bin"] > 0:
+            clean[r["source"]] += r["n_pairs"]
+        shares[r["source"]] += r["share_ppm"]
+        cells[r["source"]] += 1
+    for src in n_pairs:
+        assert n_pairs[src] == 5, src  # min(5, n_docs) candidates
+        assert clean[src] == t45[src], src
+        assert 1000000 - cells[src] < shares[src] <= 1000000, src
+
+
+def test_q126_field_id_one_scan_per_generation(spark):
+    """q126's scale contract: exactly TWO parquet scans (one per
+    physical generation — resolution is per-file metadata work, not a
+    data transform), no join, and the only exchange feeds the tiny
+    (generation, status) rollup."""
+    import re
+
+    from mapreducehs_spark.queries.q_ext import _q126_build
+
+    df = _q126_build(spark, SF)
+    plan = I.formatted_plan(df)
+    # unique node ids: the formatted plan prints each node in the tree
+    # AND in the detail section
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 2
+    assert "Join" not in plan
+    assert I.exchange_count(df) == 1
