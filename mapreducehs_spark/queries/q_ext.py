@@ -4273,3 +4273,122 @@ def q126_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# =========================================================================
+# Round 11 (4): partition-spec evolution read (q127)
+# =========================================================================
+
+_Q127_ORACLE = """
+    WITH src AS (
+      SELECT o_orderkey, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             strftime(o_orderdate, '%Y-%m') AS month
+      FROM orders
+    ), g1 AS (
+      SELECT * FROM src WHERE o_orderkey % 2 = 0
+    ), g2 AS (
+      SELECT * FROM src WHERE o_orderkey % 2 = 1
+    ), u AS (
+      SELECT 'gen1' AS generation, month, status, cents FROM g1
+      UNION ALL
+      SELECT 'gen2' AS generation, month, status, cents FROM g2
+    )
+    SELECT generation, month, status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM u
+    WHERE month >= '1995-01' AND month <= '1995-03'
+    GROUP BY 1, 2, 3
+"""
+
+
+def _q127_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q127's pre-checkpoint frame (q107 pin recipe): two physical
+    layouts of one logical table — gen1 flat parquet (month is a DATA
+    column), gen2 hive-partitioned by month (month is a DIRECTORY) —
+    read under one predicate; the caller materializes."""
+    import os
+    import tempfile
+
+    from mapreducehs_spark.sources.catalog import (
+        build_fixture_once,
+        source_fingerprint,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fp = source_fingerprint(sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders")
+    src = orders.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    )
+
+    def build(tmp: str) -> None:
+        # generation 1: the pre-evolution layout — flat files, month
+        # is an ordinary column (pruning must come from row-group
+        # stats / pushed filters)
+        (
+            src.filter(F.col("o_orderkey") % 2 == 0)
+            .drop("o_orderkey")
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "gen1"))
+        )
+        # generation 2: the evolved spec — hive-partitioned by month
+        # (pruning is directory-level, before any file opens)
+        (
+            src.filter(F.col("o_orderkey") % 2 == 1)
+            .drop("o_orderkey")
+            .write.mode("overwrite")
+            .partitionBy("month")
+            .parquet(os.path.join(tmp, "gen2"))
+        )
+
+    base = build_fixture_once(
+        os.path.join(tempfile.gettempdir(), f"mapreducehs_pspec_{tag}_{fp}"),
+        build,
+    )
+    in_range = (F.col("month") >= "1995-01") & (F.col("month") <= "1995-03")
+    frames = [
+        spark.read.parquet(os.path.join(base, gen))
+        .filter(in_range)
+        .withColumn("generation", F.lit(gen))
+        .select("generation", F.col("month").cast("string").alias("month"),
+                "status", "cents")
+        for gen in ("gen1", "gen2")
+    ]
+    return (
+        frames[0]
+        .unionByName(frames[1])
+        .groupBy("generation", "month", "status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+    )
+
+
+@query("q127_partition_spec_evolution", oracle=_Q127_ORACLE)
+def q127_partition_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION READ — q126's sibling on the LAYOUT
+    axis (Iceberg's headline feature: evolve the partition spec
+    without rewriting old data): generation 1 of the table was
+    exported FLAT (month is a data column inside the files),
+    generation 2 is hive-partitioned BY month (month is a directory
+    key).  One logical read with one predicate plans per-layout:
+    gen2's scan prunes DIRECTORIES before opening a file
+    (PartitionFilters, plan-pinned) while gen1's scan pushes the same
+    predicate to row-group stats (PushedFilters, plan-pinned) — the
+    engine-side half of what Iceberg's per-file spec-id dispatch does,
+    expressed with two scans over the two physical prefixes.
+
+    The oracle replays the generation split and the month predicate
+    from the base table, value-checking the whole write+read+prune
+    round trip.  Scale shape: at 100 TB the unselected months of gen2
+    cost ZERO I/O (directory pruning) and of gen1 cost only footer
+    reads — exactly why specs get evolved; the rollup is the only
+    exchange.  Reference witness: O12 pluggable-store read path
+    (src/Core/Store.hs) + O7 key-range partitioning (divides)."""
+    return _q127_build(spark, sf_dir).localCheckpoint()

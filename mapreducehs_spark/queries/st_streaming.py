@@ -1470,3 +1470,90 @@ def st33_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", assign(F.col("embedding")).alias("cell")
     )
     return _s23_stitch(spark, base, log)
+
+
+# =========================================================================
+# Round 11: streaming curriculum routing (st34)
+# =========================================================================
+
+_ST34_ORACLE = """
+    WITH q AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
+                                                x -> x != ''))) AS BIGINT) AS n_uniq
+      FROM documents
+    ), scored AS (
+      SELECT source, doc_id, n_tok, (n_uniq * 1000000) // n_tok AS quality_micro
+      FROM q WHERE n_tok > 0
+    ), ranked AS (
+      SELECT source, quality_micro,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality_micro ASC, doc_id ASC) - 1 AS rank0,
+             count(*) OVER (PARTITION BY source) AS n_src
+      FROM scored
+    ), bounds AS (
+      SELECT source, (rank0 * 10) // n_src AS decile,
+             max(quality_micro) AS q_max
+      FROM ranked GROUP BY 1, 2
+    ), cl AS (
+      SELECT s.source, s.doc_id, s.n_tok,
+             coalesce(min(CASE WHEN s.quality_micro <= b.q_max THEN b.decile END),
+                      max(b.decile)) AS decile
+      FROM scored s JOIN bounds b ON b.source = s.source
+      GROUP BY 1, 2, 3
+    )
+    SELECT source, CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM cl GROUP BY 1, 2
+"""
+
+
+@query("st34_stream_curriculum_router", oracle=_ST34_ORACLE)
+def st34_stream_curriculum_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CURRICULUM ROUTER — t55's schedule applied at INGEST
+    (the st19 serving posture for the curriculum tier): a continuous
+    intake cannot rank against the whole corpus, so the batch pass
+    commits the per-source decile BOUNDARIES (t49's exact rank-decile
+    table over the self-contained quality key — corpus-relative
+    signals like t17's can't be computed per-arriving-doc) and the
+    stream classifies each arriving doc against the frozen boundary
+    array: min decile d with quality <= q_max(d), above all -> the
+    hardest decile present.  Routed docs land in the append sink (at
+    100 TB: one sink partition per decile, the shard layout t55's
+    trainer reads) and the health rollup reads the sink — st33's
+    stitch topology.
+
+    State: NONE (stateless stream-static broadcast join; boundaries
+    are <= 10 * n_sources rows).  The replay streams the SAME
+    documents the boundaries were built from, so the oracle replays
+    boundary construction AND classification in one statement and
+    value-checks the routed masses bit-for-bit (the st13/st15/st17
+    stream==batch discipline; the min-matching-decile law is
+    IDENTICAL text on both engines).  Reference witness: O1 stateless
+    per-row kernel + O2 keyed fold (src/Core/MapReduceC.hs:24-26)."""
+    from mapreducehs_spark import streaming as st
+    from mapreducehs_spark.queries.t_text import _t49_build
+
+    out49, cache = _t49_build(spark, sf_dir)
+    try:
+        cutoffs = (
+            out49.select("source", "decile", "q_max")
+            .groupBy("source")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("decile"), F.col("q_max")))
+                ).alias("bounds")
+            )
+            .localCheckpoint()  # freeze the boundary model before streaming
+        )
+    finally:
+        cache.unpersist(blocking=False)
+    routed = st.curriculum_route_stream(_replayed_docs(spark, sf_dir), cutoffs)
+    log = st.run_to_batch(routed, "st34_sink", output_mode="append")
+    return log.groupBy("source", "decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )

@@ -1533,6 +1533,51 @@ def mixture_filter_stream(docs: DataFrame, rates: DataFrame) -> DataFrame:
     )
 
 
+def curriculum_route_stream(docs: DataFrame, cutoffs: DataFrame) -> DataFrame:
+    """STREAMING curriculum routing — t49/t55's committed decile
+    boundaries applied to the document stream as a STATELESS
+    stream-static broadcast join (the mixture_filter_stream posture:
+    the boundary model is <= n_sources rows, classification is a map,
+    so no state store, no watermark, no wide shuffle).
+
+    ``cutoffs`` is the per-source frame (source, bounds) where
+    ``bounds`` is the decile-sorted array of (decile, q_max) structs
+    committed by the batch pass (t49's exact rank-decile table —
+    re-derived at whatever cadence; the stream classifies against the
+    current broadcast, the standard online-serving split).  Each
+    arriving doc computes its SELF-CONTAINED quality key (the
+    _quality_scored law, inlined here to avoid a circular import —
+    agreement is oracle-pinned) and lands in the FIRST decile whose
+    boundary admits it: min d with quality <= q_max(d), above every
+    boundary -> the hardest decile present.  Deterministic, so the
+    batch oracle value-checks the routed set bit-for-bit (the
+    st13/st15/st17 stream==batch discipline)."""
+    from mapreducehs_spark.operators.text import tokens
+
+    toks = tokens(F.col("text"))
+    scored = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(toks).cast("bigint").alias("n_tok"),
+            F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
+        )
+        .filter(F.col("n_tok") > 0)
+        .withColumn("quality_micro", F.expr("(n_uniq * 1000000L) div n_tok"))
+    )
+    return scored.join(F.broadcast(cutoffs), "source").select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.coalesce(
+            F.expr("filter(bounds, x -> quality_micro <= x.q_max)[0].decile"),
+            F.expr("bounds[size(bounds) - 1].decile"),
+        )
+        .cast("bigint")
+        .alias("decile"),
+    )
+
+
 _ANOMALY_OUT = StructType(
     [
         StructField("user_id", LongType()),

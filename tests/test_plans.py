@@ -1550,3 +1550,23 @@ def test_q126_field_id_one_scan_per_generation(spark):
     assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 2
     assert "Join" not in plan
     assert I.exchange_count(df) == 1
+
+
+def test_q127_per_layout_pruning(spark):
+    """q127's scale contract: the SAME month predicate plans per
+    physical layout — the hive-partitioned generation prunes
+    directories (PartitionFilters on the scan), the flat generation
+    pushes the predicate to row-group stats (PushedFilters); one scan
+    per generation, no join."""
+    import re
+
+    from mapreducehs_spark.queries.q_ext import _q127_build
+
+    df = _q127_build(spark, SF)
+    plan = I.formatted_plan(df)
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 2
+    assert "Join" not in plan
+    # gen2 (partitioned): directory-level pruning on the month key
+    assert re.search(r"PartitionFilters: \[[^\]]*month", plan)
+    # gen1 (flat): the same bounds reach the parquet row-group stats
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(month,1995-01\)", plan)
