@@ -799,10 +799,15 @@ def minhash_sigs_scan_shaped(
     return staged.select("id", mins.alias("mins"))
 
 
-def _minhash_band_keys(mins_col):
-    """The checked banding law (4 bands × 4 concatenated minima) lifted
-    to an array<string> expression over a ``mins`` array column."""
-    rows = MINHASH_CHECK_NUM_PERM // MINHASH_CHECK_BANDS
+def _minhash_band_keys(mins_col, n_bands: int | None = None):
+    """The checked banding law (``n_bands`` bands of 16/n_bands
+    concatenated minima; default the 4×4 checked config) lifted to an
+    array<string> expression over a ``mins`` array column — d32's
+    banding sweep re-bands the same signatures with other configs.
+    ``n_bands`` defaults lazily (the constants are defined below)."""
+    if n_bands is None:
+        n_bands = MINHASH_CHECK_BANDS
+    rows = MINHASH_CHECK_NUM_PERM // n_bands
     mins_col = F.col(mins_col) if isinstance(mins_col, str) else mins_col
     return F.array(
         *[
@@ -813,7 +818,7 @@ def _minhash_band_keys(mins_col):
                     for r in range(rows)
                 ],
             )
-            for b in range(MINHASH_CHECK_BANDS)
+            for b in range(n_bands)
         ]
     )
 

@@ -1912,3 +1912,172 @@ def d31_class_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hot"),
         )
     )
+
+
+# =========================================================================
+# Round 11: LSH banding parameter sweep (d32)
+# =========================================================================
+
+def _d32_oracle() -> str:
+    """Render the banding-sweep oracle from the SAME seed constants as
+    the Spark arm (the _d11_oracle discipline): shared shingle /
+    signature CTEs once, then per config (bands x rows, b*r = 16) its
+    own banding + candidates + agreement counts, plus the exact
+    3-gram-Jaccard truth arm (d02's law at the J >= 0.5 decision
+    threshold) — parity by construction."""
+    from mapreducehs_spark.queries._shared import _minhash_checked_ctes
+
+    ctes, agree, np_ = _minhash_checked_ctes()
+
+    def band_ctes(nb: int) -> str:
+        rows = np_ // nb
+        sel = " UNION ALL ".join(
+            "SELECT doc_id, {bi} AS band, concat_ws('_', {cols}) AS bk FROM sigs".format(
+                bi=bi, cols=", ".join(f"m{bi * rows + r}" for r in range(rows))
+            )
+            for bi in range(nb)
+        )
+        return (
+            f"b{nb} AS ({sel}), c{nb} AS ("
+            f"SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            f"FROM b{nb} a JOIN b{nb} b "
+            f"ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)"
+        )
+
+    def est_cte(nb: int, cand_name: str) -> str:
+        return (
+            f"e{nb} AS (SELECT c.id_a, c.id_b, ({agree}) AS agree "
+            f"FROM {cand_name} c JOIN sigs sa ON sa.doc_id = c.id_a "
+            f"JOIN sigs sb ON sb.doc_id = c.id_b)"
+        )
+
+    def row(nb: int, cand_name: str) -> str:
+        rows = np_ // nb
+        return f"""SELECT CAST({nb} AS BIGINT) AS bands,
+           CAST({rows} AS BIGINT) AS rows_per_band,
+           (SELECT CAST(count(*) AS BIGINT) FROM {cand_name}) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM e{nb}
+              WHERE agree * 4 >= {np_}) AS n_est,
+           (SELECT CAST(count(*) AS BIGINT) FROM tp) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT) FROM e{nb} e
+              JOIN tp t ON t.id_a = e.id_a AND t.id_b = e.id_b
+              WHERE e.agree * 4 >= {np_}) AS n_hits"""
+
+    truth = """tp AS (
+      SELECT id_a, id_b FROM (
+        SELECT i.id_a, i.id_b, i.inter, za.set_size AS sa_sz, zb.set_size AS sb_sz
+        FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2) i
+        JOIN (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1) za
+          ON za.doc_id = i.id_a
+        JOIN (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1) zb
+          ON zb.doc_id = i.id_b
+      ) WHERE inter / CAST(sa_sz + sb_sz - inter AS DOUBLE) >= 0.5
+    )"""
+    rowsql = " UNION ALL ".join(
+        row(nb, "cand" if nb == 4 else f"c{nb}") for nb in (2, 4, 8)
+    )
+    return f"""
+    WITH {ctes}, {truth},
+    {band_ctes(2)},
+    {band_ctes(8)},
+    {est_cte(2, 'c2')}, {est_cte(4, 'cand')}, {est_cte(8, 'c8')},
+    raw AS ({rowsql})
+    SELECT bands, rows_per_band, n_candidates, n_est, n_truth, n_hits,
+           CAST((n_hits * 1000000) // greatest(n_truth, 1) AS BIGINT)
+             AS recall_micro,
+           CAST((n_hits * 1000000) // greatest(n_est, 1) AS BIGINT)
+             AS precision_micro
+    FROM raw
+    """
+
+
+@query("d32_lsh_banding_sweep", oracle=_d32_oracle())
+def d32_lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH BANDING PARAMETER SWEEP — t53's sweep discipline applied to
+    the dedup index: the (bands x rows) trade-off table a 100 TB dedup
+    config change is chosen from (more bands = higher recall and more
+    candidates to verify; the S-curve's knee moves with b and r).  The
+    16-permutation checked signatures are computed ONCE (the expensive
+    corpus-scale stage — `minhash_sigs_scan_shaped`, zero wide
+    dependency, then localCheckpointed); each config (2x8, 4x4, 2x8's
+    transpose 8x2) re-bands the SAME signature frame — banding is pure
+    arithmetic over the 16 minima, so the sweep adds no corpus re-scan
+    (t53's law).  Per config: raw candidate volume (the verify-stage
+    COST), estimate-filtered pairs (agree/16 >= 0.25, dyadic-exact),
+    and recall/precision in integer micro-units against d27's exact
+    3-gram-Jaccard truth arm (J >= 0.5, shingle equi-join — never
+    all-pairs).
+
+    Driver-side state is 3 configs x 3 scalar counts (the d27/s13
+    report posture); every per-config candidate frame is banded
+    buckets -> self-join, the same never-all-pairs plan d11 pins.
+    Reference witness: O5 evaluator/oracle + O2 keyed fold
+    (src/Core/MapReduceC.hs:24-26)."""
+    from mapreducehs_spark.operators.dedup import (
+        MINHASH_CHECK_NUM_PERM as _NP,
+    )
+    from mapreducehs_spark.operators.dedup import (
+        _minhash_band_keys,
+        minhash_sigs_scan_shaped,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_sigs_scan_shaped(docs).localCheckpoint()
+    truth = (
+        d02_ngram_jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    n_truth = truth.count()
+    out = []
+    for nb in (2, 4, 8):
+        banded = sigs.select(
+            "id", F.posexplode(_minhash_band_keys("mins", nb)).alias("band", "bk")
+        )
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(b, ["band", "bk"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        agree = F.aggregate(
+            F.zip_with(
+                F.col("sa.mins"),
+                F.col("sb.mins"),
+                lambda x, y: (x == y).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        pairs = (
+            cand.join(sigs.alias("sa"), F.col("id_a") == F.col("sa.id"))
+            .join(sigs.alias("sb"), F.col("id_b") == F.col("sb.id"))
+            .select("id_a", "id_b", agree.alias("agree"))
+            .localCheckpoint()  # small: candidate pairs only
+        )
+        n_cand = pairs.count()
+        est = pairs.filter(F.col("agree") * 4 >= _NP)
+        n_est = est.count()
+        n_hits = est.join(truth, ["id_a", "id_b"]).count()
+        out.append(
+            (
+                nb,
+                _NP // nb,
+                n_cand,
+                n_est,
+                n_truth,
+                n_hits,
+                (n_hits * 1_000_000) // max(n_truth, 1),
+                (n_hits * 1_000_000) // max(n_est, 1),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "bands bigint, rows_per_band bigint, n_candidates bigint,"
+        " n_est bigint, n_truth bigint, n_hits bigint,"
+        " recall_micro bigint, precision_micro bigint",
+    )
