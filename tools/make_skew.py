@@ -21,6 +21,21 @@ plans:
   contraction (m11/m12: identical content → identical hash → the
   round-6 exact-dup contraction must absorb it without a quadratic
   pair stage).
+- HOT SOURCE (documents, round 11): every 3rd document re-assigned to
+  source 'src0', so one source holds ~1/3 of the corpus — stresses
+  every per-source ranking/rollup (t34's terciles, t49's deciles,
+  t55's curriculum, t31/t42's per-source sampling): a bare
+  PARTITION BY source window would put a third of the corpus on ONE
+  task, which is exactly what the grouped prefix-sum seam exists to
+  avoid; the skew pair measures that claim instead of arguing it.
+
+The orders-keyed lakehouse folds (q117/q123/q124/q125/st32) get NO
+skew transform BY CONTRACT: their log law synthesizes at most one
+version per (key, commit-seq) — the Kafka-compacted-topic guarantee
+st32's replay asserts — so per-key multiplicity is bounded by the
+number of commits, not by data skew; re-keying orders would fabricate
+an input the CDC contract forbids.  They ARE swept on the skewed dir
+(hard-linked orders) so their walls land in the same artifact.
 
 Only ``events`` and ``documents`` are rewritten; all other tables are
 hard-linked (content-identical).  Transforms are deterministic (keyed
@@ -63,10 +78,11 @@ def skew_documents(src: str, dst: str) -> None:
     t = pq.read_table(src)
     doc_id = t.column("doc_id").to_numpy(zero_copy_only=False)
     text = t.column("text").to_pylist()
+    source = t.column("source").to_pylist()
     n = len(text)
     dmin = int(doc_id.min())
     base = text[int(np.argmin(doc_id))]  # document with the minimum id
-    n_dup = n_hot = 0
+    n_dup = n_hot = n_src = 0
     for i in range(n):
         if doc_id[i] != dmin and doc_id[i] % 100 == 13:
             text[i] = base  # hot duplicate class (~1%)
@@ -74,13 +90,20 @@ def skew_documents(src: str, dst: str) -> None:
         elif doc_id[i] % 8 == 3:
             text[i] = "thehot " + text[i]  # hot token (~12.5% of docs)
             n_hot += 1
+        if doc_id[i] % 3 == 1:
+            source[i] = "src0"  # hot source (~1/3 of the corpus)
+            n_src += 1
     cols = {name: t.column(name) for name in t.schema.names}
     cols["text"] = pa.array(text, type=pa.string())
+    cols["source"] = pa.array(source, type=t.schema.field("source").type)
     cols["n_chars"] = pa.array(
         [len(s) for s in text], type=t.schema.field("n_chars").type
     )
     pq.write_table(pa.table(cols), dst)
-    print(f"documents: {n:,} rows, {n_dup:,} hot-dup, {n_hot:,} hot-token")
+    print(
+        f"documents: {n:,} rows, {n_dup:,} hot-dup, {n_hot:,} hot-token, "
+        f"{n_src:,} hot-source"
+    )
 
 
 def main() -> None:
