@@ -50,6 +50,14 @@ def fresh_oracle():
     c = duckdb.connect()
     c.execute("SET temp_directory='/tmp/duckdb_spill'")
     c.execute(f"SET memory_limit='{os.environ.get('DRIVER_SIM_MEM', '95GB')}'")
+    # Bound the spill: a capacity-infeasible MONOLITHIC oracle (m14,
+    # d32 at sf1) should raise promptly and fall back to its STAGED
+    # replay, not fill the box's disk first — 32 GiB is far above any
+    # legitimately-green oracle's observed spill.
+    c.execute(
+        "SET max_temp_directory_size="
+        f"'{os.environ.get('DRIVER_SIM_SPILL', '32GiB')}'"
+    )
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         p = os.path.join(SF_DIR, f"{t}.parquet")
