@@ -196,6 +196,41 @@ def hashed_shingle_rows(
     )
 
 
+def ngram_jaccard_intersections(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Raw pairwise shingle-intersection counts (the integer core of
+    ``ngram_jaccard_pairs``): (id_a, id_b, size_a, size_b, inter) with
+    id_a < id_b.  Exposed separately so consumers needing a DECISION at
+    a dyadic threshold (e.g. d32's truth arm at J >= 1/2) can compare
+    pure integers (``inter * 2 >= size_a + size_b - inter``) instead of
+    a rounded double — no FP anywhere in the predicate."""
+    # persist: both sides of the self-join and the doc-frequency guard
+    # read this frame — without it the shingle kernel runs 3x.
+    exploded = hashed_shingle_rows(df, text_col, id_col, n).persist()
+    if max_shingle_df is not None:
+        keep = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("sdf"))
+            .filter(F.col("sdf") <= max_shingle_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(keep, "shingle")
+
+    a = exploded.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"), "shingle")
+    b = exploded.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -212,26 +247,7 @@ def ngram_jaccard_pairs(
     the join (boilerplate guard — bounds the worst bucket at scale).
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    # persist: both sides of the self-join and the doc-frequency guard
-    # read this frame — without it the shingle kernel runs 3x.
-    exploded = hashed_shingle_rows(df, text_col, id_col, n).persist()
-    if max_shingle_df is not None:
-        keep = (
-            exploded.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("sdf"))
-            .filter(F.col("sdf") <= max_shingle_df)
-            .select("shingle")
-        )
-        exploded = exploded.join(keep, "shingle")
-
-    a = exploded.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"), "shingle")
-    b = exploded.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    inter = ngram_jaccard_intersections(df, text_col, id_col, n, max_shingle_df)
     return (
         inter.withColumn(
             "jaccard",

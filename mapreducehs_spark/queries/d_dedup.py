@@ -1978,7 +1978,7 @@ def _d32_oracle() -> str:
           ON za.doc_id = i.id_a
         JOIN (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1) zb
           ON zb.doc_id = i.id_b
-      ) WHERE inter / CAST(sa_sz + sb_sz - inter AS DOUBLE) >= 0.5
+      ) WHERE inter * 2 >= sa_sz + sb_sz - inter
     )"""
     rowsql = " UNION ALL ".join(
         row(nb, "cand" if nb == 4 else f"c{nb}") for nb in (2, 4, 8)
@@ -2011,9 +2011,11 @@ def d32_lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic over the 16 minima, so the sweep adds no corpus re-scan
     (t53's law).  Per config: raw candidate volume (the verify-stage
     COST), estimate-filtered pairs (agree/16 >= 0.25, dyadic-exact),
-    and recall/precision in integer micro-units against d27's exact
-    3-gram-Jaccard truth arm (J >= 0.5, shingle equi-join — never
-    all-pairs).
+    and recall/precision in integer micro-units against the exact
+    3-gram-Jaccard truth arm (J >= 0.5 decided as the pure-integer
+    compare inter*2 >= union on the raw intersection counts — the
+    same predicate the oracle runs, no rounded double anywhere in the
+    decision; shingle equi-join, never all-pairs).
 
     Driver-side state is 3 configs x 3 scalar counts (the d27/s13
     report posture); every per-config candidate frame is banded
@@ -2030,9 +2032,18 @@ def d32_lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     sigs = minhash_sigs_scan_shaped(docs).localCheckpoint()
+    # Truth decision at J >= 1/2 as a PURE-INTEGER compare
+    # (inter*2 >= union) on the raw intersection counts — identical to
+    # the oracle's predicate by construction, no rounded double in the
+    # decision (round-12 fix: the prior arm filtered d02's
+    # round(j, 6), which could diverge from the oracle's unrounded
+    # ratio for true J in [0.4999995, 0.5)).
     truth = (
-        d02_ngram_jaccard_pairs(spark, sf_dir)
-        .filter(F.col("jaccard") >= 0.5)
+        dedup.ngram_jaccard_intersections(docs, n=3, max_shingle_df=None)
+        .filter(
+            F.col("inter") * 2
+            >= F.col("size_a") + F.col("size_b") - F.col("inter")
+        )
         .select("id_a", "id_b")
         .localCheckpoint()
     )
@@ -2175,7 +2186,7 @@ def _d32_staged() -> str:
           ON za.doc_id = i.id_a
         JOIN (SELECT doc_id, count(*) AS set_size FROM d32_sh GROUP BY 1) zb
           ON zb.doc_id = i.id_b
-      ) WHERE inter / CAST(sa_sz + sb_sz - inter AS DOUBLE) >= 0.5;
+      ) WHERE inter * 2 >= sa_sz + sb_sz - inter;
     DROP TABLE d32_sh;
     DROP TABLE IF EXISTS d32_rows;
     CREATE TEMP TABLE d32_rows (

@@ -1524,6 +1524,17 @@ def test_t56_readout_agrees_with_t45(q):
     cells = defaultdict(int)
     for r in q("t56_dpo_margin_readout").collect():
         n_pairs[r["source"]] += r["n_pairs"]
+        # Premise, asserted explicitly: t45's emit law is margin > 0,
+        # but bin 0 holds every |margin| < bin width — a non-identical
+        # bin-0 cell mixes emitted (0 < margin < width) and dropped
+        # (margin <= 0) pairs undecidably at rollup granularity, so
+        # the fixture must not produce one.  Failing HERE names the
+        # broken premise instead of spuriously blaming the shared law.
+        assert r["is_identical"] or r["margin_bin"] != 0, (
+            "fixture premise broken: non-identical bin-0 cell exists "
+            f"for {r['source']!r} (n={r['n_pairs']}, "
+            f"gap={r['gap_mass_micro']}) — the clean-count law below "
+            "is no longer derivable from the rollup")
         if not r["is_identical"] and r["margin_bin"] > 0:
             clean[r["source"]] += r["n_pairs"]
         shares[r["source"]] += r["share_ppm"]

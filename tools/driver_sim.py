@@ -125,6 +125,7 @@ for name, fn in Q.items():
     # exercising it; fall back to the STAGED (TEMP-TABLE) replay only
     # when the monolithic form raises (e.g. m14/m16 capacity at sf1) —
     # keeps the two forms from drifting apart undetected.
+    oracle_form = None  # set when the staged replay substitutes
     try:
         ora = con.execute(O[name]).fetchdf()
     except Exception as ex:
@@ -136,6 +137,11 @@ for name, fn in Q.items():
         if name in STAGED:
             try:
                 ora = con.execute(STAGED[name]).fetchdf()
+                # surface the substitution in the JSON artifact, not
+                # just stdout — a NEW monolithic regression must show
+                # up in CORRECTNESS_* diffs, not pass as a normal green
+                oracle_form = {"oracle_form": "staged",
+                               "monolithic_err": type(ex).__name__}
                 print(f"{name}: monolithic oracle raised "
                       f"{type(ex).__name__}; staged replay used", flush=True)
             except Exception as ex2:
@@ -167,6 +173,8 @@ for name, fn in Q.items():
     ok = rows_m and schema_m and hash_m
     records[name] = {"rows_match": rows_m, "schema_match": schema_m, "hash_match": hash_m,
                      "spark_rows": len(sp), "oracle_rows": len(ora), "err": None}
+    if oracle_form:
+        records[name].update(oracle_form)
     if not ok:
         fails.append(name)
         print(f"{name}: MISMATCH rows={len(sp)}/{len(ora)} schema={schema_m} "
