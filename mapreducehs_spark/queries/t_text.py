@@ -4936,3 +4936,283 @@ def t56_dpo_margin_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_ppm"),
         )
     )
+
+
+# =========================================================================
+# Round 12 (1): agentic-trace assembly (t57)
+# =========================================================================
+
+#: t57's system prompt — shared by the Spark arm, the rendered oracle,
+#: and the conservation pytest (one constant, three consumers).
+_T57_SYSTEM = "You are a careful assistant with corpus tool access."
+
+#: the five-role loss-mask law: train on what the MODEL produced
+#: (assistant text AND its tool calls), mask what the environment
+#: produced (system prompt, user request, tool results).
+_T57_TRAINED = {"system": 0, "user": 0, "tool_call": 1,
+                "tool_result": 0, "assistant": 1}
+
+_T57_ORACLE = f"""
+    WITH q AS (
+      SELECT source, doc_id, text,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
+                                                x -> x != ''))) AS BIGINT) AS n_uniq
+      FROM documents
+    ), scored AS (
+      SELECT source, doc_id, text, (n_uniq * 1000000) // n_tok AS quality_micro
+      FROM q WHERE n_tok > 0
+    ), top AS (
+      SELECT source, doc_id, text, quality_micro, rn FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source ORDER BY quality_micro DESC, doc_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ), bot AS (
+      SELECT source, doc_id, text, quality_micro, rn FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source ORDER BY quality_micro ASC, doc_id DESC) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ), pairs AS (
+      SELECT t.source, t.rn AS pair_rank, t.text AS chosen_text,
+             b.text AS rejected_text
+      FROM top t JOIN bot b ON b.source = t.source AND b.rn = t.rn
+      WHERE t.doc_id != b.doc_id AND t.quality_micro > b.quality_micro
+    ), blocks AS (
+      SELECT source, pair_rank,
+             '<|im_start|>user' || chr(10)
+               || 'Improve sample ' || CAST(pair_rank AS VARCHAR) || ' from '
+               || source || ' using the corpus tool.<|im_end|>' || chr(10) AS ub,
+             '<|im_start|>assistant' || chr(10)
+               || '<tool_call>retrieve("' || source || '", '
+               || CAST(pair_rank AS VARCHAR)
+               || ')</tool_call><|im_end|>' || chr(10) AS cb,
+             '<|im_start|>tool' || chr(10)
+               || rejected_text || '<|im_end|>' || chr(10) AS rb,
+             '<|im_start|>assistant' || chr(10)
+               || chosen_text || '<|im_end|>' || chr(10) AS ab
+      FROM pairs
+    ), toks AS (
+      SELECT source, pair_rank,
+             CAST(len(list_filter(regexp_split_to_array(ub, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS n_u,
+             CAST(len(list_filter(regexp_split_to_array(cb, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS n_c,
+             CAST(len(list_filter(regexp_split_to_array(rb, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS n_r,
+             CAST(len(list_filter(regexp_split_to_array(ab, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS n_a,
+             ('0x' || substr(md5(ub), 1, 12))::BIGINT AS f_u,
+             ('0x' || substr(md5(cb), 1, 12))::BIGINT AS f_c,
+             ('0x' || substr(md5(rb), 1, 12))::BIGINT AS f_r,
+             ('0x' || substr(md5(ab), 1, 12))::BIGINT AS f_a
+      FROM blocks
+    ), sys AS (
+      SELECT CAST(len(list_filter(regexp_split_to_array(
+               '<|im_start|>system' || chr(10)
+               || '{_T57_SYSTEM}<|im_end|>' || chr(10),
+               '\\s+'), x -> x != '')) AS BIGINT) AS s,
+             ('0x' || substr(md5('<|im_start|>system' || chr(10)
+               || '{_T57_SYSTEM}<|im_end|>' || chr(10)), 1, 12))::BIGINT AS sf
+    ), spans AS (
+      SELECT source, pair_rank, n_u, n_c, n_r, n_a, f_u, f_c, f_r, f_a,
+             coalesce(sum(n_u + n_c + n_r + n_a) OVER (
+               PARTITION BY source ORDER BY pair_rank ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM toks
+    )
+    SELECT p.source, CAST(0 AS BIGINT) AS turn, CAST(0 AS BIGINT) AS block_idx,
+           'system' AS role, CAST(0 AS BIGINT) AS trained,
+           CAST(0 AS BIGINT) AS tok_start, s.s AS tok_end, s.s AS n_tokens,
+           s.sf AS block_fold
+    FROM (SELECT DISTINCT source FROM pairs) p, sys s
+    UNION ALL
+    SELECT sp.source, CAST(sp.pair_rank AS BIGINT), CAST(0 AS BIGINT),
+           'user', CAST(0 AS BIGINT),
+           CAST(s.s + sp.prior AS BIGINT),
+           CAST(s.s + sp.prior + n_u AS BIGINT), n_u, f_u
+    FROM spans sp, sys s
+    UNION ALL
+    SELECT sp.source, CAST(sp.pair_rank AS BIGINT), CAST(1 AS BIGINT),
+           'tool_call', CAST(1 AS BIGINT),
+           CAST(s.s + sp.prior + n_u AS BIGINT),
+           CAST(s.s + sp.prior + n_u + n_c AS BIGINT), n_c, f_c
+    FROM spans sp, sys s
+    UNION ALL
+    SELECT sp.source, CAST(sp.pair_rank AS BIGINT), CAST(2 AS BIGINT),
+           'tool_result', CAST(0 AS BIGINT),
+           CAST(s.s + sp.prior + n_u + n_c AS BIGINT),
+           CAST(s.s + sp.prior + n_u + n_c + n_r AS BIGINT), n_r, f_r
+    FROM spans sp, sys s
+    UNION ALL
+    SELECT sp.source, CAST(sp.pair_rank AS BIGINT), CAST(3 AS BIGINT),
+           'assistant', CAST(1 AS BIGINT),
+           CAST(s.s + sp.prior + n_u + n_c + n_r AS BIGINT),
+           CAST(s.s + sp.prior + n_u + n_c + n_r + n_a AS BIGINT), n_a, f_a
+    FROM spans sp, sys s
+"""
+
+
+@query("t57_agentic_trace_assembly", oracle=_T57_ORACLE)
+def t57_agentic_trace_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGENTIC-TRACE ASSEMBLY — t54's span algebra at the tool-use
+    grammar every agentic SFT run trains on: per source the t45 pairs
+    stitch (in pair_rank order) into ONE conversation of 4-block turns
+    — user request, assistant TOOL CALL, tool RESULT (the retrieved
+    low-quality text), assistant answer (the improved text) — under a
+    system prompt, and the trainer consumes the PER-BLOCK span table
+    this emits: absolute token offsets plus the loss-mask law (train
+    on what the model produced: assistant text AND tool calls; mask
+    what the environment produced: system, user, tool results).
+
+    Laws: every block ends with a newline, so block token counts ADD
+    exactly and blocks TILE the rendered conversation — row (turn i,
+    block j) starts where its predecessor ends, and the last block's
+    tok_end equals tokens(whole rendered conversation) (conservation
+    pytest renders and checks).  ``block_fold`` pins each block's
+    rendered bytes; ``trained`` is the _T57_TRAINED role law.  Turn
+    order = pair_rank (t45's committed ranking), block order fixed by
+    the grammar, so traces are deterministic under any partitioning.
+
+    Scale shape: t45's WindowGroupLimit pair plan (text carried — the
+    t51/t54 seam, no second corpus scan); the per-conversation prefix
+    sum is a window over <= 5 rows per source (bounded by the pair
+    cap, t54's bounded-window case); the per-turn 4-block fan-out is a
+    posexplode of a literal 4-struct array (pure projection, no
+    shuffle).  The per-turn spans frame (<= 5 rows per source) is
+    localCheckpointed so the system-row arm derives its distinct
+    sources from it instead of re-running the pair plan — the corpus
+    is scanned exactly TWICE (t45's two ranked arms), plan-pinned.
+    Output is <= 21 rows per source.  Reference witness: O2 ordered
+    keyed fold + O1 per-record rewrite (src/Core/MapReduceC.hs:24-26)."""
+    spans = _t57_build(spark, sf_dir).localCheckpoint()
+    toks_of = lambda c: F.size(text.tokens(c)).cast("bigint")  # noqa: E731
+    fold_of = lambda c: (  # noqa: E731
+        F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("bigint")
+    )
+    sys_block = F.lit("<|im_start|>system\n" + _T57_SYSTEM + "<|im_end|>\n")
+    z = F.lit(0).cast("bigint")
+
+    def blk(bi: int, role: str, off, n, fold):
+        return F.struct(
+            F.lit(bi).cast("bigint").alias("block_idx"),
+            F.lit(role).alias("role"),
+            F.lit(_T57_TRAINED[role]).cast("bigint").alias("trained"),
+            off.cast("bigint").alias("off"),
+            F.col(n).alias("n"),
+            F.col(fold).alias("fold"),
+        )
+
+    grammar = F.array(
+        blk(0, "user", z, "n_u", "f_u"),
+        blk(1, "tool_call", F.col("n_u"), "n_c", "f_c"),
+        blk(2, "tool_result", F.col("n_u") + F.col("n_c"), "n_r", "f_r"),
+        blk(
+            3, "assistant",
+            F.col("n_u") + F.col("n_c") + F.col("n_r"), "n_a", "f_a",
+        ),
+    )
+    turn_rows = (
+        spans.select(
+            "source",
+            F.col("pair_rank").cast("bigint").alias("turn"),
+            "__sys",
+            "prior",
+            F.explode(grammar).alias("b"),
+        )
+        .select(
+            "source",
+            "turn",
+            F.col("b.block_idx").alias("block_idx"),
+            F.col("b.role").alias("role"),
+            F.col("b.trained").alias("trained"),
+            (F.col("__sys") + F.col("prior") + F.col("b.off"))
+            .cast("bigint")
+            .alias("tok_start"),
+            (F.col("__sys") + F.col("prior") + F.col("b.off") + F.col("b.n"))
+            .cast("bigint")
+            .alias("tok_end"),
+            F.col("b.n").alias("n_tokens"),
+            F.col("b.fold").alias("block_fold"),
+        )
+    )
+    sys_rows = (
+        spans.select("source")
+        .distinct()
+        .select(
+            "source",
+            z.alias("turn"),
+            z.alias("block_idx"),
+            F.lit("system").alias("role"),
+            z.alias("trained"),
+            z.alias("tok_start"),
+            toks_of(sys_block).alias("tok_end"),
+            toks_of(sys_block).alias("n_tokens"),
+            fold_of(sys_block).alias("block_fold"),
+        )
+    )
+    return sys_rows.unionByName(turn_rows)
+
+
+def _t57_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t57's pre-checkpoint per-turn spans frame (q107 pin recipe):
+    the t45 pair plan with the four grammar blocks' token counts /
+    byte folds and the per-conversation prior prefix sum — everything
+    that touches the corpus; <= 5 rows per source come out."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = _quality_scored(docs, carry=("text",)).select(
+        "source", "doc_id", "quality_micro", "text"
+    )
+    pairs = _t45_pairs(scored, carry=("text",))
+    nl = F.lit("\n")
+    ub = F.concat(
+        F.lit("<|im_start|>user"), nl,
+        F.lit("Improve sample "), F.col("pair_rank").cast("string"),
+        F.lit(" from "), F.col("source"),
+        F.lit(" using the corpus tool.<|im_end|>"), nl,
+    )
+    cb = F.concat(
+        F.lit("<|im_start|>assistant"), nl,
+        F.lit('<tool_call>retrieve("'), F.col("source"), F.lit('", '),
+        F.col("pair_rank").cast("string"),
+        F.lit(")</tool_call><|im_end|>"), nl,
+    )
+    rb = F.concat(
+        F.lit("<|im_start|>tool"), nl,
+        F.col("rejected_text"), F.lit("<|im_end|>"), nl,
+    )
+    ab = F.concat(
+        F.lit("<|im_start|>assistant"), nl,
+        F.col("chosen_text"), F.lit("<|im_end|>"), nl,
+    )
+    toks_of = lambda c: F.size(text.tokens(c)).cast("bigint")  # noqa: E731
+    fold_of = lambda c: (  # noqa: E731
+        F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("bigint")
+    )
+    sys_block = F.lit("<|im_start|>system\n" + _T57_SYSTEM + "<|im_end|>\n")
+    toks = pairs.select(
+        "source",
+        "pair_rank",
+        toks_of(ub).alias("n_u"), fold_of(ub).alias("f_u"),
+        toks_of(cb).alias("n_c"), fold_of(cb).alias("f_c"),
+        toks_of(rb).alias("n_r"), fold_of(rb).alias("f_r"),
+        toks_of(ab).alias("n_a"), fold_of(ab).alias("f_a"),
+        toks_of(sys_block).alias("__sys"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("pair_rank").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = toks.withColumn(
+        "prior",
+        F.coalesce(
+            F.sum(
+                F.col("n_u") + F.col("n_c") + F.col("n_r") + F.col("n_a")
+            ).over(w),
+            F.lit(0),
+        ),
+    )
+    return spans

@@ -1581,3 +1581,104 @@ def test_q127_per_layout_pruning(spark):
     assert re.search(r"PartitionFilters: \[[^\]]*month", plan)
     # gen1 (flat): the same bounds reach the parquet row-group stats
     assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(month,1995-01\)", plan)
+
+
+def test_t57_trace_tiling_and_conservation(q, spark):
+    """t57's span law end-to-end: within each source the per-block
+    spans TILE [0, total) in (turn, block_idx) order with no gaps, the
+    role grammar and loss-mask law hold on every turn, and rendering
+    the WHOLE conversation (system block + the four grammar blocks per
+    pair in turn order) tokenizes to exactly the last block's tok_end."""
+    from pyspark.sql import functions as F
+
+    from mapreducehs_spark.operators import text
+    from mapreducehs_spark.queries import _t, _t45_pairs, _quality_scored
+    from mapreducehs_spark.queries.t_text import _T57_SYSTEM, _T57_TRAINED
+
+    rows = sorted(
+        q("t57_agentic_trace_assembly").collect(),
+        key=lambda r: (r["source"], r["turn"], r["block_idx"]),
+    )
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, blocks in by_src.items():
+        # head block is the masked system prompt at offset 0
+        assert blocks[0]["role"] == "system" and blocks[0]["turn"] == 0
+        assert blocks[0]["tok_start"] == 0 and blocks[0]["trained"] == 0
+        # spans tile with no gaps; lengths are consistent
+        for a, b in zip(blocks, blocks[1:]):
+            assert b["tok_start"] == a["tok_end"], (src, b["turn"], b["block_idx"])
+        for r in blocks:
+            assert r["tok_end"] - r["tok_start"] == r["n_tokens"]
+            assert r["trained"] == _T57_TRAINED[r["role"]], (src, r["role"])
+        # each turn is the fixed 4-block grammar in order
+        turns = {}
+        for r in blocks[1:]:
+            turns.setdefault(r["turn"], []).append(r["role"])
+        for t, roles in turns.items():
+            assert roles == ["user", "tool_call", "tool_result", "assistant"], (src, t)
+    # full-render conservation at the corpus level
+    docs = _t(spark, SF, "documents")
+    scored = _quality_scored(docs, carry=("text",)).select(
+        "source", "doc_id", "quality_micro", "text"
+    )
+    pairs = _t45_pairs(scored, carry=("text",))
+    nl = F.lit("\n")
+    turn_render = F.concat(
+        F.lit("<|im_start|>user"), nl,
+        F.lit("Improve sample "), F.col("pair_rank").cast("string"),
+        F.lit(" from "), F.col("source"),
+        F.lit(" using the corpus tool.<|im_end|>"), nl,
+        F.lit("<|im_start|>assistant"), nl,
+        F.lit('<tool_call>retrieve("'), F.col("source"), F.lit('", '),
+        F.col("pair_rank").cast("string"),
+        F.lit(")</tool_call><|im_end|>"), nl,
+        F.lit("<|im_start|>tool"), nl,
+        F.col("rejected_text"), F.lit("<|im_end|>"), nl,
+        F.lit("<|im_start|>assistant"), nl,
+        F.col("chosen_text"), F.lit("<|im_end|>"), nl,
+    )
+    convs = (
+        pairs.select("source", "pair_rank", turn_render.alias("b"))
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit("<|im_start|>system\n" + _T57_SYSTEM + "<|im_end|>\n"),
+                F.concat_ws("", F.array_sort(
+                    F.collect_list(F.struct("pair_rank", "b"))
+                ).getField("b")),
+            ).alias("conv")
+        )
+    )
+    totals = {
+        r["source"]: r["n"]
+        for r in convs.select(
+            "source", F.size(text.tokens("conv")).alias("n")
+        ).collect()
+    }
+    for src, blocks in by_src.items():
+        assert totals[src] == blocks[-1]["tok_end"], src
+
+
+def test_t57_rides_windowgrouplimit_no_extra_scan(q, spark):
+    """t57's scale contract: the pre-checkpoint spans frame ranks via
+    WindowGroupLimit (per-partition top-5 before the exchange, t45's
+    plan) and scans the corpus exactly TWICE (the two ranked arms);
+    downstream of the checkpoint the 4-block fan-out is a generate and
+    the system-row arm reads the checkpointed spans, not the corpus —
+    zero parquet scans in the final plan."""
+    import re
+
+    from mapreducehs_spark.queries.t_text import _t57_build
+
+    pre = _t57_build(spark, SF)
+    pre_plan = I.formatted_plan(pre)
+    assert "WindowGroupLimit" in pre_plan
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", pre_plan))) == 2
+    df = q("t57_agentic_trace_assembly")
+    plan = I.formatted_plan(df)
+    assert "Generate" in plan  # the literal 4-struct posexplode
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan parquet" not in plan  # both arms read the checkpoint
