@@ -4334,7 +4334,42 @@ def t51_sft_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_T52_ORACLE = """
+def _t52_groups(docs: DataFrame) -> DataFrame:
+    """t52's prompt-group sample draw as the ONE seam helper (the
+    _t45_pairs discipline; t58 rides the identical groups): docs hash
+    into prompt groups (doc_id mod 64 within source), each group's
+    candidate budget n_g varies 2..8 by a salted md5 fold of the group
+    key, and the draw keeps the first n_g docs in doc_id order — the
+    constant ``rn_sample <= 8`` cap lowers to WindowGroupLimit before
+    the (source, gid) exchange, the exact n_g filter runs on the <= 8
+    survivors."""
+    gn = (
+        _quality_scored(docs)
+        .withColumn("gid", (F.col("doc_id") % 64).cast("bigint"))
+        .withColumn(
+            "n_g",
+            2
+            + F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("source"), F.lit(":"),
+                                   F.col("gid").cast("string"), F.lit(":t52"))),
+                    1, 12,
+                ),
+                16, 10,
+            ).cast("bigint") % 7,
+        )
+    )
+    w_samp = Window.partitionBy("source", "gid").orderBy(F.col("doc_id").asc())
+    return (
+        gn.withColumn("rn_sample", F.row_number().over(w_samp))
+        .filter(F.col("rn_sample") <= 8)  # constant cap -> WindowGroupLimit
+        .filter(F.col("rn_sample") <= F.col("n_g"))
+    )
+
+
+#: the q → scored → gn → samp CTE chain shared verbatim by t52's and
+#: t58's oracles — the SQL mirror of the `_t52_groups` seam.
+_T52_GROUP_CTES = """
     WITH q AS (
       SELECT source, doc_id,
              CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
@@ -4356,7 +4391,10 @@ _T52_ORACLE = """
           PARTITION BY source, gid ORDER BY doc_id ASC) AS rn_sample
         FROM gn
       ) WHERE rn_sample <= n_g
-    ), ranked AS (
+    )"""
+
+_T52_ORACLE = _T52_GROUP_CTES + """
+    , ranked AS (
       SELECT *, row_number() OVER (
         PARTITION BY source, gid ORDER BY quality_micro DESC, doc_id ASC) AS rn_best
       FROM samp
@@ -4409,28 +4447,7 @@ def t52_rejection_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange + one final n_sources shuffle.  Zero UDFs.  Reference
     witness: O2 keyed fold (src/Core/MapReduceC.hs:25-26)."""
     docs = _t(spark, sf_dir, "documents")
-    gn = (
-        _quality_scored(docs)
-        .withColumn("gid", (F.col("doc_id") % 64).cast("bigint"))
-        .withColumn(
-            "n_g",
-            2
-            + F.conv(
-                F.substring(
-                    F.md5(F.concat(F.col("source"), F.lit(":"),
-                                   F.col("gid").cast("string"), F.lit(":t52"))),
-                    1, 12,
-                ),
-                16, 10,
-            ).cast("bigint") % 7,
-        )
-    )
-    w_samp = Window.partitionBy("source", "gid").orderBy(F.col("doc_id").asc())
-    samp = (
-        gn.withColumn("rn_sample", F.row_number().over(w_samp))
-        .filter(F.col("rn_sample") <= 8)  # constant cap -> WindowGroupLimit
-        .filter(F.col("rn_sample") <= F.col("n_g"))
-    )
+    samp = _t52_groups(docs)
     w_best = Window.partitionBy("source", "gid").orderBy(
         F.col("quality_micro").desc(), F.col("doc_id").asc()
     )
@@ -5216,3 +5233,141 @@ def _t57_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return spans
+
+
+# =========================================================================
+# Round 12 (2): GRPO group-advantage readout (t58)
+# =========================================================================
+
+_T58_ORACLE = _T52_GROUP_CTES + """
+    , wa AS (
+      SELECT source, gid, quality_micro,
+             count(*) OVER (PARTITION BY source, gid) AS n,
+             sum(quality_micro) OVER (PARTITION BY source, gid) AS s,
+             sum(quality_micro * quality_micro)
+               OVER (PARTITION BY source, gid) AS q2
+      FROM samp
+    ), adv AS (
+      SELECT source, gid, n, s, n * q2 - s * s AS var_num,
+             CASE WHEN n * q2 - s * s > 0 THEN
+               CAST(floor((n * quality_micro - s) * 1000000
+                          / sqrt(CAST(n * q2 - s * s AS DOUBLE))) AS BIGINT)
+             ELSE 0 END AS adv_micro
+      FROM wa
+    ), pg AS (
+      SELECT source, gid,
+             CAST(max(n) AS BIGINT) AS n_cand,
+             CAST(max(s) AS BIGINT) AS s,
+             CAST(max(var_num) AS BIGINT) AS var_num,
+             CAST(max(s) // max(n) AS BIGINT) AS mean_micro,
+             CAST(sum(abs(adv_micro)) AS BIGINT) AS abs_adv,
+             CAST(max(adv_micro) AS BIGINT) AS max_adv
+      FROM adv GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n_cand) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN var_num = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS degenerate_groups,
+           CAST((sum(CASE WHEN var_num = 0 THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS degenerate_ppm,
+           CAST(sum(s) // sum(n_cand) AS BIGINT) AS reward_mean_micro,
+           CAST(max(mean_micro) - min(mean_micro) AS BIGINT)
+             AS group_mean_spread_micro,
+           CAST(sum(abs_adv) AS BIGINT) AS abs_adv_mass_micro,
+           CAST(max(max_adv) AS BIGINT) AS max_adv_micro
+    FROM pg GROUP BY source
+"""
+
+
+@query("t58_grpo_advantage_readout", oracle=_T58_ORACLE)
+def t58_grpo_advantage_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRPO GROUP-ADVANTAGE READOUT — the go/no-go table a
+    group-relative policy-optimization run (Shao et al. 2024,
+    DeepSeekMath) is gated on BEFORE burning GPU: GRPO's learning
+    signal is the per-candidate z-score within its prompt group
+    ((r_i - mean) / std), so a corpus whose groups are DEGENERATE
+    (zero reward variance — every candidate scored the same) trains
+    nothing, exactly like t56's collapsed-margin check for DPO.
+
+    Laws: groups and candidate draws are t52's committed sample law
+    via the `_t52_groups` seam (one law, two consumers; the reward is
+    the tier-wide `_quality_scored` signal); per-candidate advantage
+    in integer micro-units by the engine-exact quantization recipe —
+    adv_micro = floor((n*r_i - S) * 1e6 / sqrt(n*Q - S^2)) where
+    S = sum(r), Q = sum(r^2) over the group (the numerator equals
+    n^2 * variance, so this IS the z-score scaled 1e6; every operand
+    stays under 2^53 so the double chain is IEEE-identical in both
+    engines, and floor never ties).  Degenerate groups (var_num == 0,
+    including singletons) contribute zero advantage.  Per-source
+    report: group/candidate counts, degenerate count and exact-ppm
+    rate, corpus reward mean, inter-group mean spread (prompt
+    difficulty diversity), total |advantage| mass (the learning-signal
+    budget), and the max single advantage.
+
+    Scale shape: the draw is t52's WindowGroupLimit plan; the group
+    moments are whole-partition window aggregates over the <= 8
+    survivors REUSING the (source, gid) exchange (no orderBy, no new
+    shuffle), the group rollup reuses it again, and only the final
+    n_sources rollup shuffles — TWO exchanges total however big the
+    corpus, exchange-count pytest-pinned.  Zero UDFs.  Reference
+    witness: O2 keyed fold (src/Core/MapReduceC.hs:25-26)."""
+    docs = _t(spark, sf_dir, "documents")
+    samp = _t52_groups(docs)
+    w_g = Window.partitionBy("source", "gid")
+    wa = samp.select(
+        "source",
+        "gid",
+        "quality_micro",
+        F.count(F.lit(1)).over(w_g).cast("bigint").alias("n"),
+        F.sum("quality_micro").over(w_g).cast("bigint").alias("s"),
+        F.sum(F.col("quality_micro") * F.col("quality_micro"))
+        .over(w_g)
+        .cast("bigint")
+        .alias("q2"),
+    )
+    var_num = F.col("n") * F.col("q2") - F.col("s") * F.col("s")
+    adv = wa.select(
+        "source",
+        "gid",
+        "n",
+        "s",
+        var_num.alias("var_num"),
+        F.when(
+            var_num > 0,
+            F.floor(
+                (F.col("n") * F.col("quality_micro") - F.col("s"))
+                * F.lit(1_000_000)
+                / F.sqrt(var_num.cast("double"))
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("adv_micro"),
+    )
+    pg = adv.groupBy("source", "gid").agg(
+        F.max("n").cast("bigint").alias("n_cand"),
+        F.max("s").cast("bigint").alias("s"),
+        F.max("var_num").cast("bigint").alias("var_num"),
+        F.expr("max(s) div max(n)").cast("bigint").alias("mean_micro"),
+        F.sum(F.abs(F.col("adv_micro"))).cast("bigint").alias("abs_adv"),
+        F.max("adv_micro").cast("bigint").alias("max_adv"),
+    )
+    return pg.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("n_cand").cast("bigint").alias("n_candidates"),
+        F.sum((F.col("var_num") == 0).cast("bigint"))
+        .cast("bigint")
+        .alias("degenerate_groups"),
+        F.expr(
+            "(sum(cast(var_num = 0 as bigint)) * 1000000L) div count(1)"
+        )
+        .cast("bigint")
+        .alias("degenerate_ppm"),
+        F.expr("sum(s) div sum(n_cand)").cast("bigint").alias("reward_mean_micro"),
+        (F.max("mean_micro") - F.min("mean_micro"))
+        .cast("bigint")
+        .alias("group_mean_spread_micro"),
+        F.sum("abs_adv").cast("bigint").alias("abs_adv_mass_micro"),
+        F.max("max_adv").cast("bigint").alias("max_adv_micro"),
+    )

@@ -1682,3 +1682,29 @@ def test_t57_rides_windowgrouplimit_no_extra_scan(q, spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Scan parquet" not in plan  # both arms read the checkpoint
+
+
+def test_t58_two_exchanges_and_t52_agreement(q):
+    """t58's scale contract and seam law: exactly TWO exchanges
+    (the (source, gid) group exchange reused by the window moments and
+    the group rollup, plus the final n_sources rollup), t52's
+    WindowGroupLimit draw underneath; and because t52/t58 read the
+    SAME `_t52_groups` draw, their per-source group/candidate counts
+    must agree exactly."""
+    df = q("t58_grpo_advantage_readout")
+    plan = I.formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert I.exchange_count(df) == 2
+    t58 = {r["source"]: r for r in df.collect()}
+    t52 = {r["source"]: r for r in q("t52_rejection_sampling").collect()}
+    assert set(t58) == set(t52)
+    for src, r in t58.items():
+        assert r["n_groups"] == t52[src]["n_groups"], src
+        assert r["n_candidates"] == t52[src]["n_candidates"], src
+        # advantage sanity under the law: degenerate rate is an exact
+        # truncated ppm; a group's max advantage is a z-score*1e6 and
+        # cannot exceed sqrt(n-1)*1e6 < sqrt(8)*1e6
+        assert 0 <= r["degenerate_ppm"] <= 1_000_000
+        assert r["degenerate_groups"] * 1_000_000 // r["n_groups"] == r["degenerate_ppm"]
+        assert r["max_adv_micro"] <= 2_828_428
+        assert r["abs_adv_mass_micro"] >= 0
