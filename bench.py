@@ -14,12 +14,13 @@ driver's stdout capture keeps only the tail of long lines: round 4's
 The compact line is ~300 bytes — it can never lose the headline again —
 and the full detail lives in the committed file.
 
-``calib_sec`` is a fixed, data-independent calibration workload (seeded
-10 M-row codegen-only aggregate, median of 3 after warm-up) measured
-FIRST in the same session.  Cross-round comparisons should normalize by
-it: this box drifts +-2x with load (round 4's 1.27x artifact delta took
-a judge-side isolated rerun to adjudicate as noise; with calib_sec the
-series self-diagnoses).
+``calib_sec`` is a fixed, data-independent calibration workload
+measured FIRST in the same session — VERSION 2 since round 12 (mixed
+~4 s JVM-shuffle + Arrow/Python reps, median of 5, dispersion
+recorded; see ``calibration()``).  Cross-round comparisons should
+normalize by it WITHIN the same ``calib_version``: this box drifts
++-2x with load, and the v1 sub-second probe itself swung 2x across
+round-11 sweeps, which is why v2 exists.
 
 Each query is executed fully via the noop sink (no driver collect cost,
 no skipped projections).  One warm-up run of the flagship query first so
@@ -32,6 +33,8 @@ import json
 import os
 import sys
 import time
+
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
@@ -316,36 +319,75 @@ def alt_queries():
     }
 
 
-def calibration(spark) -> float:
-    """Fixed box-speed probe: seeded 10 M-row codegen-only aggregate.
+def calibration(spark) -> dict:
+    """Fixed box-speed probe, VERSION 2 (round 12).
 
-    No source data, no Python workers — pure whole-stage-codegen scan +
-    hash aggregate + one 97-key shuffle, i.e. the machine's JVM/CPU/
-    shuffle floor.  Identical across rounds by construction, so
-    headline / calib_sec is comparable even when absolute wall-times
-    drift with box load."""
+    The v1 probe (seeded 10 M-row codegen-only aggregate, sub-second)
+    swung 1.17 → 0.74 → 0.60 across three round-11 sweeps while raw
+    walls and plan fingerprints barely moved — a ±50% swing in every
+    "calibration-normalized" cross-round comparison.  A sub-second
+    codegen-only burst measures scheduler/JIT jitter, not sustained box
+    speed.  v2 measures what the query suite actually exercises, long
+    enough to amortize scheduling noise:
+
+    - JVM leg: 150 M-row codegen scan → 9,973-key REPARTITION (real
+      shuffle bytes) → hash aggregate (sum/avg/count);
+    - Python leg: 30 M-row Arrow round-trip through a pandas UDF →
+      97-key aggregate.
+
+    ~4 s per rep on the reference box; warm-up + MEDIAN OF 5, with the
+    raw reps and the dispersion (sample stdev / median) recorded so
+    every artifact carries its own error bar.  Returns a dict:
+    ``{"calib_sec", "calib_disp", "calib_reps", "calib_version"}``.
+    Cross-round normalization is only meaningful within the same
+    calib_version (v2 from round 12 on; BENCH_r11 and earlier carry v1).
+    """
+    import statistics
+
     from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def _py_leg(v: pd.Series) -> pd.Series:
+        return (v * 1.0000001).pow(0.5) + (v % 7.0)
 
     def once() -> float:
         t0 = time.perf_counter()
         (
-            spark.range(0, 10_000_000, 1, int(CPUS))
+            spark.range(0, 150_000_000, 1, int(CPUS))
             .select(
                 ((F.col("id") * 2654435761) % 1000003).alias("k"),
-                (F.col("id") % 97).alias("g"),
+                (F.col("id") % 9973).alias("g"),
             )
+            .repartition(int(CPUS), "g")
             .groupBy("g")
             .agg(F.sum("k").alias("s"), F.avg("k").alias("a"), F.count(F.lit(1)).alias("n"))
             .write.format("noop")
             .mode("overwrite")
             .save()
         )
+        (
+            spark.range(0, 30_000_000, 1, int(CPUS))
+            .select(
+                _py_leg((F.col("id") % 1000003).cast("double")).alias("p"),
+                (F.col("id") % 97).alias("g"),
+            )
+            .groupBy("g")
+            .agg(F.sum("p").alias("sp"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
         return time.perf_counter() - t0
 
-    import statistics
-
-    once()  # warm-up: JIT the generated code
-    return round(statistics.median(once() for _ in range(3)), 4)
+    once()  # warm-up: JIT the generated code, spawn Python workers
+    reps = [once() for _ in range(5)]
+    med = statistics.median(reps)
+    return {
+        "calib_sec": round(med, 4),
+        "calib_disp": round(statistics.stdev(reps) / med, 4),
+        "calib_reps": [round(t, 4) for t in reps],
+        "calib_version": 2,
+    }
 
 
 def main() -> None:
@@ -354,7 +396,7 @@ def main() -> None:
 
     spark = get_spark(app_name="mapreducehs_spark_bench", master=f"local[{CPUS}]")
 
-    calib_sec = calibration(spark)
+    calib = calibration(spark)
 
     def run(name: str) -> float:
         t0 = time.perf_counter()
@@ -422,7 +464,7 @@ def main() -> None:
         "metric": "batch_inventory_total_wall",
         "value": total,
         "unit": "sec",
-        "calib_sec": calib_sec,
+        **calib,
         "n_queries": len(timings),
         "r5_series_total": series_total,
         "r5_series_n": len(R5_SERIES),
@@ -444,7 +486,7 @@ def main() -> None:
         "metric": "batch_inventory_total_wall",
         "value": total,
         "unit": "sec",
-        "calib_sec": calib_sec,
+        **calib,
         "n_queries": len(timings),
         "r5_series_total": series_total,
         "r5_series_n": len(R5_SERIES),

@@ -39,7 +39,7 @@ def main() -> None:
     from mapreducehs_spark.session import get_spark
 
     spark = get_spark(app_name="mapreducehs_scale_run", master=f"local[{CPUS}]")
-    calib_sec = calibration(spark)
+    calib = calibration(spark)
 
     spark.range(0, 1024, 1, int(CPUS)).mapInPandas(
         lambda it: it, schema="id long"
@@ -57,7 +57,7 @@ def main() -> None:
     timings = {name: round(statistics.median(run(name) for _ in range(3)), 4) for name in names}
     out = {
         "sf_dir": sf_dir,
-        "calib_sec": calib_sec,
+        **calib,
         "total": round(sum(timings.values()), 4),
         "queries": timings,
     }

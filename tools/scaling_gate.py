@@ -53,6 +53,18 @@ def main() -> None:
         b01 = json.load(f)
 
     calib_ratio = b1["calib_sec"] / b01["calib_sec"]
+    # carry each side's instrument metadata (v2 probe, round 12) so the
+    # gate artifact documents its own error bar and refuses silent
+    # cross-version normalization
+    calib_meta = {
+        "calib_version": [b1.get("calib_version", 1), b01.get("calib_version", 1)],
+        "calib_disp": [b1.get("calib_disp"), b01.get("calib_disp")],
+    }
+    if calib_meta["calib_version"][0] != calib_meta["calib_version"][1]:
+        raise SystemExit(
+            "calib_version mismatch between bench files: "
+            f"{calib_meta['calib_version']} — re-run the older sweep"
+        )
     q1, q01 = b1["queries"], b01["queries"]
     common = sorted(set(q1) & set(q01))
     missing = sorted(set(q01) ^ set(q1))
@@ -80,6 +92,7 @@ def main() -> None:
         "gate_ratio": GATE_RATIO,
         "floor_sec": FLOOR_SEC,
         "calib_ratio": round(calib_ratio, 4),
+        **calib_meta,
         "n_queries": len(rows),
         "n_flagged": len(flagged),
         "flagged": flagged,
