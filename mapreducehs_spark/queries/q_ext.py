@@ -4125,40 +4125,14 @@ _Q126_ORACLE = """
 """
 
 
-def _q126_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q126's pre-checkpoint frame (q107 pin recipe): builds the
-    two-generation fixture and returns the field-id-unified rollup;
-    the caller owns the fieldId read confs + materialization.
-    See q126_schema_evolution_read for the full design argument,
-    which continues: the last lakehouse reader primitive next
-    to q123/q124/q125: two physical parquet generations of the same
-    table, where generation 2 RENAMED a column (cents -> amount_cents),
-    WIDENED its type (int32 -> bigint), and ADDED one (channel), are
-    unified through the parquet FIELD-ID contract — Iceberg's column
-    resolution law and Delta's `delta.columnMapping.mode = id`: every
-    column carries a stable numeric id in the file footer, and readers
-    match the requested schema BY ID, never by name or position.  One
-    canonical read schema (ids 1..4, the table's current logical
-    schema) therefore reads BOTH generations: gen1's `cents` lands in
-    `amount_cents` because it is field 3, its int32 values widen to
-    bigint in the scan, and the missing field 4 back-fills NULL —
-    q90's name-based unionByName cannot express the rename without a
-    side table; the id contract makes it metadata-only.
-
-    The fixture writes real field ids through Spark's own
-    `parquet.field.id` column metadata (write side) and reads them
-    back under `spark.sql.parquet.fieldId.read.enabled` — the whole
-    rename/widen/back-fill round trip happens in the vectorized scan,
-    and the oracle replays the generation split from the base table so
-    the round trip is value-checked end to end.
-
-    Scale shape: ONE FileScan per generation (plan-pinned), each with
-    the canonical ReadSchema resolved per file footer — no shuffle
-    until the final tiny rollup; at 100 TB this is exactly how an
-    Iceberg/Delta table with years of heterogeneous files is read
-    (resolution is per-file and embarrassingly parallel).  Reference
-    witness: O12 pluggable-store read path (src/Core/Store.hs) —
-    the store contract is keyed by stable ids, not display names."""
+def _q126_fixture(spark: SparkSession, sf_dir: str):
+    """q126's two-generation field-id fixture as the ONE seam helper
+    (st35 streams the same directory): builds gen1 (k/status/cents
+    int32, field ids 1..3) and gen2 (field 3 renamed amount_cents +
+    widened bigint, field 4 channel added) under the committed orders
+    split, and returns ``(base_dir, canonical_schema)`` — the id-keyed
+    read schema (ids 1..4) that resolves BOTH generations per file
+    footer."""
     import os
     import tempfile
 
@@ -4220,6 +4194,46 @@ def _q126_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("channel", StringType(), True, md(4)),
         ]
     )
+    return base, canonical
+
+
+def _q126_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q126's pre-checkpoint frame (q107 pin recipe): builds the
+    two-generation fixture and returns the field-id-unified rollup;
+    the caller owns the fieldId read confs + materialization.
+    See q126_schema_evolution_read for the full design argument,
+    which continues: the last lakehouse reader primitive next
+    to q123/q124/q125: two physical parquet generations of the same
+    table, where generation 2 RENAMED a column (cents -> amount_cents),
+    WIDENED its type (int32 -> bigint), and ADDED one (channel), are
+    unified through the parquet FIELD-ID contract — Iceberg's column
+    resolution law and Delta's `delta.columnMapping.mode = id`: every
+    column carries a stable numeric id in the file footer, and readers
+    match the requested schema BY ID, never by name or position.  One
+    canonical read schema (ids 1..4, the table's current logical
+    schema) therefore reads BOTH generations: gen1's `cents` lands in
+    `amount_cents` because it is field 3, its int32 values widen to
+    bigint in the scan, and the missing field 4 back-fills NULL —
+    q90's name-based unionByName cannot express the rename without a
+    side table; the id contract makes it metadata-only.
+
+    The fixture writes real field ids through Spark's own
+    `parquet.field.id` column metadata (write side) and reads them
+    back under `spark.sql.parquet.fieldId.read.enabled` — the whole
+    rename/widen/back-fill round trip happens in the vectorized scan,
+    and the oracle replays the generation split from the base table so
+    the round trip is value-checked end to end.
+
+    Scale shape: ONE FileScan per generation (plan-pinned), each with
+    the canonical ReadSchema resolved per file footer — no shuffle
+    until the final tiny rollup; at 100 TB this is exactly how an
+    Iceberg/Delta table with years of heterogeneous files is read
+    (resolution is per-file and embarrassingly parallel).  Reference
+    witness: O12 pluggable-store read path (src/Core/Store.hs) —
+    the store contract is keyed by stable ids, not display names."""
+    import os
+
+    base, canonical = _q126_fixture(spark, sf_dir)
     frames = [
         spark.read.schema(canonical)
         .parquet(os.path.join(base, gen))

@@ -1557,3 +1557,94 @@ def st34_stream_curriculum_router(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("n_tokens"),
     )
+
+
+# =========================================================================
+# Round 12: streaming schema-evolution read (st35)
+# =========================================================================
+
+def _st35_stream(spark: SparkSession, sf_dir: str):
+    """st35's stream topology, factored so the stateless pin test can
+    hold the StreamingQuery handle: q126's two-generation directory
+    read as a file STREAM under the canonical field-id schema, each
+    file's generation recovered from its path (``_metadata.file_path``
+    — per-file metadata, not data).  Returns the enriched stream frame;
+    the caller owns the fieldId confs + the writeStream."""
+    import os
+
+    from mapreducehs_spark.queries.q_ext import _q126_fixture
+
+    base, canonical = _q126_fixture(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(canonical)
+        .option("maxFilesPerTrigger", "1")  # heterogeneous files arrive
+        .parquet(os.path.join(base, "gen*"))  # one micro-batch at a time
+    )
+    return stream.select(
+        "*",
+        F.regexp_extract(
+            F.col("_metadata").getField("file_path"), r"(gen[12])", 1
+        ).alias("generation"),
+    )
+
+
+@query("st35_stream_schema_evolution", oracle=None)
+def st35_stream_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SCHEMA-EVOLUTION READ — q126's field-id contract at
+    INGEST, closing the lakehouse x streaming matrix: a continuous
+    intake reading a table directory that mixes physical generations
+    (gen2 renamed cents -> amount_cents, widened int32 -> bigint, and
+    added channel) must resolve every arriving FILE against the
+    canonical id-keyed schema — rename, widen, and NULL back-fill
+    happen per file in the vectorized scan, exactly as in the batch
+    read, because Iceberg/Delta id resolution is per-file metadata
+    work with no cross-file dependency.  ``maxFilesPerTrigger=1``
+    forces generations to arrive in SEPARATE micro-batches, so the
+    resolution is exercised per-trigger, not once.
+
+    State: NONE — the whole topology is a stateless projection into
+    the append sink (no state store, no watermark; pytest holds the
+    query handle and pins empty stateOperators).  The health rollup
+    runs BATCH-side over the sink read (the st27/st34 stitch
+    discipline) and is value-checked against q126's own oracle — the
+    streamed two-generation read must agree with the batch replay of
+    the generation split bit-for-bit.  Reference witness: O12
+    pluggable-store read path (src/Core/Store.hs) + O1 stateless
+    per-record kernel (src/Core/MapReduceC.hs:24)."""
+    from mapreducehs_spark import streaming as st
+
+    confs = {
+        "spark.sql.parquet.fieldId.read.enabled": "true",
+        "spark.sql.parquet.fieldId.read.ignoreMissing": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # the id-resolved scans run inside the stream's micro-batches —
+        # the confs must be live until the sink is fully drained
+        log = st.run_to_batch(
+            _st35_stream(spark, sf_dir), "st35_sink", output_mode="append"
+        )
+        return (
+            log.groupBy("generation", "status")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("amount_cents").cast("bigint").alias("total_cents"),
+                F.count("channel").cast("bigint").alias("n_with_channel"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+# st35 value-checks against q126's batch oracle verbatim — the streamed
+# read of the mixed-generation directory must match the batch replay.
+from mapreducehs_spark.queries.q_ext import _Q126_ORACLE as _ST35_ORACLE  # noqa: E402
+
+ORACLE["st35_stream_schema_evolution"] = _ST35_ORACLE

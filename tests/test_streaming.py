@@ -759,3 +759,64 @@ def test_cdc_images_checkpoint_restart_matches_q124(spark, tmp_path):
     assert got == want
     # the kill point must be genuinely mid-feed: both runs emitted rows
     assert 0 < emitted_before < len(got)
+
+
+def test_st35_stream_schema_evolution_is_stateless_per_file(spark):
+    """st35's contract, pinned on the live query handle: the mixed-
+    generation read is STATELESS (no state store shows up in any
+    micro-batch progress), generations arrive in SEPARATE micro-batches
+    (maxFilesPerTrigger=1 => at least one trigger per physical file),
+    and the id-resolved sink agrees with q126's batch read exactly."""
+    from mapreducehs_spark.queries.q_ext import q126_schema_evolution_read
+    from mapreducehs_spark.queries.st_streaming import _st35_stream
+
+    sf = "/root/testdata/sf0.001"
+    confs = {
+        "spark.sql.parquet.fieldId.read.enabled": "true",
+        "spark.sql.parquet.fieldId.read.ignoreMissing": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        q = (
+            _st35_stream(spark, sf)
+            .writeStream.format("memory")
+            .queryName("st35_pin_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(timeout=600)
+        progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        # stateless: no micro-batch ever reports a state operator with
+        # state rows (no state store, no watermark)
+        for p in q.recentProgress:
+            for sop in p.get("stateOperators") or []:
+                assert sop["numRowsTotal"] == 0, p
+        # per-file arrival: both generations cannot land in one trigger
+        assert len(progresses) >= 2
+        sink = spark.table("st35_pin_sink")
+        got = {
+            (r["generation"], r["status"]): (r["n"], r["cents"], r["chan"])
+            for r in sink.groupBy("generation", "status")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("amount_cents").alias("cents"),
+                F.count("channel").alias("chan"),
+            )
+            .collect()
+        }
+        want = {
+            (r["generation"], r["status"]): (
+                r["n_orders"], r["total_cents"], r["n_with_channel"]
+            )
+            for r in q126_schema_evolution_read(spark, sf).collect()
+        }
+        assert got == want
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
