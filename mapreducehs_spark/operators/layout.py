@@ -134,3 +134,56 @@ def compact_dir(
         out = out.sortWithinPartitions(*sort_within_by)
     out.write.format(fmt).mode("overwrite").save(dst_path)
     return n_files
+
+
+def execute_compaction_plan(
+    spark,
+    df: DataFrame,
+    plan: DataFrame,
+    out_dir: str,
+    file_id_col: str = "file_id",
+    fmt: str = "parquet",
+) -> dict[int, int]:
+    """Execute a q105-style compaction PLAN: rewrite the table so each
+    plan bin becomes exactly ONE output file, preserving key order.
+
+    q105 plans the bins (contiguous ``[first_file, last_file]``
+    file-id ranges packed to a byte target); this is the rewrite job
+    that consumes that plan.  Each row's file maps to its bin through
+    a broadcast range join against the plan (the plan is a metadata
+    frame, ~1 row per output file — the nested-loop is over bins, not
+    data); all rows of a bin hash to one task (``repartition(bin)``),
+    are re-sorted by file id inside it so min-max clustering survives
+    the rewrite, and land in one file under ``bin=<b>/``.
+
+    Returns {bin: data-file count} observed on disk after the write —
+    the caller asserts it equals 1 per planned bin (the compaction
+    contract) and that nothing else changed (content equivalence).
+    """
+    import os
+
+    p = plan.select("bin", "first_file", "last_file")
+    assigned = df.join(
+        F.broadcast(p),
+        (F.col(file_id_col) >= F.col("first_file"))
+        & (F.col(file_id_col) <= F.col("last_file")),
+    ).drop("first_file", "last_file")
+    (
+        assigned.repartition(F.col("bin"))
+        .sortWithinPartitions(file_id_col)
+        .write.mode("overwrite")
+        .partitionBy("bin")
+        .format(fmt)
+        .save(out_dir)
+    )
+    realized: dict[int, int] = {}
+    for entry in os.listdir(out_dir):
+        if not entry.startswith("bin="):
+            continue
+        b = int(entry.split("=", 1)[1])
+        realized[b] = sum(
+            1
+            for f in os.listdir(os.path.join(out_dir, entry))
+            if not f.startswith(("_", "."))
+        )
+    return realized

@@ -2146,3 +2146,65 @@ def test_kmeans_assignments_consistent_with_profile(spark):
     for cid, (cnt, tot) in agg.items():
         assert cnt == profile[cid][0]
         assert abs(tot / cnt - profile[cid][1]) < 1e-9
+
+
+def test_q105_plan_executes_to_one_file_per_bin(spark, tmp_path):
+    """Closes the 'plans but never executes' gap: materialize the q105
+    manifest as a real small-files table (one physical file per
+    synthetic file_id), EXECUTE the plan with
+    layout.execute_compaction_plan, and verify the compaction contract
+    — exactly one data file per planned bin, per-bin file membership
+    and byte mass exactly as planned, and the table's CONTENT unchanged
+    (order-independent content hash over every column)."""
+    from mapreducehs_spark.operators import layout
+    from mapreducehs_spark.queries import QUERIES
+    from mapreducehs_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    plan_rows = QUERIES["q105_compaction_plan"](spark, sf).collect()
+    plan = spark.createDataFrame(plan_rows)
+
+    orders = load_table(spark, sf, "orders").withColumn(
+        "file_id", F.expr("o_orderkey div 40")
+    )
+    small_dir = str(tmp_path / "small")
+    (
+        orders.repartition(F.col("file_id"))
+        .write.mode("overwrite")
+        .partitionBy("file_id")
+        .parquet(small_dir)
+    )
+    small = spark.read.parquet(small_dir)
+
+    out_dir = str(tmp_path / "compacted")
+    realized = layout.execute_compaction_plan(spark, small, plan, out_dir)
+
+    # one data file per planned bin, no unplanned bins
+    assert realized == {r["bin"]: 1 for r in plan_rows}
+
+    compacted = spark.read.parquet(out_dir)
+    # per-bin realized membership + byte mass == plan
+    got = {
+        r["bin"]: (r["nf"], r["bb"])
+        for r in compacted.groupBy("bin")
+        .agg(
+            F.countDistinct("file_id").alias("nf"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("bb"),
+        )
+        .collect()
+    }
+    assert got == {r["bin"]: (r["n_files"], r["bin_bytes"]) for r in plan_rows}
+
+    # content equivalence: order-independent hash over EVERY column
+    def content_sig(df):
+        cols = sorted(c for c in df.columns if c not in ("bin",))
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(*[F.col(c).cast("string") for c in cols])
+                .cast("decimal(38,0)")  # BIGINT sum overflows under ANSI
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    assert content_sig(compacted) == content_sig(small)
