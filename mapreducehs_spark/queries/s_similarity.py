@@ -1992,3 +1992,112 @@ def s24_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("top1_hit"),
         )
     )
+
+
+# =========================================================================
+# Round 12: Matryoshka dimension-truncation recall (s25)
+# =========================================================================
+
+
+@query(
+    "s25_matryoshka_recall",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8
+    ), x_pairs AS (
+      SELECT q.query_id, c.vec_id AS match_id,
+             round(list_cosine_similarity(q.qv, c.v), 6) AS cosine
+      FROM q JOIN e c ON c.vec_id != q.query_id
+    ), exact AS (
+      SELECT query_id, match_id, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, match_id ASC) AS rank
+        FROM x_pairs
+      ) WHERE rank <= 5
+    ), dims AS (
+      SELECT unnest([8, 16, 32]) AS dim
+    ), t_pairs AS (
+      SELECT d.dim, q.query_id, c.vec_id AS match_id,
+             round(list_cosine_similarity(q.qv[1:d.dim], c.v[1:d.dim]), 6) AS tcos
+      FROM q JOIN e c ON c.vec_id != q.query_id CROSS JOIN dims d
+    ), trunc AS (
+      SELECT dim, query_id, match_id, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY dim, query_id
+                                     ORDER BY tcos DESC, match_id ASC) AS rank
+        FROM t_pairs
+      ) WHERE rank <= 5
+    )
+    SELECT d.dim AS dim, x.query_id,
+           CAST(5 AS BIGINT) AS k,
+           CAST(count(a.match_id) AS BIGINT) AS n_hit,
+           CAST((count(a.match_id) * 1000000) // 5 AS BIGINT) AS recall_micro,
+           CAST(max(CASE WHEN x.rank = 1 AND a.rank = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS top1_hit
+    FROM dims d
+    CROSS JOIN exact x
+    LEFT JOIN trunc a
+      ON a.dim = d.dim AND a.query_id = x.query_id AND a.match_id = x.match_id
+    GROUP BY d.dim, x.query_id
+    """,
+)
+def s25_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA DIMENSION-TRUNCATION RECALL — the fourth arm of the
+    recall matrix (s13 IVF, s15 SRP/PQ, s24 int8): MRL-trained
+    embeddings (Kusupati et al. 2022) are served TRUNCATED — the first
+    d dimensions are the production vector, cutting index memory and
+    bandwidth by dim/d — and the table that gates a truncation rollout
+    is exactly this: recall@5 and top-1 survival of the first-d cosine
+    ranking against the full-dimension exact top-5, per query, per
+    candidate d.  Emitting all three candidate widths (8/16/32 of 64)
+    in one report is t53's sweep discipline applied to the index
+    budget decision.
+
+    Both arms are deterministic (round(·, 6) scores, match-id
+    tie-break); truncation is a prefix slice, identical in both
+    engines (1-based inclusive slice in DuckDB, F.slice in Spark), so
+    recall value-checks exactly.  Scale shape: the 8-query frames
+    broadcast into every scoring pass (corpus never shuffles); each
+    truncated arm scans the corpus once with a NARROWER vector — at
+    100 TB the d-dim pass reads d/dim of the bytes, which is the very
+    saving being evaluated.  Report join is 8x5 vs 8x5 rows per dim.
+    Reference witness: O5 evaluator/oracle + O2 keyed fold
+    (src/Core/MapReduceC.hs:24-26, test/Generator.hs:83-92)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(emb, queries_df, k=5).select(
+        "query_id", "match_id", F.col("rank").alias("xrank")
+    )
+    reports = []
+    for d in (8, 16, 32):
+        tq = queries_df.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        tc = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        trunc = similarity.cosine_topk(tc, tq, k=5).select(
+            "query_id", "match_id", F.col("rank").alias("arank")
+        )
+        reports.append(
+            exact.join(F.broadcast(trunc), ["query_id", "match_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.lit(d).cast("bigint").alias("dim"),
+                F.lit(5).cast("bigint").alias("k"),
+                F.count("arank").cast("bigint").alias("n_hit"),
+                F.expr("cast((count(arank) * 1000000L) div 5 as bigint)").alias(
+                    "recall_micro"
+                ),
+                F.max(
+                    F.when((F.col("xrank") == 1) & (F.col("arank") == 1), 1)
+                    .otherwise(0)
+                )
+                .cast("bigint")
+                .alias("top1_hit"),
+            )
+            .select(
+                "dim", "query_id", "k", "n_hit", "recall_micro", "top1_hit"
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
