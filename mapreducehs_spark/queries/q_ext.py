@@ -4406,3 +4406,130 @@ def q127_partition_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     exchange.  Reference witness: O12 pluggable-store read path
     (src/Core/Store.hs) + O7 key-range partitioning (divides)."""
     return _q127_build(spark, sf_dir).localCheckpoint()
+
+
+def _q128_oracle() -> str:
+    """Skipping-effectiveness oracle rendered from the same Morton bit
+    arithmetic as operators/layout.zorder_value (bits=8), the same
+    64-file assignment laws, and the same 16-probe workload grid as the
+    Spark arm — all integer, so both engines agree bit-for-bit."""
+    terms = " + ".join(
+        f"(((xk >> {k}) & 1) << {2 * k}) + (((yk >> {k}) & 1) << {2 * k + 1})"
+        for k in range(8)
+    )
+    return f"""
+    WITH keyed AS (
+      SELECT l_orderkey % 256 AS xk,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) % 256 AS yk
+      FROM lineitem
+    ), z AS (
+      SELECT xk, yk, ({terms}) AS zval FROM keyed
+    ), tagged AS (
+      SELECT 'linear' AS layout, (xk * 256 + yk) // 1024 AS file_id, xk, yk FROM z
+      UNION ALL
+      SELECT 'zorder' AS layout, zval // 1024 AS file_id, xk, yk FROM z
+    ), stats AS (
+      SELECT layout, file_id,
+             min(xk) AS min_x, max(xk) AS max_x,
+             min(yk) AS min_y, max(yk) AS max_y,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM tagged GROUP BY 1, 2
+    ), probes AS (
+      SELECT i AS probe_id,
+             (i % 4) * 64 + 16 AS xlo, (i % 4) * 64 + 47 AS xhi,
+             (i // 4) * 64 + 24 AS ylo, (i // 4) * 64 + 55 AS yhi
+      FROM range(16) AS t(i)
+    )
+    SELECT layout, probe_id,
+           CAST(count(*) AS BIGINT) AS files_hit,
+           CAST(sum(n_rows) AS BIGINT) AS rows_scanned
+    FROM stats JOIN probes
+      ON min_x <= xhi AND max_x >= xlo AND min_y <= yhi AND max_y >= ylo
+    GROUP BY 1, 2
+    """
+
+
+@query("q128_skipping_effectiveness", oracle=_q128_oracle())
+def q128_skipping_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKIPPING-EFFECTIVENESS READOUT — the decision table behind
+    ``OPTIMIZE ... ZORDER BY``: q76 computes the clustering KEY; this
+    query prices what re-clustering would BUY for a concrete probe
+    workload, entirely from file-level min-max metadata.  Both
+    candidate layouts are simulated from the same single scan — the
+    x-major linear sort (``(xk*256+yk) div 1024``: 64 key-ordered
+    files, each spanning the full y range) and the Morton layout
+    (``zval div 1024``: 64 files that are EXACT 32×32 aligned tiles of
+    the key plane, the quadtree property pinned in
+    tests/test_operators.py) — by exploding each row into its two
+    (layout, file) assignments; map-side partial aggregation collapses
+    the doubled rows to ≤128 groups per task before the ONE data-scale
+    exchange, so the explode costs no shuffle volume.  The resulting
+    ≤128-row stats frame joins a broadcast 16-probe rectangle workload
+    on min-max overlap (the exact check a reader's file-pruning does
+    against footer stats), and the readout reports per-(layout, probe)
+    files_hit / rows_scanned — the table a layout decision is gated on.
+
+    At 100 TB the stats frame IS the table's metadata (1 row per file,
+    like q105's manifest): the probe join and readout are
+    metadata-scale, and the one data-scale pass is scan-shaped with a
+    combiner-collapsed shuffle.  All laws are integer (bit interleave,
+    integer division, counts), so the DuckDB oracle replays them
+    bit-for-bit.  Reference witness: O7 key-range partitioning
+    (``divides``, src/Core/MapReduce.hs) + O12 store read path
+    (src/Core/Store.hs) — the reference shuffles by opaque hash;
+    this is the layout-aware refinement its store never had."""
+    from mapreducehs_spark.operators.layout import zorder_value
+
+    li = _t(spark, sf_dir, "lineitem")
+    xk = (F.col("l_orderkey") % 256).cast("bigint")
+    yk = (F.round(F.col("l_extendedprice") * 100, 0).cast("bigint") % 256).cast(
+        "bigint"
+    )
+    keyed = li.select(
+        xk.alias("xk"),
+        yk.alias("yk"),
+        zorder_value(xk, yk, bits=8).alias("zval"),
+    )
+    tagged = keyed.select(
+        "xk",
+        "yk",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.expr("(xk * 256 + yk) div 1024").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.expr("zval div 1024").alias("file_id"),
+                ),
+            )
+        ).alias("lf"),
+    )
+    stats = tagged.groupBy(
+        F.col("lf.layout").alias("layout"), F.col("lf.file_id").alias("file_id")
+    ).agg(
+        F.min("xk").alias("min_x"),
+        F.max("xk").alias("max_x"),
+        F.min("yk").alias("min_y"),
+        F.max("yk").alias("max_y"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    probes = spark.range(16).select(
+        F.col("id").alias("probe_id"),
+        ((F.col("id") % 4) * 64 + 16).alias("xlo"),
+        ((F.col("id") % 4) * 64 + 47).alias("xhi"),
+        (F.expr("id div 4") * 64 + 24).alias("ylo"),
+        (F.expr("id div 4") * 64 + 55).alias("yhi"),
+    )
+    hit = stats.join(
+        F.broadcast(probes),
+        (F.col("min_x") <= F.col("xhi"))
+        & (F.col("max_x") >= F.col("xlo"))
+        & (F.col("min_y") <= F.col("yhi"))
+        & (F.col("max_y") >= F.col("ylo")),
+    )
+    return hit.groupBy("layout", "probe_id").agg(
+        F.count(F.lit(1)).alias("files_hit"),
+        F.sum("n_rows").cast("bigint").alias("rows_scanned"),
+    )

@@ -1708,3 +1708,63 @@ def test_t58_two_exchanges_and_t52_agreement(q):
         assert r["degenerate_groups"] * 1_000_000 // r["n_groups"] == r["degenerate_ppm"]
         assert r["max_adv_micro"] <= 2_828_428
         assert r["abs_adv_mass_micro"] >= 0
+
+
+def test_q128_one_scan_combiner_collapsed(q):
+    """q128's scale contract: ONE parquet scan of lineitem feeds both
+    simulated layouts (the explode happens above the scan, and map-side
+    partial aggregation collapses the doubled rows to <=128 groups per
+    task before the single data-scale exchange); the 16-probe workload
+    joins as a broadcast nested-loop against the metadata-sized stats
+    frame — no sort-merge join anywhere."""
+    import re
+
+    df = q("q128_skipping_effectiveness")
+    plan = I.formatted_plan(df)
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
+    assert I.sort_merge_join_count(df) == 0
+    assert "BroadcastNestedLoopJoin" in plan
+    # partial agg below the layout-stats exchange: HashAggregate
+    # appears before the first Exchange in the tree walk
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_q128_zorder_tiles_and_dominance(q):
+    """The Morton law, observed: every z-layout file (zval div 1024) is
+    an EXACT 32x32 axis-aligned tile of the key plane (min and max of
+    each key fall in the same 32-wide band — the quadtree-alignment
+    property that makes z-order skipping predictable), per-layout row
+    conservation holds, and across the whole 16-probe workload the
+    z-order layout never scans MORE than the linear layout."""
+    from pyspark.sql import functions as F
+
+    from mapreducehs_spark.queries.q_ext import _t
+
+    df = q("q128_skipping_effectiveness")
+    rows = df.collect()
+    tot = {"linear": 0, "zorder": 0}
+    files = {"linear": 0, "zorder": 0}
+    for r in rows:
+        tot[r["layout"]] += r["rows_scanned"]
+        files[r["layout"]] += r["files_hit"]
+    assert tot["zorder"] <= tot["linear"]
+    assert files["zorder"] <= files["linear"]
+
+    spark = df.sparkSession
+    from mapreducehs_spark.operators.layout import zorder_value
+
+    li = _t(spark, SF, "lineitem")
+    xk = (F.col("l_orderkey") % 256).cast("bigint")
+    yk = (F.round(F.col("l_extendedprice") * 100, 0).cast("bigint") % 256)
+    stats = (
+        li.select(xk.alias("xk"), yk.alias("yk"),
+                  zorder_value(xk, yk, bits=8).alias("zval"))
+        .groupBy(F.expr("zval div 1024").alias("file_id"))
+        .agg(F.min("xk").alias("min_x"), F.max("xk").alias("max_x"),
+             F.min("yk").alias("min_y"), F.max("yk").alias("max_y"),
+             F.count(F.lit(1)).alias("n"))
+    ).collect()
+    assert sum(r["n"] for r in stats) == li.count()
+    for r in stats:
+        assert r["min_x"] // 32 == r["max_x"] // 32, r
+        assert r["min_y"] // 32 == r["max_y"] // 32, r
