@@ -2395,6 +2395,17 @@ def q104_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q105_files(orders: DataFrame) -> DataFrame:
+    """The synthetic file MANIFEST shared by q105's compaction planner
+    and st36's streaming small-file monitor (the batch/stream seam
+    discipline): 40-key ranges of orders stand in for data files, byte
+    sizes derived from the rows as exact integer cents."""
+    return orders.groupBy(F.expr("o_orderkey div 40").alias("file_id")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("bytes"),
+    )
+
+
 @query(
     "q105_compaction_plan",
     oracle="""
@@ -2431,14 +2442,7 @@ def q105_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     MANIFEST (metadata, ~1 row per file), not the data; the plan
     output is what a rewrite job would fan back out over.  All sizes
     are integer sums, so both engines agree bit-for-bit."""
-    files = (
-        _t(spark, sf_dir, "orders")
-        .groupBy(F.expr("o_orderkey div 40").alias("file_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("bytes"),
-        )
-    )
+    files = _q105_files(_t(spark, sf_dir, "orders"))
     w = Window.orderBy(F.col("file_id").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

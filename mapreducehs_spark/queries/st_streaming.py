@@ -1648,3 +1648,141 @@ def st35_stream_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 from mapreducehs_spark.queries.q_ext import _Q126_ORACLE as _ST35_ORACLE  # noqa: E402
 
 ORACLE["st35_stream_schema_evolution"] = _ST35_ORACLE
+
+
+_ST36_SMALL_BYTES = 900_000_000
+_ST36_FIRE_N = 9
+
+_ST36_ORACLE = f"""
+WITH files AS (
+  SELECT o_orderkey // 40 AS file_id,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS bytes
+  FROM orders GROUP BY 1
+)
+SELECT file_id // 64 AS part_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN bytes < {_ST36_SMALL_BYTES} THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+       CAST(sum(CASE WHEN bytes < {_ST36_SMALL_BYTES} THEN bytes ELSE 0 END) AS BIGINT) AS small_bytes,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       CAST(CASE WHEN sum(CASE WHEN bytes < {_ST36_SMALL_BYTES} THEN 1 ELSE 0 END)
+                 >= {_ST36_FIRE_N} THEN 1 ELSE 0 END AS BIGINT) AS fires
+FROM files GROUP BY 1
+"""
+
+
+@query("st36_stream_compaction_monitor", oracle=_ST36_ORACLE)
+def st36_stream_compaction_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SMALL-FILE COMPACTION MONITOR — the trigger half of
+    the q105 story (q105 PLANS the rewrite, layout.execute_compaction_
+    plan EXECUTES it; this op decides WHEN): a live tail of the table's
+    commit log (file-level manifest rows, the `_q105_files` seam
+    chunked one commit batch per trigger) folds per-table-partition
+    small-file counters incrementally — each micro-batch partial-
+    aggregates to <= O(partitions) rows and merges into a stored
+    monitor table by keyed re-aggregate (st31's foreachBatch MERGE
+    pattern, idempotent via the in-dir batch-id marker) — and the
+    served readout flags every partition whose small-file count has
+    crossed the auto-compaction threshold, exactly what Delta-style
+    auto-compaction evaluates after each commit.
+
+    Counts and byte sums are ORDER-FREE, so any trigger chunking folds
+    to the same state, and the batch oracle over the base table
+    value-checks the final monitor verbatim (the st16/st26 stream ==
+    batch discipline).  State: NO state store — the monitor table IS
+    the state, O(partitions) rows of metadata scale; per batch the
+    work is one batch-local partial aggregate plus a monitor-sized
+    merge.  At 100 TB/day the same body tails the real transaction
+    log; only the source line changes.  Reference witness: O2 keyed
+    reducer fold (src/Core/MapReduceC.hs:25) + O12 store
+    (src/Core/Store.hs)."""
+    import os
+    import shutil
+    import tempfile
+
+    from mapreducehs_spark import streaming as st
+
+    replay = st.prepare_manifest_dir(spark, sf_dir, n_chunks=4)
+    monitor = os.path.join(
+        tempfile.gettempdir(),
+        f"mapreducehs_monitor_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(monitor, ignore_errors=True)
+    empty = spark.createDataFrame(
+        [],
+        "part_id bigint, n_files bigint, n_small bigint, "
+        "small_bytes bigint, total_bytes bigint",
+    )
+    empty.write.mode("overwrite").parquet(monitor)
+
+    manifest = (
+        spark.readStream.schema(st.MANIFEST_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+
+    def last_applied() -> int:
+        marker = os.path.join(monitor, "_last_batch_id")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                return int(fh.read().strip())
+        return -1
+
+    small = F.col("bytes") < _ST36_SMALL_BYTES
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # at-least-once foreachBatch: a retried micro-batch must not
+        # double-count files — the last applied batch_id travels
+        # INSIDE the atomically-renamed monitor dir (st31's rule)
+        if batch_id <= last_applied():
+            return
+        sp = batch_df.sparkSession
+        partial = batch_df.groupBy(
+            F.expr("file_id div 64").alias("part_id")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(small.cast("bigint")).cast("bigint").alias("n_small"),
+            F.sum(F.when(small, F.col("bytes")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("small_bytes"),
+            F.sum("bytes").cast("bigint").alias("total_bytes"),
+        )
+        merged = (
+            sp.read.parquet(monitor)
+            .unionByName(partial)
+            .groupBy("part_id")
+            .agg(
+                F.sum("n_files").cast("bigint").alias("n_files"),
+                F.sum("n_small").cast("bigint").alias("n_small"),
+                F.sum("small_bytes").cast("bigint").alias("small_bytes"),
+                F.sum("total_bytes").cast("bigint").alias("total_bytes"),
+            )
+        )
+        tmp = monitor + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_last_batch_id"), "w") as fh:
+            fh.write(str(batch_id))
+        shutil.rmtree(monitor)
+        os.rename(tmp, monitor)
+
+    q = (
+        manifest.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout=600):
+            raise TimeoutError("st36 stream did not finish")
+    finally:
+        q.stop()
+    final = spark.read.parquet(monitor)
+    try:
+        return final.select(
+            "part_id",
+            "n_files",
+            "n_small",
+            "small_bytes",
+            "total_bytes",
+            (F.col("n_small") >= _ST36_FIRE_N).cast("bigint").alias("fires"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(monitor, ignore_errors=True)

@@ -2186,6 +2186,64 @@ def prepare_cdc_mv_dir(
     return os.path.join(base, "base_mv"), os.path.join(base, "replay")
 
 
+#: st36's file-manifest replay schema — q105's `_q105_files` rows (one
+#: row per synthetic data file).  Counts and byte sums are order-free,
+#: so ANY chunking folds to the same monitor state.
+MANIFEST_SCHEMA = StructType(
+    [
+        StructField("file_id", LongType()),
+        StructField("n_rows", LongType()),
+        StructField("bytes", LongType()),
+    ]
+)
+
+
+def prepare_manifest_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 4,
+    base_dir: str = "/tmp/mapreducehs_stream_manifest",
+) -> str:
+    """Materialize q105's file manifest (the `_q105_files` seam) as a
+    chunked replay directory for st36's small-file monitor: manifest
+    rows in file_id order, split into ``n_chunks`` files with spaced
+    mtimes so the file source replays them one per trigger — a live
+    commit log of file-level table metadata, which is exactly what a
+    lakehouse auto-compaction monitor tails.  Idempotent per sf_dir
+    fingerprint (build_fixture_once)."""
+    from mapreducehs_spark.queries.q_ext import _q105_files
+    from mapreducehs_spark.sources.catalog import (
+        build_fixture_once,
+        guard_driver_fixture,
+        source_fingerprint,
+    )
+
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}_c{n_chunks}"
+        f"_{source_fingerprint(sf_dir, 'orders')}"
+    )
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        manifest = _q105_files(load_table(spark, sf_dir, "orders"))
+        guard_driver_fixture(manifest, f"manifest replay chunks ({sf_dir})")
+        pdf = manifest.toPandas().sort_values(
+            "file_id", kind="mergesort", ignore_index=True
+        )
+        n = len(pdf)
+        bounds = [round(i * n / n_chunks) for i in range(n_chunks + 1)]
+        now = time.time()
+        for i in range(n_chunks):
+            chunk = pdf.iloc[bounds[i] : bounds[i + 1]]
+            if len(chunk) == 0:
+                continue
+            p = os.path.join(tmp, f"chunk_{i:04d}.parquet")
+            chunk.to_parquet(p, index=False)
+            os.utime(p, (now + i * 10, now + i * 10))
+
+    return build_fixture_once(os.path.join(base_dir, key), build)
+
+
 #: st32's CDC log replay schema — q117's change log rows, chunked one
 #: commit sequence per file so per-key version order holds across
 #: triggers by construction.

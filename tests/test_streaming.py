@@ -820,3 +820,52 @@ def test_st35_stream_schema_evolution_is_stateless_per_file(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_st36_monitor_matches_manifest_law_and_refolds_idempotently(spark):
+    """st36's monitor state equals the batch fold of the `_q105_files`
+    seam (conservation: every manifest file counted exactly once across
+    partitions), the fire flag is exactly the n_small >= 9 law, and a
+    second full run (fresh monitor dir, same replay chunks) folds to
+    the identical table — the order-free/idempotency claim, observed."""
+    from mapreducehs_spark.queries import QUERIES
+    from mapreducehs_spark.queries.q_ext import _q105_files
+    from mapreducehs_spark.queries.st_streaming import (
+        _ST36_FIRE_N,
+        _ST36_SMALL_BYTES,
+    )
+    from mapreducehs_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["part_id"]: r
+        for r in QUERIES["st36_stream_compaction_monitor"](spark, sf).collect()
+    }
+    manifest = _q105_files(load_table(spark, sf, "orders")).collect()
+    want: dict[int, dict] = {}
+    for m in manifest:
+        w = want.setdefault(
+            m["file_id"] // 64,
+            {"n_files": 0, "n_small": 0, "small_bytes": 0, "total_bytes": 0},
+        )
+        w["n_files"] += 1
+        w["total_bytes"] += m["bytes"]
+        if m["bytes"] < _ST36_SMALL_BYTES:
+            w["n_small"] += 1
+            w["small_bytes"] += m["bytes"]
+    assert set(got) == set(want)
+    for pid, w in want.items():
+        g = got[pid]
+        assert (g["n_files"], g["n_small"], g["small_bytes"], g["total_bytes"]) == (
+            w["n_files"], w["n_small"], w["small_bytes"], w["total_bytes"],
+        ), pid
+        assert g["fires"] == int(w["n_small"] >= _ST36_FIRE_N), pid
+    assert sum(g["n_files"] for g in got.values()) == len(manifest)
+
+    rerun = {
+        r["part_id"]: r
+        for r in QUERIES["st36_stream_compaction_monitor"](spark, sf).collect()
+    }
+    assert {p: tuple(r) for p, r in got.items()} == {
+        p: tuple(r) for p, r in rerun.items()
+    }

@@ -65,6 +65,9 @@ BOUNDED_STATE = {
     "st29_stream_weighted_sample",
     "st31_stream_incremental_mv",  # foreachBatch serving-table fold
     "st33_stream_ivf_ingest",  # stateless argmax map, driver-held codebook
+    "st34_stream_curriculum_router",  # stateless stream-static broadcast join
+    "st35_stream_schema_evolution",  # stateless per-file id-resolved scan
+    "st36_stream_compaction_monitor",  # foreachBatch serving-table fold
 }
 
 
