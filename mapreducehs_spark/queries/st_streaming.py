@@ -1707,73 +1707,11 @@ def st36_stream_compaction_monitor(spark: SparkSession, sf_dir: str) -> DataFram
         f"mapreducehs_monitor_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
     )
     shutil.rmtree(monitor, ignore_errors=True)
-    empty = spark.createDataFrame(
-        [],
-        "part_id bigint, n_files bigint, n_small bigint, "
-        "small_bytes bigint, total_bytes bigint",
-    )
-    empty.write.mode("overwrite").parquet(monitor)
-
-    manifest = (
-        spark.readStream.schema(st.MANIFEST_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(replay)
-    )
-
-    def last_applied() -> int:
-        marker = os.path.join(monitor, "_last_batch_id")
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                return int(fh.read().strip())
-        return -1
-
-    small = F.col("bytes") < _ST36_SMALL_BYTES
-
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # at-least-once foreachBatch: a retried micro-batch must not
-        # double-count files — the last applied batch_id travels
-        # INSIDE the atomically-renamed monitor dir (st31's rule)
-        if batch_id <= last_applied():
-            return
-        sp = batch_df.sparkSession
-        partial = batch_df.groupBy(
-            F.expr("file_id div 64").alias("part_id")
-        ).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_files"),
-            F.sum(small.cast("bigint")).cast("bigint").alias("n_small"),
-            F.sum(F.when(small, F.col("bytes")).otherwise(F.lit(0)))
-            .cast("bigint")
-            .alias("small_bytes"),
-            F.sum("bytes").cast("bigint").alias("total_bytes"),
-        )
-        merged = (
-            sp.read.parquet(monitor)
-            .unionByName(partial)
-            .groupBy("part_id")
-            .agg(
-                F.sum("n_files").cast("bigint").alias("n_files"),
-                F.sum("n_small").cast("bigint").alias("n_small"),
-                F.sum("small_bytes").cast("bigint").alias("small_bytes"),
-                F.sum("total_bytes").cast("bigint").alias("total_bytes"),
-            )
-        )
-        tmp = monitor + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        with open(os.path.join(tmp, "_last_batch_id"), "w") as fh:
-            fh.write(str(batch_id))
-        shutil.rmtree(monitor)
-        os.rename(tmp, monitor)
-
-    q = (
-        manifest.writeStream.foreachBatch(apply_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        if not q.awaitTermination(timeout=600):
-            raise TimeoutError("st36 stream did not finish")
-    finally:
-        q.stop()
+    # the fold body (batch-local partial agg + keyed monitor merge +
+    # in-dir batch-id idempotency marker) is the shared
+    # `manifest_monitor_fold` seam — the checkpoint-restart pytest
+    # exercises the same code path this query runs
+    st.manifest_monitor_fold(spark, replay, monitor, _ST36_SMALL_BYTES)
     final = spark.read.parquet(monitor)
     try:
         return final.select(

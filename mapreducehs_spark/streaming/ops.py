@@ -33,6 +33,7 @@ with the identical query bodies — only ``events_stream`` changes.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 import warnings
 from typing import Iterator
@@ -2242,6 +2243,89 @@ def prepare_manifest_dir(
             os.utime(p, (now + i * 10, now + i * 10))
 
     return build_fixture_once(os.path.join(base_dir, key), build)
+
+
+def manifest_monitor_fold(
+    spark: SparkSession,
+    replay_dir: str,
+    monitor_dir: str,
+    small_bytes: int,
+    checkpoint_dir: str | None = None,
+    timeout: int = 600,
+) -> None:
+    """st36's incremental small-file monitor fold, shared by the query
+    and the restart tests: each micro-batch of manifest rows partial-
+    aggregates per-table-partition counters (files, small files, small
+    bytes, total bytes) and merges into the stored monitor table by
+    keyed re-aggregate — st31's foreachBatch MERGE pattern.  The last
+    applied batch_id travels INSIDE the atomically-renamed monitor dir
+    (an underscore file, invisible to the parquet reader), so an
+    at-least-once retried or fully re-replayed micro-batch can never
+    double-count: data and watermark cannot disagree.  Initializes the
+    monitor if absent (a restart RESUMES the existing one)."""
+    from pyspark.sql import functions as F
+
+    if not os.path.exists(os.path.join(monitor_dir, "_SUCCESS")):
+        empty = spark.createDataFrame(
+            [],
+            "part_id bigint, n_files bigint, n_small bigint, "
+            "small_bytes bigint, total_bytes bigint",
+        )
+        empty.write.mode("overwrite").parquet(monitor_dir)
+
+    def last_applied() -> int:
+        marker = os.path.join(monitor_dir, "_last_batch_id")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                return int(fh.read().strip())
+        return -1
+
+    small = F.col("bytes") < small_bytes
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_applied():
+            return
+        sp = batch_df.sparkSession
+        partial = batch_df.groupBy(F.expr("file_id div 64").alias("part_id")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(small.cast("bigint")).cast("bigint").alias("n_small"),
+            F.sum(F.when(small, F.col("bytes")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("small_bytes"),
+            F.sum("bytes").cast("bigint").alias("total_bytes"),
+        )
+        merged = (
+            sp.read.parquet(monitor_dir)
+            .unionByName(partial)
+            .groupBy("part_id")
+            .agg(
+                F.sum("n_files").cast("bigint").alias("n_files"),
+                F.sum("n_small").cast("bigint").alias("n_small"),
+                F.sum("small_bytes").cast("bigint").alias("small_bytes"),
+                F.sum("total_bytes").cast("bigint").alias("total_bytes"),
+            )
+        )
+        tmp = monitor_dir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_last_batch_id"), "w") as fh:
+            fh.write(str(batch_id))
+        shutil.rmtree(monitor_dir)
+        os.rename(tmp, monitor_dir)
+
+    manifest = (
+        spark.readStream.schema(MANIFEST_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+    writer = manifest.writeStream.foreachBatch(apply_batch)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
+    try:
+        if not q.awaitTermination(timeout=timeout):
+            raise TimeoutError("manifest monitor stream did not finish")
+    finally:
+        q.stop()
 
 
 #: st32's CDC log replay schema — q117's change log rows, chunked one

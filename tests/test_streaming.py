@@ -869,3 +869,73 @@ def test_st36_monitor_matches_manifest_law_and_refolds_idempotently(spark):
     assert {p: tuple(r) for p, r in got.items()} == {
         p: tuple(r) for p, r in rerun.items()
     }
+
+
+def test_st36_monitor_checkpoint_restart_and_replay_dedup(spark, tmp_path):
+    """Kill-and-restart for st36's serving-table fold
+    (`manifest_monitor_fold`): (1) a checkpointed run killed after the
+    first chunks RESUMES — the restarted stream folds only the late
+    chunks on top of the surviving monitor, and the final table equals
+    the batch law; (2) a third run over the SAME fully-staged replay
+    with a FRESH checkpoint re-reads every file, and the in-dir
+    batch-id marker alone must absorb the full replay (at-least-once
+    re-application can never double-count) — the monitor is unchanged
+    bit-for-bit.  Reference witness: resume-not-restart retry
+    discipline (src/ImplServer.hs:86-90)."""
+    import glob
+    import shutil
+
+    from mapreducehs_spark.queries.q_ext import _q105_files
+    from mapreducehs_spark.queries.st_streaming import _ST36_SMALL_BYTES
+    from mapreducehs_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    replay = st.prepare_manifest_dir(spark, sf, n_chunks=4)
+    files = sorted(glob.glob(os.path.join(replay, "*.parquet")))
+    assert len(files) >= 3, "need a mid-replay kill point"
+
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    monitor = str(tmp_path / "monitor")
+    ckpt = str(tmp_path / "ckpt")
+
+    mid = len(files) - 1
+    for f in files[:mid]:
+        shutil.copy2(f, staged)
+    st.manifest_monitor_fold(spark, staged, monitor, _ST36_SMALL_BYTES, checkpoint_dir=ckpt)
+    partial_files = sum(
+        r["n_files"] for r in spark.read.parquet(monitor).collect()
+    )
+    for f in files[mid:]:
+        shutil.copy2(f, staged)
+    # restart: resume from the checkpoint, fold only the late chunk
+    st.manifest_monitor_fold(spark, staged, monitor, _ST36_SMALL_BYTES, checkpoint_dir=ckpt)
+
+    def snapshot():
+        return sorted(
+            map(tuple, spark.read.parquet(monitor)
+                .select("part_id", "n_files", "n_small", "small_bytes", "total_bytes")
+                .collect())
+        )
+
+    got = snapshot()
+    manifest = _q105_files(load_table(spark, sf, "orders")).collect()
+    assert sum(r[1] for r in got) == len(manifest)
+    assert 0 < partial_files < len(manifest)  # the kill was genuinely mid-fold
+    want = {}
+    for m in manifest:
+        w = want.setdefault(m["file_id"] // 64, [0, 0, 0, 0])
+        w[0] += 1
+        w[3] += m["bytes"]
+        if m["bytes"] < _ST36_SMALL_BYTES:
+            w[1] += 1
+            w[2] += m["bytes"]
+    assert got == sorted((p, *w) for p, w in want.items())
+
+    # full re-replay under a FRESH checkpoint: every file re-batches
+    # from id 0, and the marker alone must absorb all of them
+    st.manifest_monitor_fold(
+        spark, staged, monitor, _ST36_SMALL_BYTES,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    assert snapshot() == got
