@@ -35,8 +35,16 @@ def hashed_features(docs: DataFrame, n_buckets: int = 64) -> DataFrame:
     scan + one (doc_id, bucket) aggregation; x is an integer count."""
     from mapreducehs_spark.operators.text import tokens
 
+    # repartition("doc_id") BEFORE the explode (round 12): the sf-dir
+    # parquet is one row group, so without it the tokenize + per-token
+    # md5 chain — the dominant cost of every trainer — ran on ONE task.
+    # Hash (not round-robin) partitioning means the (doc_id, bucket)
+    # aggregation below needs NO further exchange and the output frame
+    # arrives already doc_id-partitioned for the trainers' joins.
     return (
-        docs.select("doc_id", F.explode_outer(tokens(F.col("text"))).alias("term"))
+        docs.select("doc_id", "text")
+        .repartition("doc_id")
+        .select("doc_id", F.explode_outer(tokens(F.col("text"))).alias("term"))
         .filter(F.col("term").isNotNull())
         .select(
             "doc_id",
@@ -136,6 +144,106 @@ def logreg_gradient_step(
     return new_w, new_bias
 
 
+def _batched_gradients(
+    feats_x: DataFrame,
+    labs_x: DataFrame,
+    weights: dict[int, dict[int, int]],
+    biases: dict[int, int],
+) -> dict[int, dict[int, tuple[int, int]]]:
+    """ONE Spark job computing every model group's full gradient state
+    (round 12, guide §2.4/§2.6: the sequential trainers paid 2 driver
+    actions per step per model — grad collect + bias collect — and the
+    cross-validator paid that k times over; every action is a full
+    scheduling round-trip, and none of them depended on each other).
+
+    Inputs carry a model-group key ``f`` (fold / constant 0):
+    ``feats_x`` (f, doc_id, bucket, x), ``labs_x`` (f, doc_id, y).
+    The per-group weight vectors join as ONE broadcast table and the
+    bias gradient rides the same aggregation as the weight gradients
+    via a synthetic bucket −1 feature row (x = 1 per label doc), so
+
+      g[f][b]   = Σ_docs r·x_b          (bucket b ≥ 0)
+      g[f][-1]  = Σ_docs r              (the bias gradient)
+      count(f, -1) = |labels in group f| (the update normalizer)
+
+    all come back from a single collect of ≤ groups×(dim+1) rows.
+    Arithmetic is EXACTLY ``gradient_frames``'s integer law (hard
+    sigmoid, bigint sums — order-free), so results are bit-identical
+    to the sequential path.  Returns {f: {bucket: (g, n_rows)}}."""
+    spark = feats_x.sparkSession
+    w_df = spark.createDataFrame(
+        [
+            (f, b, w)
+            for f, wd in sorted(weights.items())
+            for b, w in sorted(wd.items())
+        ],
+        "f bigint, bucket bigint, w bigint",
+    )
+    b_df = spark.createDataFrame(
+        sorted(biases.items()), "f bigint, bias bigint"
+    )
+    margins = (
+        feats_x.join(F.broadcast(w_df), ["f", "bucket"])
+        .groupBy("f", "doc_id")
+        .agg(F.sum(F.col("w") * F.col("x")).alias("zf"))
+    )
+    resid = (
+        labs_x.join(margins, ["f", "doc_id"], "left")
+        .join(F.broadcast(b_df), "f")
+        .select(
+            "f",
+            "doc_id",
+            (
+                hard_sigmoid_micro("coalesce(zf, 0) + bias")
+                - F.col("y") * F.lit(MICRO)
+            ).alias("r"),
+        )
+    )
+    feats_aug = feats_x.select("f", "doc_id", "bucket", "x").unionByName(
+        labs_x.select(
+            "f",
+            "doc_id",
+            F.lit(-1).cast("bigint").alias("bucket"),
+            F.lit(1).cast("bigint").alias("x"),
+        )
+    )
+    rows = (
+        resid.join(feats_aug, ["f", "doc_id"])
+        .groupBy("f", "bucket")
+        .agg(
+            F.sum(F.col("r") * F.col("x")).alias("g"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    )
+    out: dict[int, dict[int, tuple[int, int]]] = {}
+    for row in rows:
+        out.setdefault(int(row["f"]), {})[int(row["bucket"])] = (
+            int(row["g"]),
+            int(row["n_rows"]),
+        )
+    return out
+
+
+def _trunc_div(v: int, d: int) -> int:
+    """Toward-zero integer division — Spark ``div`` / DuckDB ``//``."""
+    return int(abs(v) // d) * (1 if v >= 0 else -1)
+
+
+def _apply_update(
+    w: dict[int, int], bias: int, grads: dict[int, tuple[int, int]], n: int
+) -> tuple[dict[int, int], int]:
+    """The exact ``logreg_gradient_step`` driver update from a batched
+    gradient row-set: w_b −= (g_b div n) div LR_DEN, same for bias."""
+    new_w = dict(w)
+    for b, (g, _) in grads.items():
+        if b < 0:
+            continue
+        new_w[b] = new_w[b] - _trunc_div(_trunc_div(g, n), LR_DEN)
+    g_bias = grads.get(-1, (0, 0))[0]
+    return new_w, bias - _trunc_div(_trunc_div(g_bias, n), LR_DEN)
+
+
 def sample_pred(step: int, sample_mod: int):
     """Deterministic per-step row-sampling predicate (s10's md5-fold
     draw law): doc_id is in step ``step``'s mini-batch iff
@@ -180,22 +288,27 @@ def logreg_train_minibatch(
     labels = docs.select(
         "doc_id", (F.col("n_chars") >= label_chars).cast("bigint").alias("y")
     )
-    features = hashed_features(docs, n_buckets).repartition("doc_id").persist()
+    features = hashed_features(docs, n_buckets).persist()
     labels = labels.repartition("doc_id").persist()
     try:
+        feats_x = features.withColumn("f", F.lit(0).cast("bigint"))
+        labs_x = labels.withColumn("f", F.lit(0).cast("bigint"))
         w = {b: 0 for b in range(n_buckets)}
         bias = 0
         snapshots = []
         for step in range(1, n_steps + 1):
             pred = sample_pred(step, sample_mod)
-            lab_s = labels.filter(pred)
-            n_s = lab_s.count()
+            # ONE action per step (round 12): gradient, bias gradient
+            # AND the sample count n_s all return from the same job —
+            # the sequential form paid 3 (count + grad + bias collects).
+            g = _batched_gradients(
+                feats_x.filter(pred), labs_x.filter(pred), {0: w}, {0: bias}
+            ).get(0, {})
+            n_s = g.get(-1, (0, 0))[1]
             if n_s == 0:  # degenerate draw (tiny corpus): skip the step
                 snapshots.append((dict(w), bias))
                 continue
-            w, bias = logreg_gradient_step(
-                features.filter(pred), lab_s, w, bias, n_s
-            )
+            w, bias = _apply_update(w, bias, g, n_s)
             snapshots.append((dict(w), bias))
         (w1, b1), (wf, bf) = snapshots[0], snapshots[-1]
         rows = [(-1, b1, bf)] + [(b, w1[b], wf[b]) for b in range(n_buckets)]
@@ -230,15 +343,23 @@ def logreg_train_hashed(
     labels = docs.select(
         "doc_id", (F.col("n_chars") >= label_chars).cast("bigint").alias("y")
     )
-    features = hashed_features(docs, n_buckets).repartition("doc_id").persist()
+    features = hashed_features(docs, n_buckets).persist()
     labels = labels.repartition("doc_id").persist()
     try:
-        n_docs = labels.count()
+        feats_x = features.withColumn("f", F.lit(0).cast("bigint"))
+        labs_x = labels.withColumn("f", F.lit(0).cast("bigint"))
         w = {b: 0 for b in range(n_buckets)}
         bias = 0
+        n_docs = None
         snapshots = []
         for _ in range(n_steps):
-            w, bias = logreg_gradient_step(features, labels, w, bias, n_docs)
+            # ONE action per step (round 12): the corpus count n_docs
+            # rides the first step's gradient job (count of the bias
+            # rows) instead of a separate labels.count() action.
+            g = _batched_gradients(feats_x, labs_x, {0: w}, {0: bias}).get(0, {})
+            if n_docs is None:
+                n_docs = g.get(-1, (0, 0))[1]
+            w, bias = _apply_update(w, bias, g, n_docs)
             snapshots.append((dict(w), bias))
         (w1, b1), (wf, bf) = snapshots[0], snapshots[-1]
         rows = [(-1, b1, bf)] + [(b, w1[b], wf[b]) for b in range(n_buckets)]
@@ -296,56 +417,84 @@ def logreg_crossval(
         fold.alias("fold"),
     ).repartition("doc_id").persist()
     features = (
-        hashed_features(docs, n_buckets)
-        .withColumn("fold", fold)
-        .repartition("doc_id")
-        .persist()
+        hashed_features(docs, n_buckets).withColumn("fold", fold).persist()
     )
-    out = []
     try:
-        for f in range(k):
-            lab_tr = labels.filter(F.col("fold") != f).select("doc_id", "y")
-            feats_tr = features.filter(F.col("fold") != f).select(
-                "doc_id", "bucket", "x"
-            )
-            n_tr = lab_tr.count()
-            w = {b: 0 for b in range(n_buckets)}
-            bias = 0
-            for _ in range(n_steps):
-                w, bias = logreg_gradient_step(feats_tr, lab_tr, w, bias, n_tr)
-            w_df = spark.createDataFrame(
-                sorted(w.items()), "bucket bigint, w bigint"
-            )
-            zfe = (
-                features.filter(F.col("fold") == f)
-                .join(F.broadcast(w_df), "bucket")
-                .groupBy("doc_id")
-                .agg(F.sum(F.col("w") * F.col("x")).alias("zf"))
-            )
-            ev = (
-                labels.filter(F.col("fold") == f)
-                .join(zfe, "doc_id", "left")
-                .select(
-                    "y",
-                    (
-                        hard_sigmoid_micro(f"coalesce(zf, 0) + {bias}")
-                        >= F.lit(MICRO // 2)
-                    )
-                    .cast("bigint")
-                    .alias("pred"),
+        # Round 12 (guide §2.6: the k training chains are INDEPENDENT —
+        # only steps are sequential): every fold's gradient rides ONE
+        # job per step, keyed by the held-out fold f.  A doc with fold
+        # value v trains folds f != v, so the expansion join against the
+        # k-row fold grid replicates each row k−1 times — exactly the
+        # bytes the sequential form read anyway (fold f's pass scans the
+        # (k−1)/k of the corpus it trains on), but 3 actions total
+        # instead of k·(1 count + n_steps·2 collects) + k eval collects
+        # = 18.  Driver state and the integer update law are unchanged.
+        fold_grid = spark.createDataFrame([(f,) for f in range(k)], "f bigint")
+        feats_x = features.join(
+            F.broadcast(fold_grid), F.col("f") != F.col("fold")
+        ).select("f", "doc_id", "bucket", "x")
+        labs_x = labels.join(
+            F.broadcast(fold_grid), F.col("f") != F.col("fold")
+        ).select("f", "doc_id", "y")
+        w = {f: {b: 0 for b in range(n_buckets)} for f in range(k)}
+        biases = {f: 0 for f in range(k)}
+        n_tr: dict[int, int] = {}
+        for step in range(n_steps):
+            grads = _batched_gradients(feats_x, labs_x, w, biases)
+            for f in range(k):
+                gf = grads.get(f, {})
+                if step == 0:
+                    n_tr[f] = gf.get(-1, (0, 0))[1]
+                w[f], biases[f] = _apply_update(w[f], biases[f], gf, n_tr[f])
+        # eval: ALL folds' held-out scoring in one job — each feature
+        # row joins its OWN fold's final model (broadcast), so fold f's
+        # eval set meets exactly w_f, as the per-fold loop did.
+        wf_df = spark.createDataFrame(
+            [(f, b, w[f][b]) for f in range(k) for b in range(n_buckets)],
+            "f bigint, bucket bigint, w bigint",
+        )
+        bf_df = spark.createDataFrame(
+            sorted(biases.items()), "f bigint, bias bigint"
+        )
+        zfe = (
+            features.select(F.col("fold").alias("f"), "doc_id", "bucket", "x")
+            .join(F.broadcast(wf_df), ["f", "bucket"])
+            .groupBy("f", "doc_id")
+            .agg(F.sum(F.col("w") * F.col("x")).alias("zf"))
+        )
+        ev = (
+            labels.select(F.col("fold").alias("f"), "doc_id", "y")
+            .join(zfe, ["f", "doc_id"], "left")
+            .join(F.broadcast(bf_df), "f")
+            .select(
+                "f",
+                "y",
+                (
+                    hard_sigmoid_micro("coalesce(zf, 0) + bias")
+                    >= F.lit(MICRO // 2)
                 )
+                .cast("bigint")
+                .alias("pred"),
             )
-            row = ev.agg(
+        )
+        rows = (
+            ev.groupBy("f")
+            .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_eval"),
                 F.sum((F.col("pred") == F.col("y")).cast("bigint"))
                 .cast("bigint")
                 .alias("n_correct"),
-            ).collect()[0]
-            ne, nc = int(row["n_eval"]), int(row["n_correct"])
-            # max(ne, 1): an empty fold (tiny input, or k > distinct
-            # docs) emits a 0-accuracy row instead of a driver
-            # ZeroDivisionError.
-            out.append((f, ne, nc, (nc * MICRO) // max(ne, 1)))
+            )
+            .collect()
+        )
+        per = {int(r["f"]): (int(r["n_eval"]), int(r["n_correct"])) for r in rows}
+        # max(ne, 1): an empty fold (tiny input, or k > distinct docs)
+        # emits a 0-accuracy row instead of a driver ZeroDivisionError.
+        out = [
+            (f, ne, nc, (nc * MICRO) // max(ne, 1))
+            for f in range(k)
+            for ne, nc in [per.get(f, (0, 0))]
+        ]
     finally:
         features.unpersist(blocking=False)
         labels.unpersist(blocking=False)
