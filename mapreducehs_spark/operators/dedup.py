@@ -1262,9 +1262,16 @@ def connected_components_star(
     Deterministic: the fixpoint (every node → its component minimum)
     is unique, so the result value-checks against a recursive-CTE
     closure regardless of round count.  Convergence is detected with
-    an order-free integer checksum of the canonicalized edge set (one
-    2-scalar aggregate to the driver per round); per-round frames are
-    localCheckpointed and genuinely freed (operators/iteration).
+    an order-free integer checksum of the canonicalized edge set;
+    since round 12 the checksum aggregate is the SAME action that
+    materializes the round's non-eager localCheckpoint, so a round
+    costs ONE driver action, not two (guide §2.6), and the round body
+    carries one distinct instead of four — groupBy-min is duplicate-
+    tolerant and each round's single trailing distinct restores set
+    semantics before the checksum (guide §2.4: 9 → 7 shuffle exchanges
+    in the static round plan, plans/r12/cc_round_body_{before,after}.txt;
+    AQE reuses more at runtime).  Per-round frames are genuinely freed
+    (operators/iteration).
 
     Returns (node, rep) for every non-representative node, rep = the
     component's minimum id — ``resolve_duplicate_clusters``'s contract.
@@ -1276,6 +1283,8 @@ def connected_components_star(
     )
 
     def large_star(E: DataFrame) -> DataFrame:
+        # duplicate output rows are fine: small_star's min-aggregation
+        # ignores them and its trailing distinct removes them
         sym = E.unionByName(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
         gmin = sym.groupBy("u").agg(F.min("v").alias("mn"))
         m = F.least(F.col("mn"), F.col("u"))
@@ -1284,34 +1293,37 @@ def connected_components_star(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), m.alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def small_star(E: DataFrame) -> DataFrame:
-        # orient (big → small); every neighbor set is then ≤ u
-        d = E.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).distinct()
+        # orient (big → small); every neighbor set is then ≤ u.
+        # No input distinct: min() is duplicate-tolerant, and the one
+        # trailing distinct restores set semantics for the round output
+        d = E.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         gmin = d.groupBy("u").agg(F.min("v").alias("mn"))
         joined = d.join(gmin, "u")
         a = joined.select(F.col("v").alias("u"), F.col("mn").alias("v"))  # N → m
-        b = joined.select("u", F.col("mn").alias("v")).distinct()  # u → m
+        b = joined.select("u", F.col("mn").alias("v"))  # u → m
         return a.unionByName(b).filter(F.col("u") != F.col("v")).distinct()
 
     def checksum(E: DataFrame):
         # bit_xor: order-free AND overflow-free (sum of xxhash64 values
         # overflows long); the edge set is distinct, so xor cancellation
-        # cannot hide a change
+        # cannot hide a change.  This aggregate is ALSO the action that
+        # materializes E's non-eager localCheckpoint: one job computes
+        # the round, stores its blocks, and returns the 2-scalar verdict.
         row = E.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(greatest(u, v), least(u, v)))").alias("h"),
         ).collect()[0]
         return (row["n"], row["h"])
 
-    cur, free_cur = local_checkpoint_freeable(e0.distinct())
+    cur, free_cur = local_checkpoint_freeable(e0.distinct(), eager=False)
     prev_sum = checksum(cur)
     for _ in range(max_rounds):
-        nxt, free_nxt = local_checkpoint_freeable(small_star(large_star(cur)))
+        nxt, free_nxt = local_checkpoint_freeable(
+            small_star(large_star(cur)), eager=False
+        )
         cur_sum = checksum(nxt)
         free_cur()
         cur, free_cur = nxt, free_nxt
