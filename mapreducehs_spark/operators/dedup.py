@@ -1244,6 +1244,7 @@ def connected_components_star(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 25,
+    driver_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Connected components by alternating LARGE-STAR / SMALL-STAR
     (Kiveris et al. 2014, "Connected Components in MapReduce and
@@ -1272,6 +1273,19 @@ def connected_components_star(
     in the static round plan, plans/r12/cc_round_body_{before,after}.txt;
     AQE reuses more at runtime).  Per-round frames are genuinely freed
     (operators/iteration).
+
+    TWO REGIMES, picked by the deduped edge count (round 12; the
+    ``resolve_duplicate_clusters`` discipline applied to the star
+    path): at or below ``driver_threshold`` edges the canonical edge
+    list is scalar-sized (two longs/row; 5 M edges ≈ 80 MB) and every
+    star round is a full multi-stage Spark job whose scheduling
+    dwarfs the compute, so the components come from driver union-find
+    with path compression over the ALREADY-MATERIALIZED edge frame
+    (the regime-picking count rides the same action that would have
+    seeded the convergence checksum — no extra pass).  Above the
+    threshold the O(log² n)-round star alternation runs unchanged —
+    the 100 TB path; ``driver_threshold=0`` forces it (pinned
+    equivalent by tests/test_operators.py).
 
     Returns (node, rep) for every non-representative node, rep = the
     component's minimum id — ``resolve_duplicate_clusters``'s contract.
@@ -1320,6 +1334,43 @@ def connected_components_star(
 
     cur, free_cur = local_checkpoint_freeable(e0.distinct(), eager=False)
     prev_sum = checksum(cur)
+
+    if prev_sum[0] <= driver_threshold:
+        # small-graph regime: union-find on the materialized edge list
+        # (min root wins → rep is the component minimum, exactly the
+        # star fixpoint).  The checksum action above already stored the
+        # checkpoint blocks, so this toPandas reads them, not lineage.
+        pdf = cur.toPandas()
+        free_cur()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(pdf["u"].values, pdf["v"].values):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        ids = sorted(set(pdf["u"].astype(int)) | set(pdf["v"].astype(int)))
+        rows = [(i, find(i)) for i in ids]
+        out_pdf = pd.DataFrame(
+            {
+                "node": [i for i, r in rows if i != r],
+                "rep": [r for i, r in rows if i != r],
+            },
+            dtype="int64",
+        )
+        return pairs.sparkSession.createDataFrame(
+            out_pdf, schema="node long, rep long"
+        )
+
     for _ in range(max_rounds):
         nxt, free_nxt = local_checkpoint_freeable(
             small_star(large_star(cur)), eager=False

@@ -1630,8 +1630,11 @@ def test_star_cc_matches_union_find_on_chains(spark):
     pairs += [(1000, 2000), (3000, 4000)]  # two 2-node components
     pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
 
+    # driver_threshold=0 forces the distributed star loop — the
+    # small-graph union-find regime must never absorb this coverage
     star = {
-        (r["node"], r["rep"]) for r in connected_components_star(pdf).collect()
+        (r["node"], r["rep"])
+        for r in connected_components_star(pdf, driver_threshold=0).collect()
     }
     uf = {
         (r["doc_id"], r["rep_id"])
@@ -1665,13 +1668,39 @@ def test_star_cc_random_graphs_property(spark):
         )
         pairs = [(a, b) for a, b in pairs if a != b]
         pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
-        star = {(r["node"], r["rep"]) for r in connected_components_star(pdf).collect()}
+        star = {
+            (r["node"], r["rep"])
+            for r in connected_components_star(pdf, driver_threshold=0).collect()
+        }
         uf = {
             (r["doc_id"], r["rep_id"])
             for r in resolve_duplicate_clusters(pdf).collect()
             if r["doc_id"] != r["rep_id"]
         }
         assert star == uf, f"divergence at seed={seed}"
+
+
+def test_star_cc_regimes_agree(spark):
+    """connected_components_star's round-12 small-graph regime (driver
+    union-find at or below driver_threshold edges) must emit exactly the
+    distributed star alternation's fixpoint — same (node, rep) set, same
+    schema — on chains, cliques, duplicate/reversed edges and self-loop
+    inputs (the shapes where a naive union-find diverges from the star
+    contract)."""
+    from mapreducehs_spark.operators.dedup import connected_components_star
+
+    pairs = []
+    pairs += [(i, i + 1) for i in range(100, 140)]  # chain
+    pairs += [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]  # clique
+    pairs += [(2000, 1000), (1000, 2000), (5, 5), (3000, 4000)]  # rev/dup/self
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+
+    small = connected_components_star(pdf)  # default threshold → union-find
+    dist = connected_components_star(pdf, driver_threshold=0)  # star loop
+    assert small.schema == dist.schema
+    assert {(r["node"], r["rep"]) for r in small.collect()} == {
+        (r["node"], r["rep"]) for r in dist.collect()
+    }
 
 
 # ---------------------------------------------------------------------------
