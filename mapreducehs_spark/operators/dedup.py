@@ -664,6 +664,63 @@ def _verify_and_resolve(
     removed.  Candidate generation is the caller's (vectorized
     minhash_lsh_pairs for throughput, minhash_lsh_pairs_checked for the
     oracle-replayable twin)."""
+    verified, frames = _verified_pairs(
+        df, cands, text_col, id_col, shingle_n, jaccard_threshold
+    )
+    clusters = resolve_duplicate_clusters(verified)
+    # resolve_duplicate_clusters materialized the verified pair list
+    # (its regime-picking count); the candidate/shingle caches are dead
+    for fr in frames:
+        fr.unpersist(blocking=False)
+    return clusters.filter(F.col("doc_id") != F.col("rep_id"))
+
+
+def near_dedup_verified_edges_checked(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    est_threshold: float = 0.25,
+    jaccard_threshold: float = 0.5,
+):
+    """Exact-Jaccard-VERIFIED near-dup edges (id_a, id_b) from the
+    checked MinHash-LSH candidate path, WITHOUT cluster resolution —
+    the text-modality arm for callers that close several modality edge
+    sets in ONE shared components pass (m14; round 12, guide §1.2
+    step 1: the per-arm union-find and drop-list re-keying were
+    computed only to be thrown away by the cross-modal closure).
+    Connectivity equals ``near_dedup_drop_list_checked``'s drop-list
+    edges by construction (both encode the verified-pair graph).
+    Returns ``(edges, free)``: the LAZY verified-pair frame (the
+    caller's closure materializes it in its one action) and a cleanup
+    closure releasing the internal candidate/shingle caches."""
+    cands = minhash_lsh_pairs_checked(
+        df, text_col, id_col, shingle_n, est_threshold
+    ).select("id_a", "id_b")
+    verified, frames = _verified_pairs(
+        df, cands, text_col, id_col, shingle_n, jaccard_threshold
+    )
+
+    def free() -> None:
+        for fr in frames:
+            fr.unpersist(blocking=False)
+
+    return verified, free
+
+
+def _verified_pairs(
+    df: DataFrame,
+    cands: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    jaccard_threshold: float,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Exact per-pair Jaccard verification of candidate pairs: each
+    pair's two shingle sets joined in and intersected in an Arrow
+    kernel.  Returns (verified (id_a, id_b) frame — LAZY, derives from
+    the returned persisted frames — and those frames, which the caller
+    unpersists once verification has materialized)."""
     cands = cands.persist()
     cand_docs = (
         cands.select(F.col("id_a").alias("cid"))
@@ -699,8 +756,7 @@ def _verify_and_resolve(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b")
     )
-    clusters = resolve_duplicate_clusters(verified)
-    return clusters.filter(F.col("doc_id") != F.col("rep_id"))
+    return verified, [cands, sets]
 
 
 def near_dedup_drop_list_checked(
@@ -1527,7 +1583,16 @@ def hash64_canonical_dedup(
     differing bits cannot touch all four 16-bit quarters, so recall
     over candidate pairs is exact, not probabilistic.
     """
-    bands_arr = F.array(
+    return banded_canonical_dedup(
+        hashes, ["lo", "hi"], _hash64_bands(), max_hamming=max_hamming, id_col=id_col
+    )
+
+
+def _hash64_bands():
+    """The 64-bit fingerprint's four 16-bit pigeonhole band keys as an
+    array Column over (lo, hi) int32 halves — shared by the canonical
+    closure and the raw-edge arm."""
+    return F.array(
         *[
             F.when(F.lit(b) == 0, F.col("lo").bitwiseAND(F.lit(65535)))
             .when(F.lit(b) == 1, F.shiftright(F.col("lo"), 16))
@@ -1536,8 +1601,100 @@ def hash64_canonical_dedup(
             for b in range(4)
         ]
     )
-    return banded_canonical_dedup(
-        hashes, ["lo", "hi"], bands_arr, max_hamming=max_hamming, id_col=id_col
+
+
+def _banded_rep_edges(
+    grp: DataFrame, key_cols: list[str], bands_arr, max_hamming: int
+) -> DataFrame:
+    """Verified near-dup edges (id_a, id_b) between hash REPRESENTATIVES
+    — the shared candidate+popcount-verify core of the banded dedup
+    family (lazy; ``grp`` must be the persisted
+    (key_cols, hrep, cnt) exact-dup contraction)."""
+    banded = grp.select("hrep", *key_cols).select(
+        "hrep", F.posexplode(bands_arr).alias("b", "bk")
+    )
+    cand = (
+        banded.select(F.col("hrep").alias("ra"), "b", "bk")
+        .join(banded.select(F.col("hrep").alias("rb"), "b", "bk"), ["b", "bk"])
+        .filter(F.col("ra") < F.col("rb"))
+        .select("ra", "rb")
+        .distinct()
+    )
+    ga = grp.select(
+        F.col("hrep").alias("ra"),
+        *[F.col(k).alias(f"{k}_a") for k in key_cols],
+    )
+    gb = grp.select(
+        F.col("hrep").alias("rb"),
+        *[F.col(k).alias(f"{k}_b") for k in key_cols],
+    )
+    hamming = None
+    for k in key_cols:
+        term = F.bit_count(F.col(f"{k}_a").bitwiseXOR(F.col(f"{k}_b")))
+        hamming = term if hamming is None else hamming + term
+    return (
+        cand.join(ga, "ra")
+        .join(gb, "rb")
+        .filter(hamming <= max_hamming)
+        .select(F.col("ra").alias("id_a"), F.col("rb").alias("id_b"))
+    )
+
+
+def banded_duplicate_edges(
+    hashes: DataFrame,
+    key_cols: list[str],
+    bands_arr,
+    max_hamming: int = 3,
+    id_col: str = "id",
+):
+    """Raw connectivity edges of the banded near-dup graph WITHOUT the
+    per-arm closure/emit (round 12, guide §1.2 step 1 — don't compute
+    what the caller throws away): member→hash-rep edges for every
+    member of a multi-member exact-dup group, plus popcount-verified
+    rep–rep near-dup edges.  Connectivity is exactly what closing this
+    arm alone would encode — a member M of hash group H whose class
+    also contains H' < H reaches H' through M→H plus the verified
+    H—H' edge — so a caller MERGING several modality edge sets (m14)
+    feeds them all to ONE shared components pass instead of closing
+    (and emitting, and re-keying) each arm first.
+
+    Returns ``(edges, free)``: a LAZY (id_a, id_b) frame — so the
+    caller's closure materializes every arm in its ONE
+    checkpoint+checksum action instead of paying a per-arm
+    materialization action — and a cleanup closure releasing the
+    internal caches, to call once the edges have been consumed by an
+    action."""
+    h = hashes.select(F.col(id_col).alias("id"), *key_cols).persist()
+    grp = (
+        h.groupBy(*key_cols)
+        .agg(F.min("id").alias("hrep"), F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    rep_edges = _banded_rep_edges(grp, key_cols, bands_arr, max_hamming)
+    mem_edges = (
+        h.join(grp.select(*key_cols, "hrep"), key_cols)
+        .filter(F.col("id") != F.col("hrep"))
+        .select(F.col("id").alias("id_a"), F.col("hrep").alias("id_b"))
+    )
+
+    def free() -> None:
+        grp.unpersist(blocking=False)
+        h.unpersist(blocking=False)
+
+    return rep_edges.unionByName(mem_edges), free
+
+
+def hash64_duplicate_edges(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "id",
+):
+    """``banded_duplicate_edges`` at hash64_canonical_dedup's width: raw
+    (id_a, id_b) connectivity edges of the 64-bit perceptual-hash
+    near-dup graph (lazy, plus a cleanup closure), for callers that run
+    ONE shared closure over several modality arms (m14)."""
+    return banded_duplicate_edges(
+        hashes, ["lo", "hi"], _hash64_bands(), max_hamming=max_hamming, id_col=id_col
     )
 
 
@@ -1581,34 +1738,7 @@ def banded_canonical_dedup(
             .persist()
         )
         try:
-            banded = grp.select("hrep", *key_cols).select(
-                "hrep", F.posexplode(bands_arr).alias("b", "bk")
-            )
-            cand = (
-                banded.select(F.col("hrep").alias("ra"), "b", "bk")
-                .join(banded.select(F.col("hrep").alias("rb"), "b", "bk"), ["b", "bk"])
-                .filter(F.col("ra") < F.col("rb"))
-                .select("ra", "rb")
-                .distinct()
-            )
-            ga = grp.select(
-                F.col("hrep").alias("ra"),
-                *[F.col(k).alias(f"{k}_a") for k in key_cols],
-            )
-            gb = grp.select(
-                F.col("hrep").alias("rb"),
-                *[F.col(k).alias(f"{k}_b") for k in key_cols],
-            )
-            hamming = None
-            for k in key_cols:
-                term = F.bit_count(F.col(f"{k}_a").bitwiseXOR(F.col(f"{k}_b")))
-                hamming = term if hamming is None else hamming + term
-            edges = (
-                cand.join(ga, "ra")
-                .join(gb, "rb")
-                .filter(hamming <= max_hamming)
-                .select(F.col("ra").alias("id_a"), F.col("rb").alias("id_b"))
-            )
+            edges = _banded_rep_edges(grp, key_cols, bands_arr, max_hamming)
             cc = connected_components_star(edges)  # (node, rep); executes here
             crep = grp.join(cc, grp.hrep == cc.node, "left").select(
                 *key_cols, "cnt", F.coalesce("rep", "hrep").alias("comp")

@@ -690,18 +690,28 @@ def m14_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     two arms plus the closure, by construction.  At 100 TB: both edge
     sets carry ids/hashes only (never pixels or text), the union is
     edge-count-sized, and the closure is the d21 algorithm whose
-    per-round cost is two aggregate+join passes."""
+    per-round cost is two aggregate+join passes.  Round 12 (guide §1.2
+    step 1): each arm emits its RAW verified edge set — member→hash-rep
+    + verified rep–rep for images, exact-Jaccard-verified pairs for
+    captions — instead of a per-arm closed class table, so the ONE
+    shared closure here replaces the three the query used to run
+    (each arm's internal components pass, plus this one); connectivity
+    is identical by construction (every class edge is a path in the
+    raw edge set and vice versa), which the oracle value-check
+    witnesses at three scale factors."""
     from mapreducehs_spark.operators.multimodal import ahash_64, render_pgm_payloads
 
     docs = _t(spark, sf_dir, "documents")
     payloads = render_pgm_payloads(docs, "doc_id", width=32, height=16)
-    img = dedup.hash64_canonical_dedup(ahash_64(payloads), max_hamming=3).select(
-        F.col("member").alias("id_a"), F.col("rep").alias("id_b")
-    )
-    txt = dedup.near_dedup_drop_list_checked(
+    img, free_img = dedup.hash64_duplicate_edges(ahash_64(payloads), max_hamming=3)
+    txt, free_txt = dedup.near_dedup_verified_edges_checked(
         docs, est_threshold=0.25, jaccard_threshold=0.6
-    ).select(F.col("doc_id").alias("id_a"), F.col("rep_id").alias("id_b"))
+    )
+    # ONE action (the closure's checkpoint+checksum) materializes both
+    # lazy arms; their internal caches are dead once it returns
     comp = dedup.connected_components_star(img.unionByName(txt))
+    free_img()
+    free_txt()
     sizes = comp.groupBy("rep").agg(
         (F.count(F.lit(1)) + 1).cast("bigint").alias("class_size")
     )

@@ -1680,6 +1680,43 @@ def test_star_cc_random_graphs_property(spark):
         assert star == uf, f"divergence at seed={seed}"
 
 
+def test_raw_edge_arms_close_to_canonical_classes(spark):
+    """m14's round-12 composition law: closing the RAW edge arms
+    (member→hash-rep + verified rep–rep from hash64_duplicate_edges)
+    must yield exactly the classes of closing hash64_canonical_dedup's
+    emitted star edges — the per-arm closure is redundant, not merely
+    approximated."""
+    from mapreducehs_spark.operators.dedup import (
+        connected_components_star,
+        hash64_canonical_dedup,
+        hash64_duplicate_edges,
+    )
+
+    rows = []
+    # exact-dup group (3 members, one hash), a near-dup chain of two
+    # hashes (hamming 1 via lo bit), an isolated singleton
+    rows += [(1, 0x1111, 0x2222), (5, 0x1111, 0x2222), (9, 0x1111, 0x2222)]
+    rows += [(2, 0x1110, 0x2222)]  # hamming 1 from the group hash
+    rows += [(7, 0x0F0F, 0x7070)]  # singleton
+    h = spark.createDataFrame(rows, "id long, lo long, hi long")
+
+    canon = hash64_canonical_dedup(h, max_hamming=3)
+    star_edges = canon.select(
+        F.col("member").alias("id_a"), F.col("rep").alias("id_b")
+    )
+    closed_star = {
+        (r["node"], r["rep"])
+        for r in connected_components_star(star_edges).collect()
+    }
+    raw, free = hash64_duplicate_edges(h, max_hamming=3)
+    closed_raw = {
+        (r["node"], r["rep"]) for r in connected_components_star(raw).collect()
+    }
+    free()
+    assert closed_raw == closed_star
+    assert closed_raw == {(2, 1), (5, 1), (9, 1)}
+
+
 def test_star_cc_regimes_agree(spark):
     """connected_components_star's round-12 small-graph regime (driver
     union-find at or below driver_threshold edges) must emit exactly the
