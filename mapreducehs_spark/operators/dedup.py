@@ -1070,13 +1070,26 @@ def minhash_checked_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The checked-MinHash SIGNATURE + BANDING stages as a reusable
     seam (round 7: the incremental near-dup composition needs to band a
     BATCH against a stored index without re-banding the corpus):
     returns (sigs (id, m0..m15), banded (id, band, bk)) — exactly the
     expression trees ``minhash_lsh_pairs_checked`` always built
-    (extraction, not a change; plan fingerprints hold)."""
+    (extraction, not a change; plan fingerprints hold).
+
+    ``materialize`` (round 12): ``sigs`` is referenced 4x downstream
+    (banding feeds both sides of the candidate self-join, verify reads
+    both signature sides), but WITHIN one action AQE's runtime exchange
+    reuse already dedups the computation — interleaved A/B at sf0.1
+    measured 2.29 s lazy vs 2.28 s checkpointed for the d11 chain, so
+    the default stays lazy (zero plan drift).  Pass True only when the
+    SAME signature frame feeds MULTIPLE separate actions (d28/d31's
+    incremental composition: the base closure and the merged closure
+    are different jobs, and exchange reuse cannot span jobs — there the
+    checkpoint is the difference between hashing the corpus once and
+    hashing it once per action)."""
     a_seeds, b_seeds = minhash_check_seeds()
     p = F.lit(_H31).cast("bigint")
     rows_per_band = MINHASH_CHECK_NUM_PERM // MINHASH_CHECK_BANDS
@@ -1102,6 +1115,8 @@ def minhash_checked_signatures(
             for i in range(MINHASH_CHECK_NUM_PERM)
         ]
     )
+    if materialize:
+        sigs = sigs.localCheckpoint()
     band_keys = F.array(
         *[
             F.concat_ws(

@@ -1525,8 +1525,13 @@ def _d28_graphs(
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    sigs_base, banded_base = dedup.minhash_checked_signatures(docs)
-    sigs_new, banded_new = dedup.minhash_checked_signatures(batch)
+    # materialize=True (round 12): the base signatures feed TWO separate
+    # actions (the base closure, then the merged closure's verify /
+    # index probe) and d31 adds a third (the stability compare) — AQE
+    # exchange reuse cannot span actions, so without the checkpoint the
+    # corpus re-tokenized+re-hashed once per action (guide §2.4).
+    sigs_base, banded_base = dedup.minhash_checked_signatures(docs, materialize=True)
+    sigs_new, banded_new = dedup.minhash_checked_signatures(batch, materialize=True)
 
     # stored state: the base graph's labels (built once, then persisted
     # in production — the d09 base-index framing)
