@@ -1451,9 +1451,23 @@ def d27_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = dedup.minhash_lsh_pairs_checked(
         _t(spark, sf_dir, "documents"), est_threshold=0.25
     ).select("id_a", "id_b")
-    n_truth = truth.count()
-    n_lsh = lsh.count()
-    n_hit = truth.join(lsh, ["id_a", "id_b"]).count()
+    # ONE action for all three counts (round 12, guide §2.6): the old
+    # three-count form (truth.count(), lsh.count(), join().count()) ran
+    # three jobs, and the third recomputed BOTH arms from the scan —
+    # exchange reuse does not span actions.  Both pair sets are unique
+    # by construction (grouped / dropDuplicates), so marker counts over
+    # one full-outer join are exactly the three counts.
+    row = (
+        truth.withColumn("__t", F.lit(1))
+        .join(lsh.withColumn("__l", F.lit(1)), ["id_a", "id_b"], "full_outer")
+        .agg(
+            F.count("__t").alias("nt"),
+            F.count("__l").alias("nl"),
+            F.count(F.when(F.col("__t").isNotNull() & F.col("__l").isNotNull(), 1)).alias("nh"),
+        )
+        .collect()[0]
+    )
+    n_truth, n_lsh, n_hit = int(row["nt"]), int(row["nl"]), int(row["nh"])
     return spark.createDataFrame(
         [
             (
