@@ -2067,37 +2067,60 @@ def d32_lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     n_truth = truth.count()
-    out = []
+    # ONE job for the whole sweep (round 12, guide §2.6/§2.4): the old
+    # per-config loop ran 4 actions per config (checkpoint + 3 counts,
+    # 13 jobs total); banding all three configs into one frame keyed by
+    # nb turns candidates + agreement + truth hits into a single
+    # 3-row grouped aggregate — same banded rows and candidate pairs,
+    # shuffled once instead of once per config, and the per-config
+    # scalar counts arrive in one driver round-trip.
+    banded_all = None
     for nb in (2, 4, 8):
-        banded = sigs.select(
-            "id", F.posexplode(_minhash_band_keys("mins", nb)).alias("band", "bk")
+        part = sigs.select(
+            F.lit(nb).alias("nb"),
+            "id",
+            F.posexplode(_minhash_band_keys("mins", nb)).alias("band", "bk"),
         )
-        a, b = banded.alias("a"), banded.alias("b")
-        cand = (
-            a.join(b, ["band", "bk"])
-            .filter(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct()
-        )
-        agree = F.aggregate(
-            F.zip_with(
-                F.col("sa.mins"),
-                F.col("sb.mins"),
-                lambda x, y: (x == y).cast("int"),
-            ),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
-        pairs = (
+        banded_all = part if banded_all is None else banded_all.unionByName(part)
+    a, b = banded_all.alias("a"), banded_all.alias("b")
+    cand = (
+        a.join(b, ["nb", "band", "bk"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select("nb", F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("sa.mins"),
+            F.col("sb.mins"),
+            lambda x, y: (x == y).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est_ok = F.col("agree") * 4 >= _NP
+    stats = {
+        int(r["nb"]): r
+        for r in (
             cand.join(sigs.alias("sa"), F.col("id_a") == F.col("sa.id"))
             .join(sigs.alias("sb"), F.col("id_b") == F.col("sb.id"))
-            .select("id_a", "id_b", agree.alias("agree"))
-            .localCheckpoint()  # small: candidate pairs only
+            .select("nb", "id_a", "id_b", agree.alias("agree"))
+            .join(truth.withColumn("__h", F.lit(1)), ["id_a", "id_b"], "left")
+            .groupBy("nb")
+            .agg(
+                F.count(F.lit(1)).alias("n_cand"),
+                F.count(F.when(est_ok, 1)).alias("n_est"),
+                F.count(F.when(est_ok & F.col("__h").isNotNull(), 1)).alias("n_hits"),
+            )
+            .collect()
         )
-        n_cand = pairs.count()
-        est = pairs.filter(F.col("agree") * 4 >= _NP)
-        n_est = est.count()
-        n_hits = est.join(truth, ["id_a", "id_b"]).count()
+    }
+    out = []
+    for nb in (2, 4, 8):
+        r = stats.get(nb)
+        n_cand = int(r["n_cand"]) if r else 0
+        n_est = int(r["n_est"]) if r else 0
+        n_hits = int(r["n_hits"]) if r else 0
         out.append(
             (
                 nb,
