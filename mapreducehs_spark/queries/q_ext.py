@@ -3069,9 +3069,21 @@ def q113_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id", tile(F.col("pos")).cast("int").alias(name)
             )
 
-        r = score(["recency_s"], "r_score")
-        f = score(["neg_frequency"], "f_score")
-        m = score(["neg_monetary"], "m_score")
+        # the three quintile passes are independent (each sorts the
+        # cached user-sized frame by its own key and runs one small
+        # count-collect); construct them concurrently so their driver
+        # actions overlap (guide §2.6 — the s15 arm-pool discipline)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            r, f, m = pool.map(
+                lambda a: score(*a),
+                [
+                    (["recency_s"], "r_score"),
+                    (["neg_frequency"], "f_score"),
+                    (["neg_monetary"], "m_score"),
+                ],
+            )
         return (
             per_user.select("user_id", "monetary_cents")
             .join(r, "user_id")
