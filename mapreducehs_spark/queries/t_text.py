@@ -2798,13 +2798,19 @@ def t39_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     caches = []
     try:
         joined.count()
-        rx, c1 = global_positions_cached(
-            joined.select("doc_id", "x"), ["x", "doc_id"], "rx"
-        )
+        # the two rank passes are independent sorts of the cached
+        # doc-sized frame; construct them concurrently so their driver
+        # actions overlap (guide §2.6 — the q113/s15 pool discipline).
+        # Positions depend only on the total order (doc_id tiebreak),
+        # so concurrency cannot change values.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            (rx, c1), (ry, c2) = pool.map(
+                lambda a: global_positions_cached(joined.select("doc_id", a[0]), a[1], a[2]),
+                [("x", ["x", "doc_id"], "rx"), ("y", ["y", "doc_id"], "ry")],
+            )
         caches.append(c1)
-        ry, c2 = global_positions_cached(
-            joined.select("doc_id", "y"), ["y", "doc_id"], "ry"
-        )
         caches.append(c2)
         return (
             rx.select("doc_id", "rx")
