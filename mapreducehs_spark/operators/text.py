@@ -450,6 +450,7 @@ def bpe_merge_steps(
     docs: DataFrame,
     iters: int = 3,
     text_col: str = "text",
+    with_vocab: bool = True,
 ) -> list[tuple[int, str, str, int, int]]:
     """Learn ``iters`` BPE merges over whitespace symbols; returns
     [(iter, pair_a, pair_b, pair_count, vocab_after)].
@@ -498,16 +499,23 @@ def bpe_merge_steps(
         state = state.select(
             F.replace(F.col("s"), F.lit(f" {a} {b} "), F.lit(f" {a}_{b} ")).alias("s")
         )
-        vocab_after = (
-            state.select(
-                F.explode_outer(F.filter(F.split(F.trim(F.col("s")), " "), lambda t: t != "")).alias(
-                    "t"
+        if with_vocab:
+            vocab_after = (
+                state.select(
+                    F.explode_outer(F.filter(F.split(F.trim(F.col("s")), " "), lambda t: t != "")).alias(
+                        "t"
+                    )
                 )
+                .filter(F.col("t").isNotNull())
+                .agg(F.count_distinct("t").alias("v"))
+                .collect()[0]["v"]
             )
-            .filter(F.col("t").isNotNull())
-            .agg(F.count_distinct("t").alias("v"))
-            .collect()[0]["v"]
-        )
+        else:
+            # encode-only callers (t22/t48 via _t22_syms) never read the
+            # vocab column — skipping it halves the learner's driver
+            # actions AND corpus scans (guide §2.6/§1.2: each
+            # count_distinct was a full re-tokenize + replace-chain scan)
+            vocab_after = -1
         out.append((it, a, b, cnt, int(vocab_after)))
     return out
 

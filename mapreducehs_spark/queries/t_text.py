@@ -1202,7 +1202,10 @@ def _t22_syms(docs: DataFrame) -> Column:
     """The Spark-side encode chain (t18's learned merges, broadcast as
     literal replaces over the padded symbol string) — the ONE twin of
     ``_t22_merge_ctes``, shared by t22 and t48."""
-    merges = [(a, b) for _, a, b, _, _ in text.bpe_merge_steps(docs, iters=3)]
+    merges = [
+        (a, b)
+        for _, a, b, _, _ in text.bpe_merge_steps(docs, iters=3, with_vocab=False)
+    ]
     s = F.concat(F.lit(" "), F.concat_ws(" ", text.tokens("text")), F.lit(" "))
     for a, b in merges:
         s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}_{b} "))
