@@ -1000,9 +1000,13 @@ def chunk_dup_stats(
     survives 100 TB the same way d01 exact dedup does.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
+    # staged by id (round 12): the (id, h) distinct and the (id, facet)
+    # rollup are both id-clustered, so hash(id) staging removes their
+    # exchanges (guide §2.1/§2.4; the chunk-hash groupBy still pays its
+    # narrow exchange)
     staged = (
         df.select(F.col(id_col).alias("id"), F.col(facet).alias("facet"), F.col(text_col).alias("__text"))
-        .repartition(par)
+        .repartition(par, "id")
         .select("id", "facet", tokens(F.col("__text")).alias("__toks"))
     )
     toks = F.col("__toks")
@@ -1870,7 +1874,11 @@ def content_defined_chunks(
             tokens(F.col(text_col)).alias("t"),
         )
         .filter(F.size("t") >= 1)  # sequence(1, 0) would DESCEND (t21)
-        .repartition(par)
+        # by-id staging (round 12): the chunk-id prefix-sum window, the
+        # (id, chunk_id) span aggregation AND the text join back are all
+        # id-keyed — hash(id) staging removes all three exchanges
+        # (guide §2.1/§2.4)
+        .repartition(par, "id")
     )
     pos = (
         toks.select(

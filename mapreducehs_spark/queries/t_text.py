@@ -805,9 +805,13 @@ def t17_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     same exactness trade as q83's basis-point revenue."""
     docs = _t(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
+    # staged by doc_id (round 12): hash(doc_id) satisfies BOTH the
+    # (doc_id, term) count and the final per-doc sum, so the exploded
+    # term rows never shuffle — only the vocabulary-sized freq leg
+    # exchanges (guide §2.1/§2.4, the dedup-kernel discipline)
     toks = (
         docs.select("doc_id", text.tokens("text").alias("__t"))
-        .repartition(par)
+        .repartition(par, "doc_id")
         .select("doc_id", F.explode_outer("__t").alias("term"))
         .filter(F.col("term").isNotNull())
     )
@@ -2182,9 +2186,13 @@ def _t34_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     fluent/easier.  Zero-token docs never appear (no term rows)."""
     docs = _t(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
+    # staged by doc_id (round 12): hash(doc_id) satisfies the
+    # (doc_id, source, term) count AND the final (doc_id, source) sum
+    # — two corpus-scale exchanges removed; only the vocabulary-sized
+    # freq leg still shuffles (guide §2.1/§2.4)
     toks = (
         docs.select("doc_id", "source", text.tokens("text").alias("__t"))
-        .repartition(par)
+        .repartition(par, "doc_id")
         .select("doc_id", "source", F.explode_outer("__t").alias("term"))
         .filter(F.col("term").isNotNull())
     )
@@ -2411,9 +2419,12 @@ def t36_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     realized metric maxima."""
     docs = _t(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
+    # staged by doc_id (round 12): every downstream aggregation and the
+    # tok_doc⋈gc join are doc-keyed, so hash(doc_id) staging removes
+    # all of their exchanges (guide §2.1/§2.4)
     staged = docs.select(
         "doc_id", "source", text.tokens("text").alias("__t")
-    ).repartition(par)
+    ).repartition(par, "doc_id")
     term_inst = staged.select(
         "doc_id", "source", F.explode_outer("__t").alias("term")
     ).filter(F.col("term").isNotNull())
