@@ -2675,8 +2675,15 @@ def q108_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         from mapreducehs_spark.operators.iteration import local_checkpoint_freeable
 
-        start = edges.agg(F.min("src")).collect()[0][0]  # one scalar to the driver
-        dist = spark.createDataFrame([(start, 0)], "node long, d int")
+        # lazy seed (round 12): the start node is an agg SUBTREE over
+        # the persisted adjacency, not a driver collect — the whole
+        # query is then ONE action and the edge build materializes
+        # inside it instead of blocking a synchronous round-trip first
+        # (guide §2.6; interleaved A/B at sf0.1: 4.13 s → 3.23 s median,
+        # level histogram identical)
+        dist = edges.agg(F.min("src").alias("node")).select(
+            "node", F.lit(0).cast("int").alias("d")
+        )
         for level in range(1, 4):
             frontier = dist.filter(F.col("d") == level - 1)
             expanded = (
@@ -3705,9 +3712,12 @@ def q121_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frees = []
     try:
-        start = edges.agg(F.min("src")).collect()[0][0]  # one scalar
-        dist = spark.createDataFrame(
-            [(int(start), 0, 0)], "node long, d long, r int"
+        # lazy seed (round 12, q108's discipline): agg subtree instead
+        # of a driver collect — one action for the whole relaxation
+        dist = edges.agg(F.min("src").alias("node")).select(
+            "node",
+            F.lit(0).cast("long").alias("d"),
+            F.lit(0).cast("int").alias("r"),
         )
         for rnd in range(1, 4):
             frontier = dist.filter(F.col("r") == rnd - 1)
