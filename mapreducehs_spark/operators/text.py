@@ -480,43 +480,71 @@ def bpe_merge_steps(
     state = docs.select(
         F.concat(F.lit(" "), F.concat_ws(" ", tokens(text_col)), F.lit(" ")).alias("s")
     )
+
+    def _vocab_leg(st: DataFrame) -> DataFrame:
+        return (
+            st.select(
+                F.explode_outer(
+                    F.filter(F.split(F.trim(F.col("s")), " "), lambda t: t != "")
+                ).alias("t")
+            )
+            .filter(F.col("t").isNotNull())
+            .agg(F.count_distinct("t").cast("long").alias("n"))
+            .select(
+                F.lit("v").alias("k"),
+                F.lit(None).cast("string").alias("a"),
+                F.lit(None).cast("string").alias("b"),
+                F.col("n"),
+            )
+        )
+
     out: list[tuple[int, str, str, int, int]] = []
+    # the merge just taken, awaiting its vocab count: (it, a, b, cnt).
+    # Round 12: iteration i's vocab_after and iteration i+1's pair
+    # argmax both scan the SAME merged state, so they ride ONE driver
+    # action (a 2-row union collect) — 2 actions/iteration -> 1, with
+    # only the final vocab count left as its own job (guide §2.6).
+    # Encode-only callers (t22/t48 via _t22_syms) pass with_vocab=False
+    # and skip the vocab legs entirely (vocab_after = -1, never read).
+    pending: tuple[int, str, str, int] | None = None
     for it in range(1, iters + 1):
         syms = F.filter(F.split(F.trim(F.col("s")), " "), lambda t: t != "")
         pairs = state.select(F.explode_outer(bpe_adjacent_pairs(syms)).alias("p")).filter(
             F.col("p").isNotNull()
         )
-        top = (
+        pair_leg = (
             pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
             .limit(1)
-            .collect()
+            .select(F.lit("p").alias("k"), "a", "b", F.col("cnt").cast("long").alias("n"))
         )
-        if not top:
+        if with_vocab and pending is not None:
+            rows = pair_leg.unionByName(_vocab_leg(state)).collect()
+        else:
+            rows = pair_leg.collect()
+        vrow = next((r for r in rows if r["k"] == "v"), None)
+        prow = next((r for r in rows if r["k"] == "p"), None)
+        if pending is not None:
+            if vrow is not None:
+                out.append((*pending, int(vrow["n"])))
+                pending = None
+            elif not with_vocab:
+                out.append((*pending, -1))
+                pending = None
+        if prow is None:
             break
-        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        a, b, cnt = prow["a"], prow["b"], int(prow["n"])
         state = state.select(
             F.replace(F.col("s"), F.lit(f" {a} {b} "), F.lit(f" {a}_{b} ")).alias("s")
         )
+        pending = (it, a, b, cnt)
+    if pending is not None:
         if with_vocab:
-            vocab_after = (
-                state.select(
-                    F.explode_outer(F.filter(F.split(F.trim(F.col("s")), " "), lambda t: t != "")).alias(
-                        "t"
-                    )
-                )
-                .filter(F.col("t").isNotNull())
-                .agg(F.count_distinct("t").alias("v"))
-                .collect()[0]["v"]
-            )
+            vocab_after = int(_vocab_leg(state).collect()[0]["n"])
         else:
-            # encode-only callers (t22/t48 via _t22_syms) never read the
-            # vocab column — skipping it halves the learner's driver
-            # actions AND corpus scans (guide §2.6/§1.2: each
-            # count_distinct was a full re-tokenize + replace-chain scan)
             vocab_after = -1
-        out.append((it, a, b, cnt, int(vocab_after)))
+        out.append((*pending, vocab_after))
     return out
 
 
