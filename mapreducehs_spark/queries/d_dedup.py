@@ -869,8 +869,17 @@ def d19_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("h"),
     )
-    cnt = kg.groupBy("h").agg(F.count(F.lit(1)).alias("nh"))
-    dup = kg.join(cnt, "h").filter(F.col("nh") >= 2).select("doc_id", "i")
+    # corpus-wide occurrence count as a window over the h partitioning
+    # (round 12, d18's df discipline): ONE exchange of the k-gram rows
+    # replaces the separate count aggregate + join back — and the
+    # md5-fold k-gram hashing runs once instead of once per reference
+    # (guide §2.4; at 100 TB that is hashing the corpus once, not twice)
+    wh = Window.partitionBy("h")
+    dup = (
+        kg.withColumn("nh", F.count(F.lit(1)).over(wh))
+        .filter(F.col("nh") >= 2)
+        .select("doc_id", "i")
+    )
     wl = Window.partitionBy("doc_id").orderBy(F.col("i").asc())
     brk = dup.select(
         "doc_id",
