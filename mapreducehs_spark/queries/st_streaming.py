@@ -49,6 +49,19 @@ def _replayed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.events_stream(spark, replay)
 
 
+def _events_state_bound(sf_dir: str) -> int:
+    """Upper bound on a stream-stream join's retained state over the
+    replayed ``events``, in bytes: both join sides retain rows only
+    inside the watermark horizon, which for the bounded replay is at
+    most the whole input — 4x its parquet bytes covers columnar
+    compression + row-format state overhead.  Data-derived (scales with
+    the SF dir / the production horizon), never a core count; feeds
+    ``streaming.ops.state_partitions_for``."""
+    import os
+
+    return 4 * os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+
+
 @query(
     "st01_stream_tumbling",
     oracle="""
@@ -183,7 +196,17 @@ def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = st.clicks_then_purchases(
         _replayed_events(spark, sf_dir), within="30 minutes", watermark="1 hour"
     )
-    return st.run_to_batch(joined, "st05_sink", output_mode="append")
+    # state partitions from the topology's state bound (round 13): a
+    # stream-stream join runs FOUR state stores per partition and each
+    # instance pays a fixed per-micro-batch commit cost — size the
+    # partition count by state volume, not core count (see
+    # streaming/ops.state_partitions_for).
+    return st.run_to_batch(
+        joined,
+        "st05_sink",
+        output_mode="append",
+        state_bytes=_events_state_bound(sf_dir),
+    )
 
 
 @query(
@@ -558,7 +581,14 @@ def st14_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = st.clicks_left_outer_purchases(
         st.events_stream(spark, replay), within="30 minutes", watermark="1 hour"
     )
-    out = st.run_to_batch(joined, "st14_sink", output_mode="append")
+    # same state-volume-derived partition count as st05 (four state
+    # stores per partition; fixed per-instance commit cost per batch)
+    out = st.run_to_batch(
+        joined,
+        "st14_sink",
+        output_mode="append",
+        state_bytes=_events_state_bound(sf_dir),
+    )
     return out.filter(F.col("user_id") >= 0)
 
 

@@ -166,11 +166,42 @@ def events_stream(
     )
 
 
+#: State-store partition sizing (round 13, guide §2.2 applied to state
+#: stores).  Every state-store INSTANCE (one per store per partition —
+#: a stream-stream join runs FOUR stores per partition) pays a fixed
+#: per-micro-batch cost: task schedule, store load, delta-file write +
+#: commit.  Measured on st05 at sf0.1: ~40 s of summed commit time per
+#: micro-batch across 128 instances holding 6 MB of total state — wall
+#: time was LINEAR in the partition count (32 partitions 13-22 s, 8
+#: partitions 4.8 s, 2 partitions 4.5 s) while the data never changed.
+#: So state partitions must be sized by STATE VOLUME (like shuffle
+#: partitions are sized by shuffle bytes), not by core count: target
+#: ~64 MB of state per partition (the shuffle-partition guidance of
+#: guide §2.2, conservative for the HDFS-backed store whose per-commit
+#: cost is per-instance), floored at 8 so the stateful stage never
+#: serializes.  At 100 TB the same formula yields thousands of
+#: partitions — this is scale-adaptive, not a local-mode pin.
+_STATE_PARTITION_TARGET_BYTES = 64 << 20
+_STATE_PARTITIONS_MIN = 8
+
+
+def state_partitions_for(state_bytes: int) -> int:
+    """Partition count for a stateful stream whose retained state is
+    bounded by ``state_bytes`` (an upper bound supplied by the caller
+    from its data shape — e.g. decompressed input volume inside the
+    watermark horizon).  See the sizing note above."""
+    return max(
+        _STATE_PARTITIONS_MIN,
+        -(-int(state_bytes) // _STATE_PARTITION_TARGET_BYTES),
+    )
+
+
 def run_to_batch(
     stream_df: DataFrame,
     name: str,
     output_mode: str = "append",
     shuffle_partitions: int | None = None,
+    state_bytes: int | None = None,
 ) -> DataFrame:
     """Drain a finite stream into a memory sink; return the result table.
 
@@ -184,9 +215,17 @@ def run_to_batch(
     of windows/users) a few per core is right.  At 100 TB this knob is
     the per-topology state sizing decision, made per stream, not
     globally.
+
+    ``state_bytes`` is the round-13 data-shape form of that decision: an
+    upper bound on the topology's retained state volume, from which the
+    partition count derives via ``state_partitions_for`` (~64 MB of
+    state per store partition, floor 8).  Partitioning cannot change
+    values (only placement), so results are identical by construction.
     """
     spark = stream_df.sparkSession
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is None and state_bytes is not None:
+        shuffle_partitions = state_partitions_for(state_bytes)
     if shuffle_partitions is None:
         shuffle_partitions = max(8, spark.sparkContext.defaultParallelism)
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
