@@ -220,6 +220,38 @@ HEADLINE = [
 # st13 is excluded from HEADLINE like the other st-series queries: the
 # replay harness measures fixture IO, not the operator.
 
+#: Round 13 (VERDICT r12 item 2a): the most expensive EXTENSION queries
+#: get median-of-REPEATS like the HEADLINE set.  Their single-rep walls
+#: generated 12 false regression alarms in round 12 alone (2-19x
+#: in-sweep spikes, every one adjudicated as a box stall by isolated
+#: re-measure) — a median over 3 reps strips exactly that noise at a
+#: bounded cost (~2x the ~40 s these queries sum to).  Membership is
+#: FROZEN from the two healthy round-12 sweeps (8-core driver run +
+#: quiet-box 32-core before-sweep, every extension query whose wall
+#: read >= 1.4 s in either); entries are only ever ADDED.
+EXPENSIVE_EXT = [
+    "d04_simhash_pairs",
+    "d06_dup_clusters",
+    "d07_near_dedup_drop_list",
+    "d11_minhash_checked",
+    "d12_simhash_checked",
+    "d13_containment_dedup",
+    "d23_leakage_safe_split",
+    "d31_class_stability",
+    "d32_lsh_banding_sweep",
+    "q08_distinct_counts",
+    "q34_approx_distinct",
+    "q41_approx_percentile_contract",
+    "q85_salted_join",
+    "t13_boilerplate_ngrams",
+    "t15_zipf_slope",
+    "t46_topical_packing",
+    "t48_tokenizer_fertility",
+    "t49_quality_deciles",
+    "t50_epoch_shuffle_manifest",
+    "t55_curriculum_schedule",
+]
+
 #: post-round-5 additions, kept in a NAMED list so the cross-round
 #: comparison series below can never silently shift when HEADLINE grows
 #: (ADVICE r06: HEADLINE[:-3] was positionally coupled)
@@ -394,6 +426,21 @@ def main() -> None:
     from mapreducehs_spark.queries import QUERIES
     from mapreducehs_spark.session import get_spark
 
+    # Round 13 (VERDICT r12 item 2b): snapshot the PREVIOUS round's
+    # per-query inventory from the committed detail file BEFORE this run
+    # overwrites it, so the compact line can report a subtotal over the
+    # queries BOTH rounds measured.  Family sums over different
+    # inventories made round-over-round comparison structurally noisy
+    # (r12's q_family "regression" was q128+q129 being new, not code);
+    # `common_inventory_total` removes that failure mode.  Additive only
+    # — `value` and `queries` are unchanged.
+    prev_inventory: set[str] = set()
+    try:
+        with open(os.path.join(REPO, "BENCH_local.json")) as f:
+            prev_inventory = set(json.load(f).get("queries", {}))
+    except (OSError, ValueError):
+        pass
+
     spark = get_spark(app_name="mapreducehs_spark_bench", master=f"local[{CPUS}]")
 
     calib = calibration(spark)
@@ -428,8 +475,9 @@ def main() -> None:
     # extension queries (round 6 coverage closure) get EXT_REPEATS
     # (default 1) to bound total bench wall-time — they are individually
     # small, their noise is bounded by calib_sec normalization, and no
-    # cross-round series depends on them yet
-    headline_set = set(HEADLINE)
+    # cross-round series depends on them yet.  Round 13: the EXPENSIVE_EXT
+    # subset joins the median-of-REPEATS tier (see its docstring).
+    headline_set = set(HEADLINE) | set(EXPENSIVE_EXT)
     timings = {
         name: round(
             statistics.median(
@@ -452,6 +500,9 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else SF_DIR
     total = round(sum(timings.values()), 4)
     series_total = round(sum(timings[n] for n in R5_SERIES if n in timings), 4)
+    common = {n: t for n, t in timings.items() if n in prev_inventory}
+    common_total = round(sum(common.values()), 4) if common else total
+    common_n = len(common) if common else len(timings)
 
     # per-family subtotals keep the stdout line ~300 bytes: q relational,
     # d dedup, s similarity, t text, m multimodal, p pipeline
@@ -468,6 +519,8 @@ def main() -> None:
         "n_queries": len(timings),
         "r5_series_total": series_total,
         "r5_series_n": len(R5_SERIES),
+        "common_inventory_total": common_total,
+        "common_inventory_n": common_n,
         "queries": timings,
         "alt_queries": alts,
         "sf": sf_val,
@@ -490,6 +543,8 @@ def main() -> None:
         "n_queries": len(timings),
         "r5_series_total": series_total,
         "r5_series_n": len(R5_SERIES),
+        "common_inventory_total": common_total,
+        "common_inventory_n": common_n,
         "queries": dict(sorted(families.items())),
         "sf": sf_val,
         "detail": os.path.basename(detail_path),
