@@ -4799,12 +4799,11 @@ _T55_ORACLE = _T34_KEYED_CTES + """
 """
 
 
-def _t55_build(spark: SparkSession, sf_dir: str):
-    """t55's pre-checkpoint frame + caches (q107 pin recipe)."""
-    from mapreducehs_spark.operators.sampling import (
-        global_prefix_sums_cached,
-        grouped_prefix_sums_cached,
-    )
+def _t55_buckets(spark: SparkSession, sf_dir: str):
+    """t55's DISTRIBUTED stage (the plan-pinned part): per-source exact
+    rank deciles via the grouped prefix-sum seam, rolled up to the
+    <= 10 * n_sources bucket table.  Returns (buckets_df, cache)."""
+    from mapreducehs_spark.operators.sampling import grouped_prefix_sums_cached
 
     keyed = _t34_keyed(spark, sf_dir).withColumn("__one", F.lit(1).cast("long"))
     ranked, c1 = grouped_prefix_sums_cached(
@@ -4829,10 +4828,7 @@ def _t55_build(spark: SparkSession, sf_dir: str):
             F.max("qk").cast("bigint").alias("qk_max"),
         )
     )
-    sched, c2 = global_prefix_sums_cached(
-        buckets, ["decile", "source"], "n_tokens", out_col="start_tokens"
-    )
-    return sched, (c1, c2)
+    return buckets, c1
 
 
 @query("t55_curriculum_schedule", oracle=_T55_ORACLE)
@@ -4859,18 +4855,45 @@ def t55_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the oracle ranks with per-source windows; the engine
     does NOT — rank0 comes from the grouped prefix-sum seam (range
     exchange, never a whole source on one task), bucket aggregation is
-    an ordinary hash rollup to <= 10 * n_sources rows, and the global
-    offsets run the SAME two-phase prefix-sum seam over that tiny
-    bucket frame (window-free end to end, plan-pinned).  At 100 TB the
-    heavy data makes exactly two shuffles (the t17 token aggs) plus
-    one range exchange.  Reference witness: O2 ordered keyed fold
+    an ordinary hash rollup to <= 10 * n_sources rows (window-free,
+    plan-pinned).  The global offsets over that BOUNDED bucket table
+    are computed driver-side from one collect (round 13, guide §2.6:
+    the second prefix-sum seam paid a range exchange + persist +
+    partition-count collect + Arrow kernel on a ~n_sources*10-row
+    frame — two driver actions for rows that already fit in the
+    broadcast-sized regime every per-source rollup here uses).  3
+    driver actions -> 1; values identical (pure integer arithmetic
+    either way).  At 100 TB the heavy data makes exactly two shuffles
+    (the t17 token aggs) plus one range exchange; the driver holds
+    only the bucket table (10 rows per source — the same #groups ≪
+    #rows bound grouped_prefix_sums_cached's broadcast already
+    assumes).  Reference witness: O2 ordered keyed fold
     (src/Core/MapReduceC.hs:24-26)."""
-    out, caches = _t55_build(spark, sf_dir)
+    buckets, cache = _t55_buckets(spark, sf_dir)
     try:
-        return out.localCheckpoint()
+        rows = buckets.collect()
     finally:
-        for c in caches:
-            c.unpersist(blocking=False)
+        cache.unpersist(blocking=False)
+    rows.sort(key=lambda r: (r["decile"], r["source"]))
+    out, run = [], 0
+    for r in rows:
+        out.append(
+            (
+                r["decile"],
+                r["source"],
+                r["n_docs"],
+                r["n_tokens"],
+                r["qk_min"],
+                r["qk_max"],
+                run,
+            )
+        )
+        run += r["n_tokens"]
+    return spark.createDataFrame(
+        out,
+        "decile bigint, source string, n_docs bigint, n_tokens bigint,"
+        " qk_min bigint, qk_max bigint, start_tokens bigint",
+    )
 
 
 # =========================================================================

@@ -1468,20 +1468,22 @@ def test_t54_conversation_conservation(q, spark):
 
 def test_t55_schedule_window_free(spark):
     """t55's scale contract: per-source difficulty ranks come from the
-    grouped prefix-sum seam and the bucket offsets from the global
-    prefix-sum seam — no Window operator anywhere, so neither a whole
-    source nor the whole schedule ever lands on one task."""
-    from mapreducehs_spark.queries.t_text import _t55_build
+    grouped prefix-sum seam, rolled up to the bounded bucket table — no
+    Window operator anywhere, so neither a whole source nor the whole
+    schedule ever lands on one task.  (The curriculum offsets over the
+    <= 10 * n_sources bucket rows are driver-side since round 13; the
+    distributed stage pinned here is everything that touches corpus
+    data.)"""
+    from mapreducehs_spark.queries.t_text import _t55_buckets
 
-    df, caches = _t55_build(spark, SF)
+    df, cache = _t55_buckets(spark, SF)
     try:
         plan = I.formatted_plan(df)
         assert "Window" not in plan
         assert "CartesianProduct" not in plan
         assert "rangepartitioning(source" in plan
     finally:
-        for c in caches:
-            c.unpersist(blocking=False)
+        cache.unpersist(blocking=False)
 
 
 def test_t55_conservation_vs_t49(q):
