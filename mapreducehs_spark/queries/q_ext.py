@@ -2061,14 +2061,40 @@ def q100_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     even for power-law hubs; the wedge self-join then left-semi-probes
     the oriented edge list.  All co-occurrence counting is equi-join +
     hash-agg on doc_id; the quadratic explosion per document is bounded
-    by the 64-token vocabulary filter (broadcast)."""
+    by the 64-token vocabulary filter (broadcast).
+
+    Round 13 (guide §3.3 — truncate enormous plans by materializing):
+    the static plan embedded the corpus subtree once per reference
+    (oriented x3, edges x3, deg x2 → 450 parquet scans, 229 exchanges
+    in the formatted plan) and leaned on AQE runtime exchange reuse to
+    dedup them.  `sel` — the (doc_id, tok) frame restricted to the
+    64-token vocabulary, ≤ 64·n_docs short rows — is localCheckpointed
+    (ONE corpus pass; the r4 revert was a persist of the UNFILTERED
+    token frame, a corpus-scale cache write), and `oriented` (≤ 64²/2
+    rows) is persisted so the co self-join runs once, not per wedge
+    reference."""
+    per_node, oriented = _q100_tri_build(spark, sf_dir)
+    try:
+        return (
+            per_node.orderBy(F.col("n_tri").desc(), F.col("node").asc())
+            .limit(10)
+            .localCheckpoint()  # materialize while oriented is cached
+        )
+    finally:
+        oriented.unpersist(blocking=False)
+
+
+def _q100_tri_build(spark: SparkSession, sf_dir: str):
+    """q100's pre-checkpoint build (q107 pin recipe): returns
+    (per_node frame, persisted oriented-edge cache — caller unpersists
+    after materializing)."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode_outer(F.array_distinct(text.tokens("text"))).alias("tok")
     ).filter(F.col("tok").isNotNull())
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     top = dfreq.orderBy(F.col("df").desc(), F.col("tok").asc()).limit(64).select("tok")
-    sel = toks.join(F.broadcast(top), "tok")
+    sel = toks.join(F.broadcast(top), "tok").localCheckpoint()
     x = sel.select("doc_id", F.col("tok").alias("u"))
     y = sel.select("doc_id", F.col("tok").alias("v"))
     co = (
@@ -2077,8 +2103,11 @@ def q100_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    edges = co.crossJoin(F.broadcast(nd)).filter(F.col("c") * 4 >= F.col("n_docs"))
+    # scalar corpus count as a driver literal (footer-level count scan):
+    # as a broadcast subtree it re-embedded a parquet scan per edge
+    # reference in the static plan
+    n_docs = docs.count()
+    edges = co.filter(F.col("c") * 4 >= F.lit(n_docs))
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -2097,6 +2126,7 @@ def q100_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         )
+        .persist()  # ≤ 64²/2 rows; referenced three times by the wedge pass
     )
     e1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = oriented.select(F.col("a").alias("y"), F.col("b").alias("z"))
@@ -2113,7 +2143,7 @@ def q100_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )
-    return per_node.orderBy(F.col("n_tri").desc(), F.col("node").asc()).limit(10)
+    return per_node, oriented
 
 
 @query(

@@ -435,10 +435,20 @@ def test_t20_profile_two_linear_passes(q):
     assert "HashAggregate" in plan
 
 
-def test_q100_triangles_no_cartesian(q):
-    df = q("q100_triangle_count")
-    plan = I.formatted_plan(df)
-    assert "CartesianProduct" not in plan
+def test_q100_triangles_no_cartesian(spark):
+    # pin the pre-checkpoint build (q107 recipe): the declared query
+    # materializes sel/oriented eagerly, which would hide the plan
+    from mapreducehs_spark.queries.q_ext import _q100_tri_build
+
+    per_node, oriented = _q100_tri_build(spark, SF)
+    try:
+        plan = I.formatted_plan(per_node)
+        assert "CartesianProduct" not in plan
+        # round 13: the corpus subtree is materialized ONCE — the wedge
+        # pass must reference the checkpoint/cache, never re-scan parquet
+        assert "Scan parquet" not in plan
+    finally:
+        oriented.unpersist(blocking=False)
 
 
 def test_q101_rules_topk_no_global_sort(q):
