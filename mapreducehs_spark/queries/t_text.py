@@ -1311,58 +1311,89 @@ def t23_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantize to integer micro-nats (floor(1e6·ln p), the t17/s08
     recipe) so the doc aggregation is order-independent and the whole
     model value-checks."""
+    out, caches = _t23_build(spark, sf_dir)
+    try:
+        # materialize the doc-level scores while caches live
+        return out.localCheckpoint()
+    finally:
+        for c in caches:
+            c.unpersist(blocking=False)
+
+
+def _t23_build(spark: SparkSession, sf_dir: str):
+    """t23's pre-checkpoint frame + caches (q107 pin recipe)."""
     docs = _t(spark, sf_dir, "documents")
     toked = docs.select("doc_id", text.tokens("text").alias("__t")).persist()
-    dp = (
+    # Round 13 (guide §2.3 — shuffle fewer bytes): the (doc, a, b) pair
+    # aggregation is the ONE corpus-scale exchange here, and it carried
+    # two token STRINGS per row.  The unigram vocabulary is
+    # broadcast-scale (t17's model posture), so tokens dictionary-encode
+    # to longs before the exchange: the vocab table rides the SAME
+    # corpus pass the old countDistinct vocab-size scan already paid
+    # (localCheckpoint materializes ONE id assignment — both encode
+    # joins and the model join must read the same dictionary), vv is
+    # its count, and the pair exchange + model join run on 2x int64
+    # instead of strings.  Ids never reach the output (per-doc scores),
+    # so results are identical.
+    vocab = (
+        toked.select(F.explode_outer("__t").alias("u"))
+        .filter(F.col("u").isNotNull())
+        .distinct()
+        .withColumn("iu", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    vv = vocab.count()
+    enc = (
         _bigram_pairs(toked)
-        .groupBy("doc_id", "a", "b")
+        .join(
+            F.broadcast(vocab.select(F.col("u").alias("a"), F.col("iu").alias("ia"))),
+            "a",
+        )
+        .join(
+            F.broadcast(vocab.select(F.col("u").alias("b"), F.col("iu").alias("ib"))),
+            "b",
+        )
+        .select("doc_id", "ia", "ib")
+    )
+    dp = (
+        enc.groupBy("doc_id", "ia", "ib")
         .agg(F.count(F.lit(1)).alias("m"))
         .persist()
     )
-    try:
-        big = dp.groupBy("a", "b").agg(F.sum("m").cast("bigint").alias("cab"))
-        uni = big.groupBy("a").agg(F.sum("cab").cast("bigint").alias("ca"))
-        vocab = (
-            toked.select(F.explode_outer("__t").alias("u"))
-            .filter(F.col("u").isNotNull())
-            .agg(F.countDistinct("u").alias("vv"))
+    big = dp.groupBy("ia", "ib").agg(F.sum("m").cast("bigint").alias("cab"))
+    uni = big.groupBy("ia").agg(F.sum("cab").cast("bigint").alias("ca"))
+    # micro-nats on the bigram-TABLE frame via the C-library log
+    # (text.micro_ln_udf — the JVM log intrinsic can flip a floor
+    # vs the oracle's libm; observed at sf1 on t17's twin law)
+    scored = (
+        big.join(F.broadcast(uni), "ia")
+        .withColumn(
+            "micro",
+            text.micro_ln_udf()(
+                (F.col("cab") + F.lit(1)).cast("double")
+                / (F.col("ca") + F.lit(vv)).cast("double")
+            ),
         )
-        # micro-nats on the bigram-TABLE frame via the C-library log
-        # (text.micro_ln_udf — the JVM log intrinsic can flip a floor
-        # vs the oracle's libm; observed at sf1 on t17's twin law)
-        scored = (
-            big.join(F.broadcast(uni), "a")
-            .crossJoin(F.broadcast(vocab))
-            .withColumn(
-                "micro",
-                text.micro_ln_udf()(
-                    (F.col("cab") + F.lit(1)).cast("double")
-                    / (F.col("ca") + F.col("vv")).cast("double")
-                ),
-            )
-            .select("a", "b", "micro")
+        .select("ia", "ib", "micro")
+    )
+    out = (
+        dp.join(scored, ["ia", "ib"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_pairs"),
+            F.sum(F.col("m") * F.col("micro")).cast("bigint").alias("__s"),
         )
-        return (
-            dp.join(scored, ["a", "b"])
-            .groupBy("doc_id")
-            .agg(
-                F.sum("m").cast("bigint").alias("n_pairs"),
-                F.sum(F.col("m") * F.col("micro")).cast("bigint").alias("__s"),
-            )
-            # truncating fixed-point average (t17's sf1 lesson): round()
-            # of a double quotient ties at .xxxx5 and splits the engines
-            .select(
-                "doc_id",
-                "n_pairs",
-                (
-                    F.expr("(__s * 10000L) div (n_pairs * 1000000L)") / F.lit(10000.0)
-                ).alias("avg_logprob"),
-            )
-            .localCheckpoint()  # materialize the doc-level scores while caches live
+        # truncating fixed-point average (t17's sf1 lesson): round()
+        # of a double quotient ties at .xxxx5 and splits the engines
+        .select(
+            "doc_id",
+            "n_pairs",
+            (
+                F.expr("(__s * 10000L) div (n_pairs * 1000000L)") / F.lit(10000.0)
+            ).alias("avg_logprob"),
         )
-    finally:
-        toked.unpersist(blocking=False)
-        dp.unpersist(blocking=False)
+    )
+    return out, (toked, dp)
 
 
 @query(
