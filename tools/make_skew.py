@@ -74,7 +74,7 @@ def skew_events(src: str, dst: str) -> None:
     print(f"events: {n:,} rows, {int(hot.sum()):,} re-assigned to user 0")
 
 
-def skew_documents(src: str, dst: str) -> None:
+def skew_documents(src: str, dst: str, dup_every: int = 100) -> None:
     t = pq.read_table(src)
     doc_id = t.column("doc_id").to_numpy(zero_copy_only=False)
     text = t.column("text").to_pylist()
@@ -84,7 +84,7 @@ def skew_documents(src: str, dst: str) -> None:
     base = text[int(np.argmin(doc_id))]  # document with the minimum id
     n_dup = n_hot = n_src = 0
     for i in range(n):
-        if doc_id[i] != dmin and doc_id[i] % 100 == 13:
+        if doc_id[i] != dmin and doc_id[i] % dup_every == 13 % dup_every:
             text[i] = base  # hot duplicate class (~1%)
             n_dup += 1
         elif doc_id[i] % 8 == 3:
@@ -109,6 +109,13 @@ def skew_documents(src: str, dst: str) -> None:
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1skew"
     src = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+    # optional: hot-duplicate-class rate, 1-in-N docs (default the
+    # round-6 1%).  Round 13 uses a denser class (e.g. N=10, one
+    # LSH-band-SATURATING duplicate class at ~10% of the corpus) to
+    # witness the d32 hot-bucket salting under real saturation; the
+    # default transforms are unchanged so the standing skew-pair
+    # artifacts stay comparable.
+    dup_every = int(sys.argv[3]) if len(sys.argv) > 3 else 100
     os.makedirs(out, exist_ok=True)
     for name in TABLES:
         s = os.path.join(src, f"{name}.parquet")
@@ -118,7 +125,7 @@ def main() -> None:
         if name == "events":
             skew_events(s, d)
         elif name == "documents":
-            skew_documents(s, d)
+            skew_documents(s, d, dup_every=dup_every)
         else:
             os.link(s, d)  # content-identical, no copy
     print(f"skewed dataset at {out}")
