@@ -49,17 +49,22 @@ def _replayed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.events_stream(spark, replay)
 
 
-def _events_state_bound(sf_dir: str) -> int:
-    """Upper bound on a stream-stream join's retained state over the
-    replayed ``events``, in bytes: both join sides retain rows only
-    inside the watermark horizon, which for the bounded replay is at
-    most the whole input — 4x its parquet bytes covers columnar
-    compression + row-format state overhead.  Data-derived (scales with
-    the SF dir / the production horizon), never a core count; feeds
-    ``streaming.ops.state_partitions_for``."""
+def _state_bound(sf_dir: str, table: str = "events") -> int:
+    """Upper bound on a stateful topology's retained state over the
+    replayed ``table``, in bytes: watermarked/stateful operators retain
+    at most the rows inside their watermark/TTL horizon, which for the
+    bounded replay is at most the whole input — 4x its parquet bytes
+    covers columnar compression + row-format state overhead.
+    Data-derived (scales with the SF dir / the production horizon),
+    never a core count; feeds ``streaming.ops.state_partitions_for``
+    (~64 MB of state per store partition, floor 8)."""
     import os
 
-    return 4 * os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    return 4 * os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _events_state_bound(sf_dir: str) -> int:
+    return _state_bound(sf_dir, "events")
 
 
 @query(
@@ -81,7 +86,10 @@ def st01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = st.tumbling_aggregate(
         _replayed_events(spark, sf_dir), window="1 hour", watermark="30 minutes"
     )
-    out = st.run_to_batch(agg, "st01_sink", output_mode="append")
+    out = st.run_to_batch(
+        agg, "st01_sink", output_mode="append",
+        state_bytes=_state_bound(sf_dir),
+    )
     # sentinel dropped from the BATCH result (an in-stream filter on a
     # group key would be pushed below the watermark; see streaming/ops.py)
     return out.filter(F.col("event_type") != "__flush__")
@@ -121,7 +129,10 @@ def st02_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = st.session_aggregate(
         _replayed_events(spark, sf_dir), gap="30 minutes", watermark="30 minutes"
     )
-    out = st.run_to_batch(agg, "st02_sink", output_mode="append")
+    out = st.run_to_batch(
+        agg, "st02_sink", output_mode="append",
+        state_bytes=_state_bound(sf_dir),
+    )
     return out.filter(F.col("user_id") >= 0)  # drop the sentinel's session
 
 
@@ -141,7 +152,10 @@ def st03_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducehs_spark import streaming as st
 
     updates = st.stateful_user_totals(_replayed_events(spark, sf_dir))
-    log = st.run_to_batch(updates, "st03_sink", output_mode="append")
+    log = st.run_to_batch(
+        updates, "st03_sink", output_mode="append",
+        state_bytes=_state_bound(sf_dir),
+    )
     from mapreducehs_spark.streaming.ops import latest_per_user
 
     return latest_per_user(log)
@@ -165,7 +179,10 @@ def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = st.stream_distinct(
         _replayed_events(spark, sf_dir), keys=["user_id", "event_type"]
     )
-    return st.run_to_batch(deduped, "st04_sink", output_mode="append")
+    return st.run_to_batch(
+        deduped, "st04_sink", output_mode="append",
+        state_bytes=_state_bound(sf_dir),
+    )
 
 
 @query(
@@ -243,7 +260,10 @@ def st06_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         slide="5 minutes",
         watermark="30 minutes",
     )
-    out = st.run_to_batch(agg, "st06_sink", output_mode="append")
+    out = st.run_to_batch(
+        agg, "st06_sink", output_mode="append",
+        state_bytes=_state_bound(sf_dir),
+    )
     return out.filter(F.col("event_type") != "__flush__")
 
 
@@ -321,7 +341,10 @@ def st08_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay = st.prepare_late_stream_dir(spark, sf_dir)
     events = st.events_stream(spark, replay)
     agg = st.tumbling_aggregate(events, window="1 hour", watermark="2233 seconds")
-    out = st.run_to_batch(agg, "st08_sink", output_mode="append")
+    out = st.run_to_batch(
+        agg, "st08_sink", output_mode="append",
+        state_bytes=_state_bound(sf_dir),
+    )
     return out.filter(F.col("event_type") != "__flush__")
 
 
@@ -484,7 +507,10 @@ def st11_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         _replayed_events(spark, sf_dir), inner="1 hour", outer="6 hours",
         watermark="30 minutes",
     )
-    out = st.run_to_batch(agg, "st11_sink", output_mode="append")
+    out = st.run_to_batch(
+        agg, "st11_sink", output_mode="append",
+        state_bytes=_state_bound(sf_dir),
+    )
     return out.filter(F.col("event_type") != "__flush__")
 
 
@@ -510,7 +536,10 @@ def st12_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
     deduped = st.stream_distinct_within_watermark(
         _replayed_events(spark, sf_dir), keys=["user_id", "event_type"]
     )
-    return st.run_to_batch(deduped, "st12_sink", output_mode="append")
+    return st.run_to_batch(
+        deduped, "st12_sink", output_mode="append",
+        state_bytes=_state_bound(sf_dir),
+    )
 
 
 @query(
@@ -538,7 +567,10 @@ def st13_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = st.stateful_mg_sketch(
         _replayed_events(spark, sf_dir), shards=16, capacity=8
     )
-    log = st.run_to_batch(updates, "st13_sink", output_mode="append")
+    log = st.run_to_batch(
+        updates, "st13_sink", output_mode="append",
+        state_bytes=_state_bound(sf_dir),
+    )
     return st.merge_mg_sketch_log(log)
 
 
@@ -617,6 +649,12 @@ def st15_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducehs_spark import streaming as st
 
     pairs = st.stateful_minhash_dedup(_replayed_docs(spark, sf_dir), ttl_sec=10**9)
+    # st15 keeps the parallelism-driven partition default: unlike the
+    # state-commit-bound topologies, its per-batch work is the Arrow
+    # MinHash signature kernel (CPU-bound Python) — A/B at sf0.1 read
+    # 11.4 s at 32 partitions vs 15.4 s at the state-volume-derived 8
+    # (rows identical), so compute parallelism, not store-instance
+    # count, is the binding constraint here.
     log = st.run_to_batch(pairs, "st15_sink", output_mode="append")
     return st.minhash_pairs_from_log(log, est_threshold=0.25)
 
@@ -635,7 +673,10 @@ def st16_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducehs_spark import streaming as st
 
     snapshots = st.stateful_funnel(_replayed_events(spark, sf_dir))
-    log = st.run_to_batch(snapshots, "st16_sink", output_mode="append")
+    log = st.run_to_batch(
+        snapshots, "st16_sink", output_mode="append",
+        state_bytes=_state_bound(sf_dir),
+    )
     return st.funnel_report_from_log(log)
 
 
@@ -805,7 +846,10 @@ def st20_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducehs_spark import streaming as st
 
     updates = st.stateful_moments(_replayed_events(spark, sf_dir))
-    log = st.run_to_batch(updates, "st20_sink", output_mode="append")
+    log = st.run_to_batch(
+        updates, "st20_sink", output_mode="append",
+        state_bytes=_state_bound(sf_dir),
+    )
     from mapreducehs_spark.streaming.ops import latest_moments
 
     return latest_moments(log)
@@ -850,7 +894,10 @@ def st21_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = st.stateful_trailing_anomaly(
         _replayed_events(spark, sf_dir), window=8, num=3
     )
-    log = st.run_to_batch(flagged, "st21_sink", output_mode="append")
+    log = st.run_to_batch(
+        flagged, "st21_sink", output_mode="append",
+        state_bytes=_state_bound(sf_dir),
+    )
     return log.select("user_id", "event_id", "cents", "trail_sum")
 
 
@@ -903,7 +950,10 @@ def st22_stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducehs_spark import streaming as st
 
     out = st.stateful_bloom_dedup(_replayed_events(spark, sf_dir), shards=8)
-    return st.run_to_batch(out, "st22_sink", output_mode="append")
+    return st.run_to_batch(
+        out, "st22_sink", output_mode="append",
+        state_bytes=_state_bound(sf_dir),
+    )
 
 
 # =========================================================================
@@ -1094,7 +1144,10 @@ def st25_stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
     from mapreducehs_spark import streaming as st
 
     updates = st.stateful_histogram(_replayed_events(spark, sf_dir))
-    log = st.run_to_batch(updates, "st25_sink", output_mode="append")
+    log = st.run_to_batch(
+        updates, "st25_sink", output_mode="append",
+        state_bytes=_state_bound(sf_dir),
+    )
     return st.histogram_quantiles_log(log)
 
 
@@ -1146,7 +1199,10 @@ def st26_stream_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(text.tokens("text")).cast("bigint").alias("n_tokens"),
     )
     packed = st.stateful_sequence_packer(docs, ctx_len=_T40_CTX)
-    return st.run_to_batch(packed, "st26_sink", output_mode="append")
+    return st.run_to_batch(
+        packed, "st26_sink", output_mode="append",
+        state_bytes=_state_bound(sf_dir, "documents"),
+    )
 
 
 @query("st27_stream_decontaminate", oracle=ORACLE["d08_decontaminate"])
