@@ -873,7 +873,18 @@ def d19_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (round 12, d18's df discipline): ONE exchange of the k-gram rows
     # replaces the separate count aggregate + join back — and the
     # md5-fold k-gram hashing runs once instead of once per reference
-    # (guide §2.4; at 100 TB that is hashing the corpus once, not twice)
+    # (guide §2.4; at 100 TB that is hashing the corpus once, not twice).
+    # SKEW CAVEAT (ADVICE r12): unlike the old groupBy+join form, a
+    # window count has no map-side partial aggregation and AQE cannot
+    # skew-split it, so ONE very hot 5-gram hash (a boilerplate passage
+    # repeated across a large corpus slice) sorts all its instance rows
+    # on one task.  The join form was no safer in bytes (it also
+    # shuffled full rows by h) but did split; if profiling at larger SFs
+    # shows hot-hash stragglers, guard with a two-level count
+    # (count per (h, salt), then sum over salts joined back) — not done
+    # pre-emptively because the salted form costs a second exchange on
+    # every corpus, hot or not (the d32 hot-band adjudication measured
+    # exactly that trade going the wrong way on real fixtures).
     wh = Window.partitionBy("h")
     dup = (
         kg.withColumn("nh", F.count(F.lit(1)).over(wh))

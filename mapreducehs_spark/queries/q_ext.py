@@ -2710,10 +2710,18 @@ def q108_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         # query is then ONE action and the edge build materializes
         # inside it instead of blocking a synchronous round-trip first
         # (guide §2.6; interleaved A/B at sf0.1: 4.13 s → 3.23 s median,
-        # level histogram identical)
-        dist = edges.agg(F.min("src").alias("node")).select(
-            "node", F.lit(0).cast("int").alias("d")
+        # level histogram identical).  Round 13 (ADVICE r12): the
+        # level-1 job references this 1-row seed TWICE (frontier filter
+        # + the unioned dist) — a non-eager checkpoint makes the seed
+        # aggregation provably computed once instead of relying on plan
+        # canonicalization to match the two subtrees for ReusedExchange.
+        dist, free0 = local_checkpoint_freeable(
+            edges.agg(F.min("src").alias("node")).select(
+                "node", F.lit(0).cast("int").alias("d")
+            ),
+            eager=False,
         )
+        levels.append(free0)
         for level in range(1, 4):
             frontier = dist.filter(F.col("d") == level - 1)
             expanded = (
@@ -3743,12 +3751,18 @@ def q121_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     frees = []
     try:
         # lazy seed (round 12, q108's discipline): agg subtree instead
-        # of a driver collect — one action for the whole relaxation
-        dist = edges.agg(F.min("src").alias("node")).select(
-            "node",
-            F.lit(0).cast("long").alias("d"),
-            F.lit(0).cast("int").alias("r"),
+        # of a driver collect — one action for the whole relaxation.
+        # Round 13 (ADVICE r12): non-eager checkpoint so the doubly
+        # referenced 1-row seed is provably computed once (q108's fix).
+        dist, free0 = local_checkpoint_freeable(
+            edges.agg(F.min("src").alias("node")).select(
+                "node",
+                F.lit(0).cast("long").alias("d"),
+                F.lit(0).cast("int").alias("r"),
+            ),
+            eager=False,
         )
+        frees.append(free0)
         for rnd in range(1, 4):
             frontier = dist.filter(F.col("r") == rnd - 1)
             cand = frontier.join(edges, frontier["node"] == edges["src"]).select(
